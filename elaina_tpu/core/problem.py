@@ -1,0 +1,253 @@
+"""Problem (scene) layer: config -> boundary geometry, colors, source, mask.
+
+TPU-native counterpart of core/problem.{h,cu} (SURVEY.md §2.0 "Problem"):
+OBJ Dirichlet/Neumann boundaries with silhouette precompute + acceleration
+(problem.cu:21-61), two-sided per-vertex color pairs from JSON
+(problem.cu:63-133), dense volumetric source term (NanoVDB in the reference,
+problem.cu:135-149 — here a dense ``.npy``/``.npz`` grid sampled
+trilinearly), mask image (problem.cu:215-249), AABB + evaluation grid
+(problem.cu:151-181), and the statistics printout (problem.cu:183-212).
+
+Device-facing data is carried in registered dataclasses (pytrees) so the
+solver jits over them as ordinary arguments; flags and grid resolutions are
+metadata (static under jit).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.geomset import GeomSet, make_geom_set
+from ..geometry.grid import CandidateGrid, build_candidate_grid
+from ..geometry.obj import load_obj
+from .config import json_get_optional, json_get_or_throw, load_json_file
+from .evaluation_grid import EvaluationGrid
+from .logger import log_info, log_success, log_warning
+
+GRID_ACCEL_MIN_PRIMS = 256  # below this the dense prim sweep wins anyway
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["gs", "colors"], meta_fields=[])
+@dataclass
+class Boundary:
+    gs: GeomSet
+    colors: jnp.ndarray          # (V, 2, 3) float32: (side>=0, side<0) pairs
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["data", "origin", "inv_voxel"], meta_fields=[])
+@dataclass
+class SourceGrid:
+    """Dense volumetric source: world -> voxel affine + trilinear fetch.
+
+    Replaces the NanoVDB device grid (problem.cu:135-149,
+    uniform/integrator.cu:302-312).  ``data`` is (X, Y, 3) or (X, Y, Z, 3).
+    """
+
+    data: jnp.ndarray
+    origin: jnp.ndarray          # (D,) world position of voxel (0,...,0) center
+    inv_voxel: jnp.ndarray       # (D,) 1 / voxel_size
+
+    def sample(self, p):
+        """Trilinear (bilinear in 2D) sample at world points p (N, D) -> (N, 3)."""
+        dim = p.shape[-1]
+        idx_f = (p - self.origin) * self.inv_voxel
+        i0 = jnp.floor(idx_f).astype(jnp.int32)
+        frac = idx_f - i0
+        shape = jnp.asarray(self.data.shape[:dim], jnp.int32)
+
+        def fetch(corner):
+            ii = jnp.clip(i0 + jnp.asarray(corner, jnp.int32), 0, shape - 1)
+            if dim == 2:
+                return self.data[ii[..., 0], ii[..., 1]]
+            return self.data[ii[..., 0], ii[..., 1], ii[..., 2]]
+
+        out = 0.0
+        for corner in np.ndindex(*([2] * dim)):
+            w = jnp.ones(p.shape[:-1], self.data.dtype)
+            for d in range(dim):
+                w = w * (frac[..., d] if corner[d] else (1.0 - frac[..., d]))
+            out = out + w[..., None] * fetch(corner)
+        return out
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["dirichlet", "neumann", "d_grid", "source",
+                      "aabb_lo", "aabb_hi"],
+         meta_fields=["dim", "source_intensity", "dirichlet_intensity",
+                      "neumann_intensity"])
+@dataclass
+class Scene:
+    """Device-facing scene pytree handed to the jitted solver."""
+
+    dirichlet: Optional[Boundary]
+    neumann: Optional[Boundary]
+    d_grid: Optional[CandidateGrid]
+    source: Optional[SourceGrid]
+    aabb_lo: jnp.ndarray
+    aabb_hi: jnp.ndarray
+    dim: int
+    source_intensity: float
+    dirichlet_intensity: float
+    neumann_intensity: float
+
+
+def _parse_vertex_colors(path: str, n_verts: int) -> np.ndarray:
+    """Two-sided vertex color pairs (problem.cu:63-96); missing file -> zeros."""
+    colors = np.zeros((n_verts, 2, 3), np.float32)
+    conf = load_json_file(path)
+    entries = json_get_or_throw(conf, "ColorConfigurations")
+    for i, e in enumerate(entries):
+        vid = int(json_get_or_throw(e, "vertexID"))
+        if vid != i + 1:
+            raise ValueError("ColorConfigurations must be sorted by vertexID")
+        colors[i, 0] = [e["leftColor"][c] for c in "RGB"]
+        colors[i, 1] = [e["rightColor"][c] for c in "RGB"]
+    return colors
+
+
+def _load_source(path: str, dim: int) -> SourceGrid:
+    if path.endswith((".npy", ".npz")):
+        if path.endswith(".npy"):
+            data = np.load(path)
+            origin = np.zeros(dim, np.float32)
+            voxel = np.ones(dim, np.float32)
+        else:
+            z = np.load(path)
+            data = z["data"]
+            origin = np.asarray(z.get("origin", np.zeros(dim)), np.float32)
+            voxel = np.asarray(z.get("voxel_size", np.ones(dim)), np.float32)
+        if data.ndim == dim:  # scalar grid -> replicate to RGB
+            data = np.repeat(data[..., None], 3, axis=-1)
+        return SourceGrid(
+            data=jnp.asarray(data.astype(np.float32)),
+            origin=jnp.asarray(origin),
+            inv_voxel=jnp.asarray(1.0 / voxel),
+        )
+    raise NotImplementedError(
+        f"source grid format not supported: {path!r} (use .npy/.npz dense "
+        "grids with keys data/origin/voxel_size; VDB conversion is an "
+        "offline step)")
+
+
+class Problem:
+    """Host-side scene owner: loads config, builds device pytrees.
+
+    Equivalent of Problem<2|3>::loadConfig (problem.h:72,214).
+    """
+
+    def __init__(self, dim: int, verbose: bool = True):
+        self.dim = dim
+        self.verbose = verbose
+        self.scene: Scene | None = None
+        self.probe: EvaluationGrid | None = None
+        self.mask: np.ndarray | None = None  # (H, W) bool or None
+        self.d_stack = 48
+        self.n_stack = 48
+        self.stats: dict = {}
+
+    # -- flags (problem.h:104-171) ------------------------------------------
+    @property
+    def is_dirichlet_enabled(self):
+        return self.scene.dirichlet is not None
+
+    @property
+    def is_neumann_enabled(self):
+        return self.scene.neumann is not None
+
+    @property
+    def is_source_enabled(self):
+        return self.scene.source is not None
+
+    def load_config(self, conf: dict, base_dir: str = ".",
+                    cache_dir: str | None = None) -> "Problem":
+        dim = self.dim
+
+        aabb_min = np.asarray(json_get_or_throw(conf, "aabb/min"), np.float32)
+        aabb_max = np.asarray(json_get_or_throw(conf, "aabb/max"), np.float32)
+        self.probe = EvaluationGrid.from_json(
+            json_get_or_throw(conf, "evaluation_grid"), dim)
+
+        mesh = json_get_or_throw(conf, "mesh")
+
+        def resolve(p):
+            return p if p is None or os.path.isabs(p) else os.path.join(base_dir, p)
+
+        dirichlet = neumann = None
+        d_grid = None
+        if json_get_optional(mesh, "dirichlet_path"):
+            v, idx = load_obj(resolve(mesh["dirichlet_path"]), dim)
+            gs, depth = make_geom_set(v, idx)
+            self.d_stack = depth + 4
+            colors = self._load_colors(
+                resolve(json_get_optional(mesh, "vertex_color_dirichlet_path")),
+                v.shape[0])
+            dirichlet = Boundary(gs=gs, colors=jnp.asarray(colors))
+            self.stats["dirichlet_vertices"] = v.shape[0]
+            self.stats["dirichlet_primitives"] = idx.shape[0]
+            if idx.shape[0] > GRID_ACCEL_MIN_PRIMS:
+                margin = 0.05 * (aabb_max - aabb_min)
+                d_grid = build_candidate_grid(
+                    v, idx,
+                    np.minimum(aabb_min, v.min(0)) - margin,
+                    np.maximum(aabb_max, v.max(0)) + margin,
+                    cache_dir=cache_dir)
+        if json_get_optional(mesh, "neumann_path"):
+            v, idx = load_obj(resolve(mesh["neumann_path"]), dim)
+            gs, depth = make_geom_set(v, idx)
+            self.n_stack = depth + 4
+            colors = self._load_colors(
+                resolve(json_get_optional(mesh, "vertex_color_neumann_path")),
+                v.shape[0])
+            neumann = Boundary(gs=gs, colors=jnp.asarray(colors))
+            self.stats["neumann_vertices"] = v.shape[0]
+            self.stats["neumann_primitives"] = idx.shape[0]
+
+        source = None
+        if json_get_optional(conf, "source_path"):
+            source = _load_source(resolve(conf["source_path"]), dim)
+            self.stats["source_shape"] = tuple(source.data.shape)
+
+        mask_path = json_get_optional(conf, "mask_path")
+        if mask_path:
+            from PIL import Image
+            img = np.asarray(Image.open(resolve(mask_path)).convert("RGB"))
+            self.mask = np.any(img != 0, axis=-1)  # (H, W), problem.cu:226-239
+
+        self.scene = Scene(
+            dirichlet=dirichlet,
+            neumann=neumann,
+            d_grid=d_grid,
+            source=source,
+            aabb_lo=jnp.asarray(aabb_min),
+            aabb_hi=jnp.asarray(aabb_max),
+            dim=dim,
+            source_intensity=float(json_get_optional(conf, "source_intensity", 1.0)),
+            dirichlet_intensity=float(json_get_optional(conf, "dirichlet_intensity", 1.0)),
+            neumann_intensity=float(json_get_optional(conf, "neumann_intensity", 1.0)),
+        )
+
+        if self.verbose:
+            log_success("Problem: loadConfig completed.")
+            for k, v in self.stats.items():
+                log_info("  %s = %s", k, v)
+            if d_grid is not None:
+                log_info("  dirichlet candidate grid: res=%s K=%d coverage=%.0f%%",
+                         d_grid.res, d_grid.cand.shape[-1],
+                         100 * float(d_grid.coverage))
+        return self
+
+    def _load_colors(self, path, n_verts) -> np.ndarray:
+        if path and os.path.exists(path):
+            return _parse_vertex_colors(path, n_verts)
+        if path:
+            log_warning("vertex color file missing: %s (using zeros)", path)
+        return np.zeros((n_verts, 2, 3), np.float32)

@@ -1,0 +1,199 @@
+"""Candidate-grid acceleration for closest-point queries (TPU-native).
+
+The reference's hot query — closest point on the Dirichlet boundary, once
+per walk per depth (uniform/integrator.cu:138-157) — runs on GPU as a
+per-thread BVH descent.  That shape (divergent per-lane stacks + random
+scatter) is hostile to the TPU's lockstep vector units, so the TPU build
+replaces it with a *candidate grid*:
+
+For every cell of a uniform grid over the query domain we precompute the
+set of primitives that can be the nearest neighbour of ANY point in that
+cell.  With c = cell center, h = half-diagonal, m = min_j d(c, prim_j):
+
+    for q in cell:  d(q, nearest) <= m + h   and
+    the true nearest k satisfies d(c, k) <= d(q, k) + h <= m + 2h,
+
+so the band {i : d(c, i) <= m + 2h} provably contains the exact nearest
+primitive for every in-cell query.  A query is then one cell lookup + K
+primitive evaluations — a single fused gather + dense reduce, no control
+flow.  K is measured at build time; the resolution is raised until the band
+fits the requested K (or the largest configured resolution is reached).
+
+The grid is built on device in cell chunks (distance matrix + top_k), costs
+seconds once per scene, and is cached to disk keyed by a geometry hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .primitives import prim_closest_point
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["origin", "inv_cell", "cand", "coverage"],
+         meta_fields=["res"])
+@dataclass
+class CandidateGrid:
+    origin: jnp.ndarray      # (D,)
+    inv_cell: jnp.ndarray    # (D,) 1/cell_size
+    cand: jnp.ndarray        # (C, K) int32 prim ids, -1 padded
+    coverage: jnp.ndarray    # 1.0 if every cell's band fit K (diagnostic)
+    res: tuple               # static cell counts per axis
+
+
+def _cell_centers(lo, hi, res):
+    dim = len(res)
+    axes = [lo[d] + (np.arange(res[d]) + 0.5) * (hi[d] - lo[d]) / res[d] for d in range(dim)]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    return np.stack([m.reshape(-1) for m in mesh], axis=-1).astype(np.float32)
+
+
+def _build_at_res(verts, indices, lo, hi, res, K, chunk=2048):
+    """Returns (cand (C,K) int32, max_band_count)."""
+    dim = indices.shape[1]
+    centers = _cell_centers(lo, hi, res)
+    C = centers.shape[0]
+    h = 0.5 * float(np.linalg.norm((hi - lo) / np.asarray(res, np.float64)))
+
+    pv = tuple(jnp.asarray(verts[indices[:, k]]) for k in range(dim))
+
+    P = indices.shape[0]
+
+    @jax.jit
+    def one_chunk(c):
+        # (chunk, P) exact distances from cell centers to primitives
+        d, _ = prim_closest_point(dim, c[:, None, :], tuple(v[None] for v in pv))
+        m = jnp.min(d, axis=-1)
+        thresh = m + 2.0 * h
+        in_band = d <= thresh[:, None]
+        count = jnp.sum(in_band, axis=-1)
+        # band compaction without sort/top_k (top_k's unrolled comparator
+        # network explodes XLA compile time for K > ~16): rank in-band prims
+        # by prefix count and scatter their ids into the first K slots.
+        rank = jnp.cumsum(in_band, axis=-1) - 1                 # (chunk, P)
+        dest = jnp.where(in_band & (rank < K), rank, K)         # K = trash
+        rows = jnp.broadcast_to(jnp.arange(c.shape[0])[:, None], dest.shape)
+        prim_ids = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], dest.shape)
+        out = jnp.full((c.shape[0], K + 1), -1, jnp.int32)
+        out = out.at[rows, dest].set(prim_ids, mode="drop")
+        return out[:, :K], count
+
+    cand = np.empty((C, K), np.int32)
+    max_count = 0
+    for s in range(0, C, chunk):
+        e = min(s + chunk, C)
+        block = jnp.asarray(centers[s:e])
+        if e - s < chunk:  # pad to a single compiled shape
+            block = jnp.pad(block, ((0, chunk - (e - s)), (0, 0)))
+        idx, count = one_chunk(block)
+        cand[s:e] = np.asarray(idx)[: e - s]
+        max_count = max(max_count, int(np.max(np.asarray(count)[: e - s])))
+    return cand, max_count
+
+
+def build_candidate_grid(
+    verts: np.ndarray,
+    indices: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    K: int = 32,
+    max_res: int = 2048,
+    cache_dir: str | None = None,
+) -> CandidateGrid:
+    dim = indices.shape[1]
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    span = hi - lo
+
+    key = hashlib.sha1(
+        verts.tobytes() + indices.tobytes() + lo.tobytes() + hi.tobytes()
+        + np.int64([K, max_res]).tobytes()
+    ).hexdigest()[:16]
+    cache_path = os.path.join(cache_dir, f"candgrid_{key}.npz") if cache_dir else None
+    if cache_path and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        return CandidateGrid(
+            origin=jnp.asarray(z["origin"]), inv_cell=jnp.asarray(z["inv_cell"]),
+            res=tuple(int(r) for r in z["res"]), cand=jnp.asarray(z["cand"]),
+            coverage=jnp.asarray(z["coverage"]),
+        )
+
+    # start coarse; refine until the band fits K (cells shrink -> bands shrink)
+    base = 256 if dim == 2 else 64
+    res_scalar = base
+    best = None
+    while True:
+        res = tuple(min(max(int(res_scalar * span[d] / max(span)), 8), max_res)
+                    for d in range(dim))
+        cand, max_count = _build_at_res(verts, indices, lo, hi, res, K)
+        cells = int(np.prod(res))
+        fits = max_count <= K
+        best = (res, cand, max_count)
+        if fits or res_scalar >= max_res or cells * K > 3e8:
+            break
+        res_scalar *= 2
+    res, cand, max_count = best
+
+    inv_cell = np.asarray(res, np.float32) / np.maximum(span, 1e-20)
+    coverage = 1.0 if max_count <= K else 0.0
+    grid = CandidateGrid(
+        origin=jnp.asarray(lo),
+        inv_cell=jnp.asarray(inv_cell),
+        res=res,
+        cand=jnp.asarray(cand),
+        coverage=jnp.asarray(np.float32(coverage)),
+    )
+    if max_count > K:
+        import logging
+        logging.getLogger("elaina").warning(
+            "candidate grid: band needs %d prims > K=%d at res %s; "
+            "nearest results may be approximate in dense regions", max_count, K, res)
+    if cache_path:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez_compressed(
+            cache_path, origin=np.asarray(lo), inv_cell=inv_cell,
+            res=np.asarray(res, np.int64), cand=cand,
+            coverage=np.float32(coverage),
+        )
+    return grid
+
+
+def grid_cell_index(grid: CandidateGrid, q):
+    """Linear cell index for query points (clamped to the grid)."""
+    rel = (q - grid.origin) * grid.inv_cell
+    dim = len(grid.res)
+    idx = jnp.clip(rel.astype(jnp.int32), 0,
+                   jnp.asarray([r - 1 for r in grid.res], jnp.int32))
+    lin = idx[..., 0]
+    for d in range(1, dim):
+        lin = lin * grid.res[d] + idx[..., d]
+    return lin
+
+
+def grid_closest_point(grid: CandidateGrid, verts, indices, q):
+    """Exact closest point via the candidate grid.
+
+    q: (N, D) -> (dist (N,), prim_id (N,)).  Exact for in-grid queries
+    whenever the build fit the band (grid.coverage == 1); out-of-grid
+    queries use the clamped border cell's candidates.
+    """
+    dim = indices.shape[1]
+    lin = grid_cell_index(grid, q)
+    cand = grid.cand[lin]                               # (N, K)
+    safe = jnp.maximum(cand, 0)
+    idx = indices[safe]                                 # (N, K, dim)
+    pv = tuple(verts[idx[..., k]] for k in range(dim))  # (N, K, D)
+    d, _ = prim_closest_point(dim, q[:, None, :], pv)
+    d = jnp.where(cand >= 0, d, jnp.inf)
+    j = jnp.argmin(d, axis=-1)
+    best_d = jnp.take_along_axis(d, j[:, None], axis=-1)[:, 0]
+    best_i = jnp.take_along_axis(cand, j[:, None], axis=-1)[:, 0]
+    return best_d, best_i

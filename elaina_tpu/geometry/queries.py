@@ -1,0 +1,301 @@
+"""Batched geometric queries over a GeomSet (pure JAX).
+
+TPU-native equivalents of the four snch-lbvh device query types the solver
+uses (SURVEY.md §2.1):
+
+* ``closest_point``        — lbvh::nearest + distance_calculator
+                             (uniform/integrator.cu:138-157)
+* ``closest_silhouette``   — lbvh::nearest_silhouette (SNCH query)
+                             (uniform/integrator.cu:189)
+* ``ray_intersect``        — lbvh::ray_intersect closest/any-hit
+                             (uniform/integrator.cu:287-291, 385-393, 500-503)
+* ``sample_in_ball``       — lbvh::sample_object_in_sphere Green-weighted
+                             boundary sampling (uniform/integrator.cu:349-365)
+
+Two execution strategies, chosen statically from the primitive count:
+
+* **dense** (P <= BRUTE_FORCE_MAX): one fused (lanes x prims) sweep — the
+  ideal TPU shape; used for the small Neumann boundaries of the shipped
+  scenes (4-8 segments).
+* **BVH traversal** (large P, e.g. the 61k-segment ladybug Dirichlet
+  curve): a scalar stack-based descent written once and ``vmap``-ed over
+  lanes; under vmap the ``lax.while_loop`` runs all lanes in lockstep until
+  the last lane's stack empties, which is exactly the GPU-style "persistent
+  threads" traversal mapped onto the VPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..solver.green import GREEN_R_CLAMP, green_eval
+from .geomset import GeomSet
+from .primitives import (
+    prim_closest_point,
+    prim_ray_intersect,
+    seg_closest_point,
+)
+
+BRUTE_FORCE_MAX = 64
+DEFAULT_STACK = 48
+
+
+def _prim_verts_all(gs: GeomSet):
+    """Tuple of dim arrays (P, D)."""
+    return tuple(gs.verts[gs.indices[:, k]] for k in range(gs.dim))
+
+
+def _prim_verts_at(gs: GeomSet, pid):
+    """Gather primitive vertices at (possibly padded) prim ids."""
+    safe = jnp.maximum(pid, 0)
+    idx = gs.indices[safe]
+    return tuple(gs.verts[idx[..., k]] for k in range(gs.dim))
+
+
+def _box_dist(q, lo, hi):
+    d = jnp.maximum(jnp.maximum(lo - q, q - hi), 0.0)
+    return jnp.linalg.norm(d, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Closest point
+# ---------------------------------------------------------------------------
+
+
+def _closest_point_dense(gs: GeomSet, q):
+    pv = _prim_verts_all(gs)
+    pvb = tuple(v[None, :, :] for v in pv)
+    d, _ = prim_closest_point(gs.dim, q[:, None, :], pvb)  # (N, P)
+    i = jnp.argmin(d, axis=-1)
+    return jnp.take_along_axis(d, i[:, None], axis=-1)[:, 0], i.astype(jnp.int32)
+
+
+def _closest_point_bvh_one(gs: GeomSet, q, stack_size: int):
+    dim = gs.dim
+
+    def leaf_update(nid, best_d, best_i):
+        pids = gs.leaf_prims[nid]                       # (L,)
+        valid = pids >= 0
+        pv = _prim_verts_at(gs, pids)                   # each (L, D)
+        d, _ = prim_closest_point(dim, q[None, :], pv)
+        d = jnp.where(valid, d, jnp.inf)
+        j = jnp.argmin(d)
+        better = d[j] < best_d
+        return (jnp.where(better, d[j], best_d),
+                jnp.where(better, pids[j], best_i))
+
+    def cond(c):
+        return c[0] > 0
+
+    def body(c):
+        sp, stack, best_d, best_i = c
+        nid = stack[sp - 1]
+        sp = sp - 1
+        bd = _box_dist(q, gs.bb_min[nid], gs.bb_max[nid])
+        process = bd < best_d
+        is_leaf = gs.left[nid] < 0
+
+        nb_d, nb_i = leaf_update(nid, best_d, best_i)
+        take = process & is_leaf
+        best_d = jnp.where(take, nb_d, best_d)
+        best_i = jnp.where(take, nb_i, best_i)
+
+        l, r = gs.left[nid], gs.right[nid]
+        dl = _box_dist(q, gs.bb_min[l], gs.bb_max[l])
+        dr = _box_dist(q, gs.bb_min[r], gs.bb_max[r])
+        near = jnp.where(dl <= dr, l, r)
+        far = jnp.where(dl <= dr, r, l)
+        d_near, d_far = jnp.minimum(dl, dr), jnp.maximum(dl, dr)
+
+        push = process & (~is_leaf)
+        pf = push & (d_far < best_d)
+        stack = stack.at[sp].set(jnp.where(pf, far, stack[sp]))
+        sp = jnp.where(pf, sp + 1, sp)
+        pn = push & (d_near < best_d)
+        stack = stack.at[sp].set(jnp.where(pn, near, stack[sp]))
+        sp = jnp.where(pn, sp + 1, sp)
+        return sp, stack, best_d, best_i
+
+    stack0 = jnp.zeros((stack_size,), jnp.int32)
+    init = (jnp.int32(1), stack0, jnp.float32(jnp.inf), jnp.int32(0))
+    _, _, best_d, best_i = jax.lax.while_loop(cond, body, init)
+    return best_d, best_i
+
+
+def closest_point(gs: GeomSet, q, stack_size: int = DEFAULT_STACK):
+    """q: (N, D) -> (dist (N,), prim_id (N,))."""
+    if gs.n_prims <= BRUTE_FORCE_MAX:
+        return _closest_point_dense(gs, q)
+    return jax.vmap(partial(_closest_point_bvh_one, gs, stack_size=stack_size))(q)
+
+
+def closest_point_detail(gs: GeomSet, q, stack_size: int = DEFAULT_STACK):
+    """closest_point plus unclamped projection uv and clamped-uv used for
+    the epsilon-shell interior test and color interpolation."""
+    from .primitives import prim_project, prim_side
+
+    d, pid = closest_point(gs, q, stack_size)
+    pv = _prim_verts_at(gs, pid)
+    uv = prim_project(gs.dim, q, pv)
+    side = prim_side(gs.dim, q, pv)
+    return d, pid, uv, side
+
+
+# ---------------------------------------------------------------------------
+# Closest silhouette point (SNCH query)
+# ---------------------------------------------------------------------------
+
+
+def closest_silhouette(gs: GeomSet, q):
+    """q: (N, D) -> distance (N,) to the nearest silhouette entity.
+
+    Dense sweep over the precomputed entities; an entity counts iff its two
+    adjacent normals straddle the view vector (or it borders a hole).  The
+    shipped scenes have O(10) Neumann silhouette candidates, so the dense
+    sweep is both exact and fast; a coned-BVH path can be added for large
+    Neumann meshes.
+    """
+    if gs.sil_p0.shape[0] == 0:
+        return jnp.full(q.shape[:1], jnp.inf, q.dtype)
+    if gs.dim == 2:
+        c = gs.sil_p0[None, :, :]                           # (1, E, D)
+        d = jnp.linalg.norm(q[:, None, :] - c, axis=-1)     # (N, E)
+        v = q[:, None, :] - c
+    else:
+        d, t = seg_closest_point(q[:, None, :], gs.sil_p0[None], gs.sil_p1[None])
+        c = gs.sil_p0[None] + t[..., None] * (gs.sil_p1 - gs.sil_p0)[None]
+        v = q[:, None, :] - c
+    s1 = jnp.sum(gs.sil_n1[None] * v, axis=-1)
+    s2 = jnp.sum(gs.sil_n2[None] * v, axis=-1)
+    is_sil = gs.sil_always[None] | (s1 * s2 <= 0.0)
+    d = jnp.where(is_sil, d, jnp.inf)
+    return jnp.min(d, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Ray intersection
+# ---------------------------------------------------------------------------
+
+
+def _ray_dense(gs: GeomSet, o, d, tmax):
+    pv = _prim_verts_all(gs)
+    pvb = tuple(v[None, :, :] for v in pv)
+    hit, t = prim_ray_intersect(gs.dim, o[:, None, :], d[:, None, :], pvb,
+                                tmax[:, None])              # (N, P)
+    i = jnp.argmin(t, axis=-1)
+    t_best = jnp.take_along_axis(t, i[:, None], axis=-1)[:, 0]
+    any_hit = jnp.any(hit, axis=-1)
+    return any_hit, t_best, i.astype(jnp.int32)
+
+
+def _ray_box(o, d_inv, lo, hi, t_best):
+    t0 = (lo - o) * d_inv
+    t1 = (hi - o) * d_inv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return (tn <= tf) & (tf > 0.0) & (tn < t_best), jnp.maximum(tn, 0.0)
+
+
+def _ray_bvh_one(gs: GeomSet, o, d, tmax, stack_size: int, any_hit: bool):
+    dim = gs.dim
+    d_inv = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, jnp.sign(d) * 1e12 + 1e12)
+
+    def cond(c):
+        return c[0] > 0
+
+    def body(c):
+        sp, stack, best_t, best_i, found = c
+        nid = stack[sp - 1]
+        sp = sp - 1
+        bhit, _ = _ray_box(o, d_inv, gs.bb_min[nid], gs.bb_max[nid], best_t)
+        process = bhit & (~(found & jnp.bool_(any_hit)))
+        is_leaf = gs.left[nid] < 0
+
+        pids = gs.leaf_prims[nid]
+        valid = pids >= 0
+        pv = _prim_verts_at(gs, pids)
+        h, t = prim_ray_intersect(dim, o[None, :], d[None, :], pv,
+                                  jnp.broadcast_to(best_t, pids.shape))
+        h = h & valid
+        t = jnp.where(h, t, jnp.inf)
+        j = jnp.argmin(t)
+        better = h[j] & (t[j] < best_t)
+        take = process & is_leaf
+        best_t = jnp.where(take & better, t[j], best_t)
+        best_i = jnp.where(take & better, pids[j], best_i)
+        found = found | (take & jnp.any(h))
+
+        l, r = gs.left[nid], gs.right[nid]
+        hl, tl = _ray_box(o, d_inv, gs.bb_min[l], gs.bb_max[l], best_t)
+        hr, tr = _ray_box(o, d_inv, gs.bb_min[r], gs.bb_max[r], best_t)
+        near = jnp.where(tl <= tr, l, r)
+        far = jnp.where(tl <= tr, r, l)
+        h_near = jnp.where(tl <= tr, hl, hr)
+        h_far = jnp.where(tl <= tr, hr, hl)
+
+        push = process & (~is_leaf)
+        pf = push & h_far
+        stack = stack.at[sp].set(jnp.where(pf, far, stack[sp]))
+        sp = jnp.where(pf, sp + 1, sp)
+        pn = push & h_near
+        stack = stack.at[sp].set(jnp.where(pn, near, stack[sp]))
+        sp = jnp.where(pn, sp + 1, sp)
+        return sp, stack, best_t, best_i, found
+
+    stack0 = jnp.zeros((stack_size,), jnp.int32)
+    init = (jnp.int32(1), stack0, tmax, jnp.int32(0), jnp.bool_(False))
+    _, _, best_t, best_i, found = jax.lax.while_loop(cond, body, init)
+    return found, jnp.where(found, best_t, jnp.inf), best_i
+
+
+def ray_intersect(gs: GeomSet, o, d, tmax, stack_size: int = DEFAULT_STACK,
+                  any_hit: bool = False):
+    """(N, D) rays -> (hit (N,), t (N,), prim_id (N,)).
+
+    Closest hit by default; ``any_hit=True`` matches the reference's
+    occlusion-only ``ray_intersect<true>`` (uniform/integrator.cu:385-393).
+    """
+    if gs.n_prims <= BRUTE_FORCE_MAX:
+        return _ray_dense(gs, o, d, tmax)
+    fn = partial(_ray_bvh_one, gs, stack_size=stack_size, any_hit=any_hit)
+    return jax.vmap(fn)(o, d, tmax)
+
+
+# ---------------------------------------------------------------------------
+# Green-weighted boundary sampling inside the star ball
+# ---------------------------------------------------------------------------
+
+
+def sample_in_ball(gs: GeomSet, q, R, u):
+    """Importance-sample a boundary primitive inside ball(q, R).
+
+    Weights = measure_i * G_R(dist(q, prim_i)) for overlapping prims — the
+    measure x Green's-weight scheme of lbvh::sample_object_in_sphere
+    (uniform/integrator.cu:349-356).  Returns (prim_id, pdf_area) with
+    prim_id == -1 / pdf 0 when nothing overlaps; pdf_area is the density per
+    unit boundary measure of a point sampled uniformly on the chosen prim,
+    so estimator terms divide by it directly (integrator.cu:440-442).
+    """
+    if gs.n_prims > BRUTE_FORCE_MAX:
+        raise NotImplementedError(
+            "hierarchical in-ball sampling for large Neumann boundaries is "
+            "not wired yet (shipped scenes have <= 8 Neumann prims)")
+    pv = _prim_verts_all(gs)
+    pvb = tuple(v[None, :, :] for v in pv)
+    d, _ = prim_closest_point(gs.dim, q[:, None, :], pvb)   # (N, P)
+    inside = d < R[:, None]
+    gw = green_eval(jnp.maximum(d, GREEN_R_CLAMP), R[:, None], gs.dim)
+    w = jnp.where(inside, gs.prim_measure[None] * jnp.maximum(gw, 0.0), 0.0)
+    total = jnp.sum(w, axis=-1)
+    cdf = jnp.cumsum(w, axis=-1)
+    target = u * total
+    idx = jnp.sum((target[:, None] >= cdf).astype(jnp.int32), axis=-1)
+    idx = jnp.minimum(idx, gs.n_prims - 1)
+    w_sel = jnp.take_along_axis(w, idx[:, None], axis=-1)[:, 0]
+    m_sel = gs.prim_measure[idx]
+    pdf_area = jnp.where(total > 0, w_sel / (jnp.maximum(total, 1e-30) * jnp.maximum(m_sel, 1e-30)), 0.0)
+    idx = jnp.where((total > 0) & (w_sel > 0), idx, -1)
+    return idx.astype(jnp.int32), pdf_area

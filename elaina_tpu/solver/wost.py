@@ -1,0 +1,306 @@
+"""Uniform Walk-on-Stars integrator, TPU-native.
+
+Re-design of the reference's wavefront solve loop (integrator/uniform/
+integrator.cu:64-623, WoSt paper Alg. 1).  The CUDA version routes walks
+through atomic work queues with one kernel per stage; here the whole
+wavefront is a fixed-shape *walk-state array* of N = W*H lanes updated by
+one fused, masked depth step, with the depth loop a ``lax.scan`` — no
+queues, no atomics, races structurally impossible (SURVEY.md §7
+"Architecture stance").
+
+Stage parity map (per depth step, same order as solveImpl 552-574):
+  _separate       <- separateEvaluationPointImpl (integrator.cu:102-212)
+  _boundary_term  <- handleBoundaryImpl          (integrator.cu:214-232)
+  _source_term    <- sampleSourceImpl            (integrator.cu:234-316)
+  _neumann_term   <- sampleNeumannImpl           (integrator.cu:318-445)
+  _walk           <- oneStepWalkImpl             (integrator.cu:447-526)
+
+Randomness: the per-pixel PCG streams of the reference become counter-based
+``jax.random`` keys folded on (sample, depth, stage, lane) — statistically
+equivalent, reproducible, and free of cross-lane state.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.problem import Scene
+from ..geometry import queries as Q
+from ..geometry.grid import grid_closest_point
+from ..geometry.primitives import (
+    prim_measure,
+    prim_normal,
+    prim_project,
+    prim_sample_point,
+    prim_side,
+)
+from ..utils.mathops import frame_from_normal, geometric_interpolate, normalize, to_world
+from .green import green_eval, green_norm, green_sample_radius
+from .sampling import (
+    sphere_measure,
+    uniform_sample_hemisphere,
+    uniform_sample_hemisphere_pdf,
+    uniform_sample_sphere,
+    uniform_sample_sphere_pdf,
+)
+
+
+class WalkState(NamedTuple):
+    pos: jnp.ndarray         # (N, D)
+    thp: jnp.ndarray         # (N, 3) throughput (Color)
+    active: jnp.ndarray      # (N,) walk still alive
+    on_neumann: jnp.ndarray  # (N,) currently on the Neumann boundary
+    n_normal: jnp.ndarray    # (N, D) boundary normal when on_neumann
+
+
+def init_walk_state(eval_points, active):
+    n = eval_points.shape[0]
+    d = eval_points.shape[1]
+    return WalkState(
+        pos=eval_points,
+        thp=jnp.ones((n, 3), jnp.float32),
+        active=active,
+        on_neumann=jnp.zeros((n,), bool),
+        n_normal=jnp.zeros((n, d), jnp.float32),
+    )
+
+
+def _gather_prim_verts(gs, pid):
+    safe = jnp.maximum(pid, 0)
+    idx = gs.indices[safe]
+    return tuple(gs.verts[idx[..., k]] for k in range(gs.dim))
+
+
+def _surface_color(dim, colors, gs, pid, side, uv):
+    """Side-selected two-sided vertex color, geometrically interpolated
+    (integrator/common.h:242-260)."""
+    safe = jnp.maximum(pid, 0)
+    idx = gs.indices[safe]                                   # (N, dim)
+    pick = jnp.where(side[..., None] >= 0, 0, 1)             # (N, 1)
+    vals = tuple(
+        colors[idx[..., k], pick[..., 0]] for k in range(dim)
+    )                                                        # dim x (N, 3)
+    return geometric_interpolate(dim, vals, uv)
+
+
+def dirichlet_distance(scene: Scene, q, stack_size: int):
+    """Closest point on the Dirichlet boundary via the best accelerator."""
+    gs = scene.dirichlet.gs
+    if scene.d_grid is not None:
+        return grid_closest_point(scene.d_grid, gs.verts, gs.indices, q)
+    return Q.closest_point(gs, q, stack_size)
+
+
+def _separate(scene: Scene, state: WalkState, eps: float, stack_size: int,
+              shrink: bool):
+    """Star-radius computation + epsilon-shell classification.
+
+    Returns (in_shell, R_B, pid_d, uv_d, side_d, R_D).
+    ``shrink`` applies the 0.99 stability factor (uniform/integrator.cu:195;
+    the guided variant omits it, guided/integrator.cu:239).
+    """
+    dim = scene.dim
+    q = state.pos
+    if scene.dirichlet is not None:
+        R_D, pid_d = dirichlet_distance(scene, q, stack_size)
+        pv = _gather_prim_verts(scene.dirichlet.gs, pid_d)
+        uv = prim_project(dim, q, pv)
+        side = prim_side(dim, q, pv)
+        if dim == 2:
+            interior = (uv > 0.0) & (uv < 1.0)
+        else:
+            interior = (uv[..., 0] > 0) & (uv[..., 1] > 0) & (
+                uv[..., 0] + uv[..., 1] < 1.0)
+        in_shell = (R_D < eps) & interior
+    else:
+        n = q.shape[0]
+        R_D = jnp.full((n,), jnp.inf)
+        pid_d = jnp.zeros((n,), jnp.int32)
+        uv = jnp.zeros((n,) if dim == 2 else (n, 2))
+        side = jnp.zeros((n,))
+        in_shell = jnp.zeros((n,), bool)
+
+    if scene.neumann is not None:
+        R_N = Q.closest_silhouette(scene.neumann.gs, q)
+    else:
+        R_N = jnp.full(q.shape[:1], jnp.inf)
+
+    R_B = jnp.maximum(1e-4, jnp.minimum(R_D, R_N))
+    if shrink:
+        R_B = R_B * 0.99
+    return in_shell, R_B, pid_d, uv, side, R_D
+
+
+def _boundary_term(scene: Scene, state: WalkState, in_shell, pid_d, uv, side):
+    """Dirichlet epsilon-shell contribution (integrator.cu:214-232)."""
+    dim = scene.dim
+    color = _surface_color(dim, scene.dirichlet.colors, scene.dirichlet.gs,
+                           pid_d, side, uv)
+    contrib = color * scene.dirichlet_intensity * state.thp
+    return jnp.where((state.active & in_shell)[:, None], contrib, 0.0)
+
+
+def _sample_direction(key, state: WalkState, dim: int):
+    """Hemisphere around the Neumann normal when on the boundary, else the
+    full sphere; returns (dir, pdf, alpha) (integrator.cu:264-278/470-485)."""
+    n = state.pos.shape[0]
+    k1, k2 = jax.random.split(key)
+    d_sph = uniform_sample_sphere(k1, (n,), dim)
+    d_hem_local = uniform_sample_hemisphere(k2, (n,), dim)
+    d_hem = to_world(dim, frame_from_normal(dim, state.n_normal), d_hem_local)
+    on = state.on_neumann
+    direction = jnp.where(on[:, None], d_hem, d_sph)
+    pdf = jnp.where(on, uniform_sample_hemisphere_pdf(dim),
+                    uniform_sample_sphere_pdf(dim))
+    alpha = jnp.where(on, 0.5, 1.0)
+    return direction, pdf, alpha
+
+
+def _source_term(scene: Scene, state: WalkState, live, R_B, key, eps: float,
+                 n_stack: int):
+    """Volumetric source contribution (integrator.cu:234-316)."""
+    dim = scene.dim
+    k_dir, k_rad = jax.random.split(key)
+    direction, dir_pdf, alpha = _sample_direction(k_dir, state, dim)
+
+    dist = R_B
+    if scene.neumann is not None:
+        offset = state.pos + eps * direction
+        hit, t, _ = Q.ray_intersect(scene.neumann.gs, offset, direction, dist,
+                                    n_stack)
+        dist = jnp.where(hit, jnp.minimum(t, dist), dist)
+
+    u = jax.random.uniform(k_rad, state.pos.shape[:1] + (3,))
+    r, _ = green_sample_radius(u, R_B, dim)
+    value = scene.source.sample(state.pos + r[:, None] * direction)
+    value = value * scene.source_intensity
+    # conditionalSampleSpherePDF ratio (integrator.cu:313): the r-powers
+    # cancel, leaving uniform-sphere-pdf / dir-pdf / alpha.
+    scale = green_norm(R_B, dim) * (uniform_sample_sphere_pdf(dim) / dir_pdf) / alpha
+    contrib = state.thp * value * scale[:, None]
+    ok = live & (r <= dist)
+    return jnp.where(ok[:, None], contrib, 0.0)
+
+
+def _neumann_term(scene: Scene, state: WalkState, live, R_B, key, eps: float,
+                  n_stack: int):
+    """Neumann boundary-integral contribution, subtracted
+    (integrator.cu:318-445)."""
+    dim = scene.dim
+    gs = scene.neumann.gs
+    k_sel, k_pt = jax.random.split(key)
+    u_sel = jax.random.uniform(k_sel, state.pos.shape[:1])
+    pid, pdf = Q.sample_in_ball(gs, state.pos, R_B, u_sel)
+    valid = (pid >= 0) & (pdf > 0)
+
+    u_pt = jax.random.uniform(k_pt, state.pos.shape[:1] + (2,))
+    pv = _gather_prim_verts(gs, pid)
+    sample_pt = prim_sample_point(dim, pv, u_pt[:, 0], u_pt[:, 1])
+    r = jnp.linalg.norm(sample_pt - state.pos, axis=-1)
+    valid &= (r < R_B) & (r > 0)
+
+    # first-intersection visibility check (integrator.cu:372-394)
+    origin = state.pos + jnp.where(state.on_neumann[:, None],
+                                   eps * state.n_normal, 0.0)
+    ray = sample_pt - origin
+    clamp_dist = jnp.linalg.norm(ray, axis=-1)
+    ray_dir = ray / jnp.maximum(clamp_dist, 1e-20)[:, None]
+    occluded, _, _ = Q.ray_intersect(gs, origin, ray_dir,
+                                     clamp_dist - eps, n_stack, any_hit=True)
+    valid &= ~occluded
+
+    side = prim_side(dim, state.pos, pv)
+    normal = gs.prim_normal[jnp.maximum(pid, 0)]
+    side_on = jnp.sign(jnp.sum(normal * state.n_normal, axis=-1))
+    side = jnp.where(state.on_neumann, side_on, side)
+    valid &= side != 0
+
+    uv = prim_project(dim, sample_pt, pv)
+    color = _surface_color(dim, scene.neumann.colors, gs, pid, side, uv)
+    alpha = jnp.where(state.on_neumann, 0.5, 1.0)
+    weight = green_eval(jnp.maximum(r, 1e-20), R_B, dim) / alpha / jnp.maximum(pdf, 1e-30)
+    contrib = color * scene.neumann_intensity * state.thp * weight[:, None]
+    ok = live & valid
+    return jnp.where(ok[:, None], -contrib, 0.0)
+
+
+def _walk(scene: Scene, state: WalkState, live, R_B, key, eps: float,
+          n_stack: int, direction=None, pdf=None, alpha=None):
+    """One mean-value step: sample a direction, clip on the Neumann boundary,
+    update throughput (integrator.cu:447-526).  Guided callers pass their own
+    (direction, pdf, alpha)."""
+    dim = scene.dim
+    if direction is None:
+        direction, pdf, alpha = _sample_direction(key, state, dim)
+
+    current = state.pos + jnp.where(state.on_neumann[:, None],
+                                    eps * state.n_normal, 0.0)
+    next_pos = state.pos + R_B[:, None] * direction
+    hit = jnp.zeros(state.pos.shape[:1], bool)
+    normal = jnp.zeros_like(state.pos)
+    if scene.neumann is not None:
+        gs = scene.neumann.gs
+        hit, t, pid = Q.ray_intersect(gs, current, direction, R_B, n_stack)
+        n_raw = gs.prim_normal[jnp.maximum(pid, 0)]
+        # shading normal: oppose the incoming direction (integrator.cu:509-512)
+        n_flip = jnp.where(jnp.sum(n_raw * direction, axis=-1,
+                                   keepdims=True) > 0, -n_raw, n_raw)
+        normal = jnp.where(hit[:, None], n_flip, normal)
+        next_pos = jnp.where(hit[:, None], current + t[:, None] * direction,
+                             next_pos)
+
+    thp = state.thp / (pdf * alpha * sphere_measure(dim))[:, None]
+    return WalkState(
+        pos=jnp.where(live[:, None], next_pos, state.pos),
+        thp=jnp.where(live[:, None], thp, state.thp),
+        active=state.active,  # caller narrows to the live set
+        on_neumann=jnp.where(live, hit, state.on_neumann),
+        n_normal=jnp.where(live[:, None], normal, state.n_normal),
+    )
+
+
+def wost_depth_step(scene: Scene, state: WalkState, key, eps: float,
+                    d_stack: int, n_stack: int):
+    """One fused depth iteration for every lane.  Returns (state', contrib)."""
+    k_sep, k_src, k_neu, k_walk = jax.random.split(key, 4)
+
+    in_shell, R_B, pid_d, uv_d, side_d, _ = _separate(
+        scene, state, eps, d_stack, shrink=True)
+    in_shell &= state.active
+
+    contrib = jnp.zeros((state.pos.shape[0], 3), jnp.float32)
+    if scene.dirichlet is not None:
+        contrib += _boundary_term(scene, state, in_shell, pid_d, uv_d, side_d)
+
+    # lanes that terminated (in shell) or have an unbounded star die here
+    live = state.active & (~in_shell) & jnp.isfinite(R_B)
+
+    if scene.source is not None:
+        contrib += _source_term(scene, state, live, R_B, k_src, eps, n_stack)
+    if scene.neumann is not None:
+        contrib += _neumann_term(scene, state, live, R_B, k_neu, eps, n_stack)
+
+    state = _walk(scene, state, live, R_B, k_walk, eps, n_stack)
+    state = state._replace(active=live)
+    return state, contrib
+
+
+def run_one_sample(scene: Scene, eval_points, mask, key, *, eps: float,
+                   max_depth: int, d_stack: int = 48, n_stack: int = 48):
+    """One sample-per-pixel sweep: full walk of every lane to max_depth.
+
+    Returns the per-pixel contribution (N, 3).  The depth loop is a
+    ``lax.scan`` of the fused step (reference inner loop: solveImpl 552-575).
+    """
+    state = init_walk_state(eval_points, mask)
+    keys = jax.random.split(key, max_depth)
+
+    def body(st, k):
+        st, contrib = wost_depth_step(scene, st, k, eps, d_stack, n_stack)
+        return st, contrib
+
+    _, contribs = jax.lax.scan(body, state, keys)
+    return jnp.sum(contribs, axis=0)

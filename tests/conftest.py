@@ -5,7 +5,10 @@ Must run before jax is imported anywhere in the test process.
 
 import os
 
+# NOTE: this environment's axon TPU plugin ignores JAX_PLATFORMS; the legacy
+# JAX_PLATFORM_NAME is what actually selects the backend here.  Set both.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,137 @@
+"""End-to-end uniform WoSt tests against analytic harmonic solutions
+(test strategy per SURVEY.md §4 "Implications for the TPU build")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from elaina_tpu.core.problem import Boundary, Scene
+from elaina_tpu.geometry.geomset import make_geom_set
+from elaina_tpu.solver.wost import run_one_sample
+
+
+def _square_boundary(n_per_side=8, half=1.0, sides=(0, 1, 2, 3)):
+    """CCW square boundary [-half, half]^2; returns (verts, indices).
+
+    sides: 0=bottom, 1=right, 2=top, 3=left (only those are emitted).
+    """
+    corners = np.array([[-half, -half], [half, -half], [half, half], [-half, half]],
+                       np.float32)
+    verts, indices = [], []
+    for s in sides:
+        a, b = corners[s], corners[(s + 1) % 4]
+        base = len(verts)
+        pts = a[None] + np.linspace(0, 1, n_per_side + 1)[:, None] * (b - a)[None]
+        verts.extend(pts)
+        indices.extend([(base + i, base + i + 1) for i in range(n_per_side)])
+    return np.asarray(verts, np.float32), np.asarray(indices, np.int32)
+
+
+def _colors_from_fn(verts, fn):
+    vals = np.asarray([fn(v) for v in verts], np.float32)
+    colors = np.zeros((len(verts), 2, 3), np.float32)
+    colors[:, 0, :] = vals[:, None]
+    colors[:, 1, :] = vals[:, None]
+    return colors
+
+
+def _scene(dirichlet=None, neumann=None):
+    return Scene(
+        dirichlet=dirichlet, neumann=neumann, d_grid=None, source=None,
+        aabb_lo=jnp.asarray([-1.0, -1.0]), aabb_hi=jnp.asarray([1.0, 1.0]),
+        dim=2, source_intensity=1.0, dirichlet_intensity=1.0,
+        neumann_intensity=1.0,
+    )
+
+
+def _solve(scene, pts, spp=128, max_depth=48, eps=0.02, seed=0):
+    pts = jnp.asarray(pts, jnp.float32)
+    mask = jnp.ones((pts.shape[0],), bool)
+    key = jax.random.PRNGKey(seed)
+
+    step = jax.jit(lambda k: run_one_sample(
+        scene, pts, mask, k, eps=eps, max_depth=max_depth))
+    total = jnp.zeros((pts.shape[0], 3))
+    for s in range(spp):
+        total = total + step(jax.random.fold_in(key, s))
+    return np.asarray(total / spp)
+
+
+def test_dirichlet_square_linear():
+    """u = (x+1)/2 is harmonic; pure Dirichlet square must reproduce it."""
+    verts, indices = _square_boundary(n_per_side=8)
+    gs, _ = make_geom_set(verts, indices)
+    colors = _colors_from_fn(verts, lambda v: (v[0] + 1.0) / 2.0)
+    scene = _scene(dirichlet=Boundary(gs=gs, colors=jnp.asarray(colors)))
+
+    pts = np.array([[0.0, 0.0], [0.5, 0.3], [-0.6, -0.2], [0.2, -0.7]], np.float32)
+    u = _solve(scene, pts, spp=192)
+    expected = (pts[:, 0] + 1.0) / 2.0
+    np.testing.assert_allclose(u[:, 0], expected, atol=0.05)
+    # all three channels identical
+    np.testing.assert_allclose(u[:, 0], u[:, 1], atol=1e-6)
+
+
+def test_dirichlet_square_constant():
+    """Constant boundary data -> constant solution (zero-variance sanity)."""
+    verts, indices = _square_boundary(n_per_side=4)
+    gs, _ = make_geom_set(verts, indices)
+    colors = _colors_from_fn(verts, lambda v: 0.75)
+    scene = _scene(dirichlet=Boundary(gs=gs, colors=jnp.asarray(colors)))
+    pts = np.array([[0.1, 0.2], [-0.4, 0.6]], np.float32)
+    u = _solve(scene, pts, spp=64)
+    np.testing.assert_allclose(u[:, 0], 0.75, atol=0.02)
+
+
+def test_mixed_dirichlet_neumann_linear():
+    """Left wall u=0, right wall u=1 (Dirichlet); top/bottom reflecting
+    (zero Neumann).  Solution u = (x+1)/2 — exercises silhouettes, ray
+    clipping, and on-boundary hemisphere walks."""
+    d_verts, d_indices = _square_boundary(n_per_side=6, sides=(1, 3))
+    d_gs, _ = make_geom_set(d_verts, d_indices)
+    d_colors = _colors_from_fn(d_verts, lambda v: (v[0] + 1.0) / 2.0)
+
+    n_verts, n_indices = _square_boundary(n_per_side=6, sides=(0, 2))
+    n_gs, _ = make_geom_set(n_verts, n_indices)
+    n_colors = _colors_from_fn(n_verts, lambda v: 0.0)
+
+    scene = _scene(
+        dirichlet=Boundary(gs=d_gs, colors=jnp.asarray(d_colors)),
+        neumann=Boundary(gs=n_gs, colors=jnp.asarray(n_colors)),
+    )
+    pts = np.array([[0.0, 0.0], [0.5, 0.8], [-0.5, -0.8]], np.float32)
+    u = _solve(scene, pts, spp=256, max_depth=64)
+    expected = (pts[:, 0] + 1.0) / 2.0
+    np.testing.assert_allclose(u[:, 0], expected, atol=0.07)
+
+
+def test_source_term_disk():
+    """Poisson check: -Laplacian u = 1 on the unit disk, u=0 on the
+    boundary -> u(r) = (1 - r^2) / 4 (2D)."""
+    t = np.linspace(0, 2 * np.pi, 129)[:-1]
+    verts = np.stack([np.cos(t), np.sin(t)], -1).astype(np.float32)
+    indices = np.stack([np.arange(128), (np.arange(128) + 1) % 128], -1).astype(np.int32)
+    gs, _ = make_geom_set(verts, indices)
+    colors = np.zeros((128, 2, 3), np.float32)
+
+    from elaina_tpu.core.problem import SourceGrid
+    res = 64
+    data = np.ones((res, res, 3), np.float32)
+    source = SourceGrid(
+        data=jnp.asarray(data),
+        origin=jnp.asarray([-1.5, -1.5]),
+        inv_voxel=jnp.asarray([res / 3.0, res / 3.0]),
+    )
+    scene = Scene(
+        dirichlet=Boundary(gs=gs, colors=jnp.asarray(colors)),
+        neumann=None, d_grid=None, source=source,
+        aabb_lo=jnp.asarray([-1.0, -1.0]), aabb_hi=jnp.asarray([1.0, 1.0]),
+        dim=2, source_intensity=1.0, dirichlet_intensity=1.0,
+        neumann_intensity=1.0,
+    )
+    pts = np.array([[0.0, 0.0], [0.5, 0.0], [0.0, -0.8]], np.float32)
+    u = _solve(scene, pts, spp=256, eps=0.01)
+    r2 = np.sum(pts**2, axis=-1)
+    expected = (1.0 - r2) / 4.0
+    np.testing.assert_allclose(u[:, 0], expected, atol=0.03)
