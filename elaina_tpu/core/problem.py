@@ -168,8 +168,14 @@ class Problem:
         return self.scene.source is not None
 
     def load_config(self, conf: dict, base_dir: str = ".",
-                    cache_dir: str | None = None) -> "Problem":
+                    cache_dir: str | None = None,
+                    accel: str = "auto") -> "Problem":
+        """``accel``: "grid" builds the candidate grid (the TPU fast path),
+        "bvh" skips it (uses the traversal fallback), "auto" picks grid on
+        accelerator backends and bvh on the (slow, 1-core) CPU."""
         dim = self.dim
+        if accel == "auto":
+            accel = "bvh" if jax.default_backend() == "cpu" else "grid"
 
         aabb_min = np.asarray(json_get_or_throw(conf, "aabb/min"), np.float32)
         aabb_max = np.asarray(json_get_or_throw(conf, "aabb/max"), np.float32)
@@ -193,7 +199,7 @@ class Problem:
             dirichlet = Boundary(gs=gs, colors=jnp.asarray(colors))
             self.stats["dirichlet_vertices"] = v.shape[0]
             self.stats["dirichlet_primitives"] = idx.shape[0]
-            if idx.shape[0] > GRID_ACCEL_MIN_PRIMS:
+            if idx.shape[0] > GRID_ACCEL_MIN_PRIMS and accel == "grid":
                 margin = 0.05 * (aabb_max - aabb_min)
                 d_grid = build_candidate_grid(
                     v, idx,
@@ -247,6 +253,13 @@ class Problem:
 
     def _load_colors(self, path, n_verts) -> np.ndarray:
         if path and os.path.exists(path):
+            if path.endswith(".npz"):
+                z = np.load(path)
+                if "colors" in z:  # (V, 2, 3)
+                    return np.asarray(z["colors"], np.float32)
+                left = np.asarray(z["left"], np.float32)
+                right = np.asarray(z.get("right", left), np.float32)
+                return np.stack([left, right], axis=1)
             return _parse_vertex_colors(path, n_verts)
         if path:
             log_warning("vertex color file missing: %s (using zeros)", path)

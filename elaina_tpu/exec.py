@@ -1,0 +1,83 @@
+"""Experiment runner: config JSON -> problem -> integrator -> exports.
+
+Parity with exec.cu:39-221 (run_expr): copies the config next to the
+outputs, dispatches the integrator variant, runs the requested channels,
+performs the export list, and writes ``result.json`` with the solve
+duration and a timestamp.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+from .core.config import ExperimentConfig
+from .core.logger import log_error, log_success
+from .core.problem import Problem
+from .solver.integrator import CHANNELS, UniformIntegrator
+
+
+def run_expr(conf_path: str) -> dict:
+    conf_path = os.path.abspath(conf_path)
+    if not os.path.exists(conf_path):
+        log_error("Configuration file does not exist: %s", conf_path)
+        return {}
+
+    cfg = ExperimentConfig.from_file(conf_path)
+    base_dir = os.getcwd()
+    out_dir = os.path.join(cfg.base_path, cfg.exp_name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    with open(conf_path) as f:
+        raw_conf = json.load(f)
+    with open(os.path.join(out_dir, "conf.json"), "w") as f:
+        json.dump(raw_conf, f, indent=4)
+    log_success("Configuration file copied to %s", os.path.join(out_dir, "conf.json"))
+
+    problem = Problem(cfg.dimensionality).load_config(
+        cfg.scene, base_dir=base_dir,
+        cache_dir=os.path.join(out_dir, ".cache"))
+
+    if cfg.integrator_type == "uniform":
+        integrator = UniformIntegrator(problem, cfg.settings, out_dir)
+    elif cfg.integrator_type == "guided":
+        from .solver.guided import GuidedIntegrator
+        integrator = GuidedIntegrator(problem, cfg.settings, out_dir)
+        integrator.reset_network(cfg.network)
+    else:
+        raise ValueError(f"Unrecognized integrator type: {cfg.integrator_type!r}")
+
+    result: dict = {}
+    for channel in sorted(set(cfg.channels), key=lambda c: CHANNELS.index(c)):
+        if channel == "SOLUTION":
+            result["duration"] = integrator.solve()
+        elif channel == "DIRICHLET_SDF":
+            integrator.render_dirichlet_sdf()
+        elif channel == "NEUMANN_SDF":
+            integrator.render_silhouette_sdf()
+        elif channel == "SOURCE":
+            integrator.render_source()
+        else:
+            log_error("Unrecognized integrator channel %r, skipping...", channel)
+
+    if cfg.print_network:
+        import numpy as np
+        p = (np.array([0.0, -0.21, 0.0], np.float32) if cfg.dimensionality == 3
+             else np.zeros(2, np.float32))
+        integrator.query_network(p)
+
+    for e in cfg.exports:
+        if e.channel not in CHANNELS:
+            log_error("Unrecognized export channel %r, skipping...", e.channel)
+            continue
+        if e.type == "image":
+            integrator.export_image(e.channel, e.file_name)
+        elif e.type == "energy":
+            integrator.export_energy(e.channel, e.tone, e.file_name)
+
+    result["timestamp"] = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+    with open(os.path.join(out_dir, "result.json"), "w") as f:
+        json.dump(result, f, indent=4)
+    log_success("Result file written to %s", os.path.join(out_dir, "result.json"))
+    return result

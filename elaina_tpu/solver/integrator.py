@@ -1,0 +1,172 @@
+"""Integrator drivers: solve loop, auxiliary channels, exports.
+
+Uniform driver parity: UniformIntegrator<DIM> (integrator/uniform/
+integrator.{h,cu}) — solve() with per-spp/per-time frame dumps
+(integrator.cu:578-609), renderDirichletSDF / renderSilhouetteSDF /
+renderSource one-shot channels (integrator/common.h:51-163), and
+exportImage / exportEnergy (common.h:165-240).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import IntegratorSettings
+from ..core.evaluation_grid import EvaluationGrid
+from ..core.logger import log_info
+from ..core.problem import Problem
+from ..geometry import queries as Q
+from ..output.film import Film
+from .wost import dirichlet_distance, run_one_sample
+
+# ExportImageChannel (core/common.h:235-241); index = Film slot
+CHANNELS = ("DIRICHLET_SDF", "NEUMANN_SDF", "SOURCE", "SOLUTION")
+
+
+def _progress(i, n, label="Solving"):
+    if n <= 0:
+        return
+    width = 30
+    done = int(width * (i / n))
+    sys.stderr.write(f"\r{label}... [{'#' * done}{'.' * (width - done)}] {i}/{n}")
+    if i == n:
+        sys.stderr.write("\n")
+    sys.stderr.flush()
+
+
+class BaseIntegrator:
+    def __init__(self, problem: Problem, settings: IntegratorSettings,
+                 base_path: str):
+        self.problem = problem
+        self.settings = settings
+        self.base_path = base_path
+        self.films = {c: Film(settings.frameSize) for c in CHANNELS}
+
+        w, h = settings.frameSize
+        self.n_pixels = w * h
+        probe: EvaluationGrid = problem.probe
+        pix = jnp.arange(self.n_pixels)
+        self.eval_points = probe.points(pix, settings.frameSize)
+        self.mask = jnp.asarray(self._frame_mask())
+
+    def _frame_mask(self) -> np.ndarray:
+        w, h = self.settings.frameSize
+        m = self.problem.mask
+        if m is None:
+            return np.ones((w * h,), bool)
+        if m.shape != (h, w):  # nearest-resize the mask image to the frame
+            yi = (np.arange(h) * m.shape[0] // h)
+            xi = (np.arange(w) * m.shape[1] // w)
+            m = m[yi][:, xi]
+        return m.reshape(-1)
+
+    # ------------------------------------------------------------------ #
+    # auxiliary channels (integrator/common.h:51-163)
+    # ------------------------------------------------------------------ #
+
+    def render_dirichlet_sdf(self):
+        scene = self.problem.scene
+        if scene.dirichlet is not None:
+            d, _ = jax.jit(
+                lambda q: dirichlet_distance(scene, q, self.problem.d_stack)
+            )(self.eval_points)
+            vals = np.asarray(d)
+        else:
+            vals = np.full((self.n_pixels,), np.inf, np.float32)
+        film = self.films["DIRICHLET_SDF"]
+        film.reset()
+        film.put_frame(np.repeat(vals[:, None], 3, -1))
+
+    def render_silhouette_sdf(self):
+        scene = self.problem.scene
+        if scene.neumann is not None:
+            d = jax.jit(lambda q: Q.closest_silhouette(scene.neumann.gs, q))(
+                self.eval_points)
+            vals = np.asarray(d)
+        else:
+            vals = np.full((self.n_pixels,), np.inf, np.float32)
+        film = self.films["NEUMANN_SDF"]
+        film.reset()
+        film.put_frame(np.repeat(vals[:, None], 3, -1))
+
+    def render_source(self):
+        scene = self.problem.scene
+        if scene.source is not None:
+            vals = np.asarray(jax.jit(scene.source.sample)(self.eval_points))
+            vals = vals * scene.source_intensity
+        else:
+            vals = np.zeros((self.n_pixels, 3), np.float32)
+        film = self.films["SOURCE"]
+        film.reset()
+        film.put_frame(vals)
+
+    # ------------------------------------------------------------------ #
+    # exports (integrator/common.h:165-240)
+    # ------------------------------------------------------------------ #
+
+    def export_image(self, channel: str, file_name: str):
+        film = self.films[channel]
+        for ext in (".exr", ".png"):
+            path = os.path.join(self.base_path, file_name + ext)
+            log_info("Exporting image to %s", path)
+            film.save(path)
+
+    def export_energy(self, channel: str, tone: str, file_name: str):
+        film = self.films[channel]
+        for ext in (".exr", ".png"):
+            path = os.path.join(self.base_path, file_name + ext)
+            log_info("Exporting energy to %s", path)
+            film.save_energy(path, tone)
+
+    def _dump_frames(self, solution_sum: np.ndarray, spp_done: int,
+                     subdir: str, stem: str):
+        film = self.films["SOLUTION"]
+        film.reset()
+        film.put_frame(solution_sum / max(spp_done, 1))
+        base = os.path.join(self.base_path, subdir)
+        film.save(os.path.join(base, stem + ".exr"))
+        film.save(os.path.join(base, stem + ".png"))
+
+    def query_network(self, p):
+        raise NotImplementedError("uniform integrator has no guiding network")
+
+
+class UniformIntegrator(BaseIntegrator):
+    def solve(self) -> int:
+        """Run the full spp loop; returns wall-clock milliseconds
+        (UniformIntegrator::solve, integrator.cu:666-672)."""
+        s = self.settings
+        scene = self.problem.scene
+        key = jax.random.PRNGKey(0)
+
+        step = jax.jit(lambda k: run_one_sample(
+            scene, self.eval_points, self.mask, k,
+            eps=float(s.epsilonShell), max_depth=int(s.maxWalkingDepth),
+            d_stack=self.problem.d_stack, n_stack=self.problem.n_stack))
+
+        start = time.time()
+        total = jnp.zeros((self.n_pixels, 3), jnp.float32)
+        for spp in range(s.samplesPerPixel):
+            total = total + step(jax.random.fold_in(key, spp))
+            if (s.saveSppMetricsDuration > 0
+                    and spp % s.saveSppMetricsDuration == 0
+                    and spp < s.saveSppMetricsUntil):
+                self._dump_frames(np.asarray(total), spp + 1, "frames", str(spp))
+            if s.saveTimeMetricsDuration > 0 and spp % s.saveTimeMetricsDuration == 0:
+                elapsed_ms = int((time.time() - start) * 1000)
+                self._dump_frames(np.asarray(total), spp + 1, "frames_time",
+                                  str(elapsed_ms))
+            _progress(spp + 1, s.samplesPerPixel)
+        total.block_until_ready()
+        duration_ms = int((time.time() - start) * 1000)
+
+        film = self.films["SOLUTION"]
+        film.reset()
+        film.put_frame(np.asarray(total) / s.samplesPerPixel)
+        return duration_ms
