@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Headline benchmark: guided WoSt walk throughput on the ladybug scene.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+value = executed walk-steps per second per chip (live lanes summed over
+depth / solve wall time, steady state).  Baseline target: 1e7
+walk-steps/sec/chip (BASELINE.md north star; the reference repo publishes
+no numbers of its own — BASELINE.md "Published reference numbers: None").
+
+Usage: python bench.py [--quick] [--res N] [--spp N] [--scene ladybug|square]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_WALK_STEPS = 1e7
+
+
+def _build_ladybug_problem(res: int, accel: str):
+    import numpy as np
+    from elaina_tpu.core.problem import Problem
+
+    conf = {
+        "aabb": {"min": [-100.0, -100.0], "max": [600.0, 600.0]},
+        "evaluation_grid": {"mData": {"pos": [250.0, 250.0], "scale": 250,
+                                      "up": [-1.0, 0.0]}},
+        "mesh": {
+            "dirichlet_path": "/root/reference/data/ladybug/model.obj",
+            "vertex_color_dirichlet_path":
+                os.path.join(os.path.dirname(__file__),
+                             "configs/data/ladybug_colors.npz"),
+            "neumann_path": "/root/reference/data/ladybug/boundary.obj",
+        },
+    }
+    return Problem(2, verbose=False).load_config(
+        conf, cache_dir=os.path.join(os.path.dirname(__file__), ".cache"),
+        accel=accel)
+
+
+def _build_square_problem(res: int, accel: str):
+    """Synthetic fallback scene when the reference data is unavailable."""
+    import numpy as np
+    from elaina_tpu.core.problem import Boundary, Problem, Scene
+    from elaina_tpu.core.evaluation_grid import EvaluationGrid
+    from elaina_tpu.geometry.geomset import make_geom_set
+
+    t = np.linspace(0, 2 * np.pi, 2049)[:-1]
+    r = 200 + 50 * np.sin(9 * t)
+    verts = (np.stack([r * np.cos(t), r * np.sin(t)], -1) + 250).astype(np.float32)
+    idx = np.stack([np.arange(2048), (np.arange(2048) + 1) % 2048], -1).astype(np.int32)
+    gs, depth = make_geom_set(verts, idx)
+    colors = np.random.default_rng(0).uniform(0, 1, (len(verts), 2, 3)).astype(np.float32)
+
+    p = Problem(2, verbose=False)
+    p.scene = Scene(
+        dirichlet=Boundary(gs=gs, colors=colors), neumann=None, d_grid=None,
+        source=None, aabb_lo=np.float32([-100, -100]),
+        aabb_hi=np.float32([600, 600]), dim=2, source_intensity=1.0,
+        dirichlet_intensity=1.0, neumann_intensity=1.0)
+    p.d_stack = depth + 4
+    p.probe = EvaluationGrid.from_json(
+        {"mData": {"pos": [250.0, 250.0], "scale": 250, "up": [-1.0, 0.0]}}, 2)
+    return p
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small CPU-friendly run")
+    ap.add_argument("--res", type=int, default=0)
+    ap.add_argument("--spp", type=int, default=0)
+    ap.add_argument("--train-spp", type=int, default=0)
+    ap.add_argument("--scene", default="ladybug")
+    args = ap.parse_args()
+
+    import jax
+
+    backend = jax.default_backend()
+    quick = args.quick or backend == "cpu"
+    res = args.res or (64 if quick else 512)
+    spp = args.spp or (4 if quick else 64)
+    train_spp = args.train_spp or (2 if quick else 16)
+    accel = "bvh" if backend == "cpu" else "grid"
+
+    from elaina_tpu.core.config import IntegratorSettings
+    from elaina_tpu.solver.guided import GuidedIntegrator
+
+    if args.scene == "ladybug" and os.path.exists(
+            "/root/reference/data/ladybug/model.obj"):
+        problem = _build_ladybug_problem(res, accel)
+    else:
+        problem = _build_square_problem(res, accel)
+
+    settings = IntegratorSettings(
+        frameSize=(res, res), samplesPerPixel=spp, maxWalkingDepth=64,
+        epsilonShell=1.0, trainSppCount=train_spp,
+        uniformFractionInTrainingPhase=0.5, uniformFractionInGuidingPhase=0.5,
+        maxGuidedDepthInTrainingPhase=10, maxGuidedDepthInGuidingPhase=10)
+
+    out_dir = os.path.join(os.path.dirname(__file__), "exp", "bench")
+    os.makedirs(out_dir, exist_ok=True)
+    integ = GuidedIntegrator(problem, settings, out_dir)
+    integ.reset_network({
+        "encoding": {"otype": "DenseGrid", "base_resolution": 8, "n_levels": 8,
+                     "n_features_per_level": 4, "per_level_scale": 1.405},
+        "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
+                    "n_hidden_layers": 3, "activation": "ReLU"},
+        "optimizer": {"otype": "Ema", "decay": 0.95,
+                      "nested": {"otype": "Adam", "learning_rate": 8e-3,
+                                 "beta1": 0.9, "beta2": 0.99,
+                                 "epsilon": 1e-15, "l2_reg": 1e-6}},
+    })
+
+    duration_ms = integ.solve()
+    steps = integ.total_walk_steps
+    value = steps / max(duration_ms / 1000.0, 1e-9)
+
+    print(json.dumps({
+        "metric": "guided_wost_walk_steps_per_sec_per_chip",
+        "value": value,
+        "unit": "walk-steps/s/chip",
+        "vs_baseline": value / BASELINE_WALK_STEPS,
+        "detail": {"backend": backend, "scene": args.scene, "res": res,
+                   "spp": spp, "train_spp": train_spp,
+                   "walk_steps": int(steps), "duration_ms": duration_ms},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

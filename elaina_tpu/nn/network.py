@@ -1,0 +1,135 @@
+"""Guiding network: grid encoding + MLP, trained with Adam + parameter EMA.
+
+Replaces GuidingNetwork<T> (util/network.h:21-196: tcnn Encoding composed
+with a FullyFusedMLP) and the tcnn Ema(Adam) optimizer stack
+(guided/integrator.cu:1113-1119, data/ladybug/n.json:61-80).  The MLP is a
+few dense layers sized for the MXU (64 wide); training runs in f32 (the
+batch is large, the net tiny), inference uses the EMA weights exactly like
+tcnn's Ema optimizer serves "smoothed" params for inference.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .encoding import GridEncodingSpec, grid_encode, init_grid_params, make_grid_encoding
+
+
+class NetworkSpec(NamedTuple):
+    encoding: GridEncodingSpec
+    n_neurons: int
+    n_hidden: int
+    n_out: int
+
+
+class AdamState(NamedTuple):
+    mu: dict
+    nu: dict
+    count: jnp.ndarray
+
+
+class TrainerState(NamedTuple):
+    params: dict
+    ema_params: dict
+    opt: AdamState
+
+
+def make_network(dim: int, n_out: int, conf: dict) -> NetworkSpec:
+    enc = make_grid_encoding(dim, conf.get("encoding", {}))
+    net = conf.get("network", {})
+    return NetworkSpec(
+        encoding=enc,
+        n_neurons=int(net.get("n_neurons", 64)),
+        n_hidden=int(net.get("n_hidden_layers", 3)),
+        n_out=n_out,
+    )
+
+
+def init_params(key, spec: NetworkSpec) -> dict:
+    keys = jax.random.split(key, spec.n_hidden + 3)
+    params = {"table": init_grid_params(keys[0], spec.encoding)}
+    dims = ([spec.encoding.out_dim] + [spec.n_neurons] * (spec.n_hidden + 1)
+            + [spec.n_out])
+    for i in range(len(dims) - 1):
+        fan_in, fan_out = dims[i], dims[i + 1]
+        bound = jnp.sqrt(6.0 / (fan_in + fan_out))
+        params[f"w{i}"] = jax.random.uniform(
+            keys[i + 1], (fan_in, fan_out), jnp.float32, -bound, bound)
+        params[f"b{i}"] = jnp.zeros((fan_out,), jnp.float32)
+    return params
+
+
+def apply_network(spec: NetworkSpec, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """x: (N, dim) normalized positions -> raw outputs (N, n_out)."""
+    h = grid_encode(spec.encoding, params["table"], x)
+    n_layers = spec.n_hidden + 2
+    for i in range(n_layers):
+        h = jnp.dot(h, params[f"w{i}"], preferred_element_type=jnp.float32)
+        h = h + params[f"b{i}"]
+        if i < n_layers - 1:
+            h = jax.nn.relu(h)
+    return h
+
+
+class AdamConfig(NamedTuple):
+    lr: float = 8e-3
+    beta1: float = 0.9
+    beta2: float = 0.99
+    eps: float = 1e-15
+    l2_reg: float = 1e-6
+    ema_decay: float = 0.95
+
+    @classmethod
+    def from_json(cls, conf: dict) -> "AdamConfig":
+        """Parse the tcnn Ema{nested: Adam} optimizer config
+        (n.json:68-80)."""
+        conf = conf or {}
+        decay = float(conf.get("decay", 0.95))
+        nested = conf.get("nested", conf)
+        return cls(
+            lr=float(nested.get("learning_rate", 8e-3)),
+            beta1=float(nested.get("beta1", 0.9)),
+            beta2=float(nested.get("beta2", 0.99)),
+            eps=float(nested.get("epsilon", 1e-15)),
+            l2_reg=float(nested.get("l2_reg", 1e-6)),
+            ema_decay=decay,
+        )
+
+
+def init_trainer(key, spec: NetworkSpec) -> TrainerState:
+    params = init_params(key, spec)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return TrainerState(params=params, ema_params=params,
+                        opt=AdamState(mu=zeros, nu=jax.tree.map(jnp.zeros_like, params),
+                                      count=jnp.zeros((), jnp.int32)))
+
+
+def adam_ema_step(state: TrainerState, grads: dict, cfg: AdamConfig) -> TrainerState:
+    count = state.opt.count + 1
+    t = count.astype(jnp.float32)
+
+    def upd(g, p, m, v):
+        g = g + cfg.l2_reg * p
+        m2 = cfg.beta1 * m + (1 - cfg.beta1) * g
+        v2 = cfg.beta2 * v + (1 - cfg.beta2) * g * g
+        mhat = m2 / (1 - cfg.beta1**t)
+        vhat = v2 / (1 - cfg.beta2**t)
+        p2 = p - cfg.lr * mhat / (jnp.sqrt(vhat) + cfg.eps)
+        return p2, m2, v2
+
+    g_flat, treedef = jax.tree.flatten(grads)
+    p_flat = treedef.flatten_up_to(state.params)
+    m_flat = treedef.flatten_up_to(state.opt.mu)
+    v_flat = treedef.flatten_up_to(state.opt.nu)
+    out = [upd(g, p, m, v) for g, p, m, v in zip(g_flat, p_flat, m_flat, v_flat)]
+    params = jax.tree.unflatten(treedef, [o[0] for o in out])
+    mu = jax.tree.unflatten(treedef, [o[1] for o in out])
+    nu = jax.tree.unflatten(treedef, [o[2] for o in out])
+    ema = jax.tree.map(
+        lambda e, p: cfg.ema_decay * e + (1 - cfg.ema_decay) * p,
+        state.ema_params, params)
+    return TrainerState(params=params, ema_params=ema,
+                        opt=AdamState(mu=mu, nu=nu, count=count))

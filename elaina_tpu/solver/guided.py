@@ -1,0 +1,437 @@
+"""Guided Walk-on-Stars: online-learned vMF-mixture importance sampling.
+
+TPU-native redesign of the guided integrator (integrator/guided/
+integrator.cu:110-1146; SIGGRAPH 2025 "Guiding-Based Importance Sampling
+for Walk on Stars").  Differences from the CUDA wavefront are structural,
+not semantic:
+
+* The inference queue disappears: the guiding network runs on the whole
+  dense lane batch each depth (one MXU matmul chain) and routing between
+  guided / uniform sampling is a per-lane mask (handleOutShellPointImpl,
+  guided/integrator.cu:496-526).
+* Walk records (GuidedPixelStateBuffer, guided.h:12-69) are fixed-shape
+  (R, N, ...) arrays carried through the depth scan; the contribution
+  backfill (recordSolution / recordSourceContribution, guided.h:48-68)
+  is a masked broadcast-add over the record axis.
+* The per-spp training step (trainStepImpl, integrator.cu:617-668) is a
+  fori_loop over fixed batch slices of the flattened records with
+  masked-mean losses; the custom dL/doutput kernel
+  (compute_dL_doutput_divergence, train.h:491-553) becomes plain autodiff
+  of the same objective:
+      L = -Li/dirPdf * log(guidePdf)                      (KL part)
+          - 0.2 * Li * (sg(guidePdf) - uniformPdf)/dirPdf^2 * selProb
+  whose gradients match the hand-derived reference kernels analytically
+  (tests/test_distributions.py::test_vmm_gradients_match_finite_difference).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.problem import Scene
+from ..nn.network import (
+    AdamConfig,
+    NetworkSpec,
+    TrainerState,
+    adam_ema_step,
+    apply_network,
+    init_trainer,
+    make_network,
+)
+from ..utils.mathops import reflect
+from .distributions import (
+    M_EPSILON,
+    n_dim_output,
+    vmm_from_raw,
+    vmm_pdf,
+    vmm_sample,
+    vmm_selection_prob,
+)
+from .integrator import BaseIntegrator, _progress
+from .sampling import uniform_sample_hemisphere_pdf, uniform_sample_sphere_pdf
+from .wost import (
+    WalkState,
+    _boundary_term,
+    _neumann_term,
+    _sample_direction,
+    _separate,
+    _source_term,
+    _walk,
+    init_walk_state,
+)
+
+MAX_TRAIN_DEPTH = 4       # record slots (parameters.h:6)
+TRAIN_DEPTH_CAP = 3       # Guidance::maxTrainDepth (guided/integrator.h:237)
+SELECTION_MIS_E = 0.2     # constant e (train.h:546)
+
+
+class WalkRecords(NamedTuple):
+    """GuidedPixelStateBuffer equivalent: per-lane walk history."""
+
+    pos: jnp.ndarray         # (R, N, D)
+    dir: jnp.ndarray         # (R, N, D)
+    dir_pdf: jnp.ndarray     # (R, N)
+    thp: jnp.ndarray         # (R, N, 3)
+    sol: jnp.ndarray         # (R, N, 3)
+    on_neumann: jnp.ndarray  # (R, N) bool
+    normal: jnp.ndarray      # (R, N, D)
+    cur: jnp.ndarray         # (N,) current depth per lane
+
+
+def init_records(n: int, dim: int) -> WalkRecords:
+    R = MAX_TRAIN_DEPTH
+    return WalkRecords(
+        pos=jnp.zeros((R, n, dim)), dir=jnp.zeros((R, n, dim)),
+        dir_pdf=jnp.zeros((R, n)), thp=jnp.zeros((R, n, 3)),
+        sol=jnp.zeros((R, n, 3)), on_neumann=jnp.zeros((R, n), bool),
+        normal=jnp.zeros((R, n, dim)), cur=jnp.zeros((n,), jnp.int32),
+    )
+
+
+def _backfill(records: WalkRecords, contrib, inclusive: bool) -> WalkRecords:
+    """Add a contribution to all records up to the current depth
+    (recordSolution: exclusive; recordSourceContribution: inclusive —
+    guided.h:48-68)."""
+    R = records.sol.shape[0]
+    limit = records.cur + (1 if inclusive else 0)
+    r_idx = jnp.arange(R)[:, None]
+    mask = r_idx < jnp.minimum(limit, R)[None, :]
+    return records._replace(
+        sol=records.sol + jnp.where(mask[..., None], contrib[None], 0.0))
+
+
+def _increment(records: WalkRecords, state: WalkState, direction, pdf,
+               write_mask) -> WalkRecords:
+    """Append a walk vertex for training lanes (incrementDepth,
+    guided.h:25-46)."""
+    w = write_mask & (records.cur < MAX_TRAIN_DEPTH)
+    idx = jnp.minimum(records.cur, MAX_TRAIN_DEPTH - 1)
+    lanes = jnp.arange(records.cur.shape[0])
+
+    # scatter with per-lane mask: blend new/old at the target slot, then set
+    def scatter(arr, val):
+        old = arr[idx, lanes]
+        pick = jnp.where(w.reshape(w.shape + (1,) * (val.ndim - 1)), val, old)
+        return arr.at[idx, lanes].set(pick)
+
+    return WalkRecords(
+        pos=scatter(records.pos, state.pos),
+        dir=scatter(records.dir, direction),
+        dir_pdf=scatter(records.dir_pdf, pdf),
+        thp=scatter(records.thp, state.thp),
+        sol=scatter(records.sol, jnp.zeros_like(state.thp)),
+        on_neumann=scatter(records.on_neumann, state.on_neumann),
+        normal=scatter(records.normal, state.n_normal),
+        cur=records.cur + w.astype(jnp.int32),
+    )
+
+
+def normalize_coord(p, lo, hi):
+    """normalizeSpatialCoord (train.h:148-155): inflate the AABB by 0.5% of
+    its diagonal and map to [0, 1]^D around the center."""
+    diag = hi - lo
+    inflate = 0.005 * jnp.linalg.norm(diag)
+    lo2 = lo - inflate
+    hi2 = hi + inflate
+    center = 0.5 * (lo2 + hi2)
+    return 0.5 + (p - center) / (hi2 - lo2)
+
+
+def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
+                      state: WalkState, records: WalkRecords, key, depth,
+                      guiding_on, training_on, uniform_fraction,
+                      max_guided_depth, *, eps: float, d_stack: int,
+                      n_stack: int):
+    """One guided depth iteration (solveImpl inner loop,
+    guided/integrator.cu:1004-1042).  ``guiding_on``/``training_on``/
+    ``uniform_fraction``/``max_guided_depth`` are traced scalars so one
+    compilation serves both the training and guiding phases."""
+    dim = scene.dim
+    k_sel, k_src, k_neu, k_uni, k_gui, k_walk = jax.random.split(key, 6)
+
+    # logic stage (no 0.99 shrink: guided/integrator.cu:238-239)
+    in_shell, R_B, pid_d, uv_d, side_d, _ = _separate(
+        scene, state, eps, d_stack, shrink=False)
+    in_shell &= state.active
+
+    n = state.pos.shape[0]
+    contrib = jnp.zeros((n, 3), jnp.float32)
+    if scene.dirichlet is not None:
+        cb = _boundary_term(scene, state, in_shell, pid_d, uv_d, side_d)
+        contrib += cb
+        records = _backfill(records, cb, inclusive=False)
+
+    live = state.active & (~in_shell) & jnp.isfinite(R_B)
+
+    # evaluation stage
+    if scene.source is not None:
+        cs = _source_term(scene, state, live, R_B, k_src, eps, n_stack)
+        contrib += cs
+        records = _backfill(records, cs, inclusive=True)
+    if scene.neumann is not None:
+        cn = _neumann_term(scene, state, live, R_B, k_neu, eps, n_stack)
+        contrib += cn
+        records = _backfill(records, cn, inclusive=True)
+
+    # guiding inference on the dense lane batch (inferenceStepImpl)
+    x_norm = normalize_coord(state.pos, scene.aabb_lo, scene.aabb_hi)
+    raw = apply_network(spec, infer_params, x_norm)
+    vmm = vmm_from_raw(raw, dim)
+    sp = vmm_selection_prob(raw, dim)
+
+    guide_depth_ok = guiding_on & (depth < max_guided_depth)
+    in_aabb = jnp.all((state.pos >= scene.aabb_lo) & (state.pos <= scene.aabb_hi),
+                      axis=-1)
+    u_route = jax.random.uniform(k_sel, (n,))
+    choose_guided = guide_depth_ok & in_aabb & (
+        (uniform_fraction == 0.0) | (u_route < sp))
+
+    # directions: uniform branch + guided branch with Neumann folding
+    d_uni, pdf_uni_base, alpha = _sample_direction(k_uni, state, dim)
+    d_gui_raw = vmm_sample(k_gui, vmm, dim)
+    refl_gui = reflect(d_gui_raw, state.n_normal)
+    fold = state.on_neumann & (jnp.sum(state.n_normal * d_gui_raw, -1) <= 0)
+    d_gui = jnp.where(fold[:, None], refl_gui, d_gui_raw)
+
+    def eff_pdf(direction):
+        p = vmm_pdf(vmm, direction, dim)
+        p_r = vmm_pdf(vmm, reflect(direction, state.n_normal), dim)
+        return jnp.where(state.on_neumann, p + p_r, p)
+
+    guided_pdf_gui = vmm_pdf(vmm, d_gui_raw, dim) + jnp.where(
+        state.on_neumann, vmm_pdf(vmm, refl_gui, dim), 0.0)
+    guided_pdf_uni = eff_pdf(d_uni)
+
+    pdf_gui = sp * guided_pdf_gui + (1.0 - sp) * pdf_uni_base
+    mis_uni = guide_depth_ok & in_aabb
+    pdf_uni = jnp.where(mis_uni,
+                        sp * guided_pdf_uni + (1.0 - sp) * pdf_uni_base,
+                        pdf_uni_base)
+
+    direction = jnp.where(choose_guided[:, None], d_gui, d_uni)
+    pdf = jnp.where(choose_guided, pdf_gui, pdf_uni)
+
+    # walk records for training (incrementDepth before the state update)
+    train_mask = training_on & (depth < TRAIN_DEPTH_CAP) & live
+    records = _increment(records, state, direction, pdf, train_mask)
+
+    state = _walk(scene, state, live, R_B, k_walk, eps, n_stack,
+                  direction=direction, pdf=pdf, alpha=alpha)
+    state = state._replace(active=live)
+    return state, records, contrib
+
+
+def run_one_guided_sample(scene: Scene, spec: NetworkSpec, infer_params,
+                          eval_points, mask, key, guiding_on, training_on,
+                          uniform_fraction, max_guided_depth, *, eps: float,
+                          max_depth: int, d_stack: int = 48, n_stack: int = 48):
+    """One spp sweep; returns (contribution (N, 3), records)."""
+    n, dim = eval_points.shape
+    state = init_walk_state(eval_points, mask)
+    records = init_records(n, dim)
+    keys = jax.random.split(key, max_depth)
+
+    def body(carry, xs):
+        st, rec = carry
+        k, depth = xs
+        n_live = jnp.sum(st.active.astype(jnp.int32))
+        st, rec, c = guided_depth_step(
+            scene, spec, infer_params, st, rec, k, depth,
+            guiding_on, training_on, uniform_fraction, max_guided_depth,
+            eps=eps, d_stack=d_stack, n_stack=n_stack)
+        return (st, rec), (c, n_live)
+
+    (state, records), (contribs, lives) = jax.lax.scan(
+        body, (state, records), (keys, jnp.arange(max_depth)))
+    return jnp.sum(contribs, axis=0), records, jnp.sum(lives)
+
+
+# --------------------------------------------------------------------------- #
+# training (trainStepImpl + generate_training_data + the KL objective)
+# --------------------------------------------------------------------------- #
+
+
+def _train_loss(params, spec: NetworkSpec, dim: int, x, wi, Li, dir_pdf,
+                on_neumann, normal, valid):
+    raw = apply_network(spec, params, x)
+    vmm = vmm_from_raw(raw, dim)
+    p = vmm_pdf(vmm, wi, dim)
+    p_r = vmm_pdf(vmm, reflect(wi, normal), dim)
+    guide_pdf = jnp.where(on_neumann, p + p_r, p) + M_EPSILON
+    sp = vmm_selection_prob(raw, dim)
+
+    dir_pdf = dir_pdf + M_EPSILON
+    kl = -Li / dir_pdf * jnp.log(guide_pdf)
+    uniform_pdf = jnp.where(on_neumann, uniform_sample_hemisphere_pdf(dim),
+                            uniform_sample_sphere_pdf(dim))
+    sp_term = (-SELECTION_MIS_E) * Li * (
+        jax.lax.stop_gradient(guide_pdf) - uniform_pdf) / (dir_pdf**2) * sp
+
+    count = jnp.maximum(jnp.sum(valid), 1.0)
+    loss = jnp.sum(jnp.where(valid, kl + sp_term, 0.0)) / count
+    metric = jnp.sum(jnp.where(valid, kl, 0.0)) / count
+    return loss, metric
+
+
+def train_on_records(trainer: TrainerState, spec: NetworkSpec,
+                     adam_cfg: AdamConfig, scene: Scene,
+                     records: WalkRecords, *, batch_size: int,
+                     n_batches: int, min_valid: int = 1):
+    """Up to ``n_batches`` optimizer steps over the flattened records
+    (trainStepImpl, guided/integrator.cu:617-668).  Returns
+    (trainer', mean KL metric)."""
+    dim = scene.dim
+    R, N = records.dir_pdf.shape
+    total = R * N
+
+    r_idx = jnp.broadcast_to(jnp.arange(R)[:, None], (R, N))
+    base_valid = r_idx < records.cur[None, :]
+
+    pos = records.pos.reshape(total, dim)
+    x = normalize_coord(pos, scene.aabb_lo, scene.aabb_hi)
+    wi = records.dir.reshape(total, dim)
+    dir_pdf = records.dir_pdf.reshape(total)
+    thp = records.thp.reshape(total, 3)
+    sol = records.sol.reshape(total, 3)
+    on_neumann = records.on_neumann.reshape(total)
+    normal = records.normal.reshape(total, dim)
+
+    # per-channel solution normalization + NaN/AABB filter
+    # (generate_training_data, train.h:422-471)
+    sol_n = jnp.where(jnp.abs(thp) > M_EPSILON, sol / thp, 0.0)
+    Li = jnp.mean(jnp.abs(sol_n), axis=-1)
+    in_aabb = jnp.all((pos >= scene.aabb_lo) & (pos <= scene.aabb_hi), axis=-1)
+    valid = (base_valid.reshape(total) & in_aabb & (dir_pdf > 0)
+             & jnp.isfinite(Li) & jnp.isfinite(dir_pdf)
+             & jnp.all(jnp.isfinite(wi), -1) & jnp.all(jnp.isfinite(x), -1))
+
+    grad_fn = jax.grad(_train_loss, has_aux=True)
+
+    slice_size = min(batch_size, total)
+
+    def body(i, carry):
+        tr, metric_sum = carry
+        start = i * batch_size
+
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, start, slice_size, 0)
+
+        v = sl(valid)
+        grads, metric = grad_fn(tr.params, spec, dim, sl(x), sl(wi), sl(Li),
+                                sl(dir_pdf), sl(on_neumann), sl(normal), v)
+        enough = jnp.sum(v) >= min_valid
+        grads = jax.tree.map(lambda g: jnp.where(enough, g, 0.0), grads)
+        tr2 = adam_ema_step(tr, grads, adam_cfg)
+        tr = jax.tree.map(lambda a, b: jnp.where(enough, b, a), tr, tr2)
+        return tr, metric_sum + jnp.where(enough, metric, 0.0)
+
+    trainer, metric_sum = jax.lax.fori_loop(0, n_batches, body,
+                                            (trainer, jnp.float32(0.0)))
+    return trainer, metric_sum / n_batches
+
+
+# --------------------------------------------------------------------------- #
+# driver
+# --------------------------------------------------------------------------- #
+
+
+class GuidedIntegrator(BaseIntegrator):
+    """GuidedIntegrator<DIM> parity (guided/integrator.h:96-253)."""
+
+    def reset_network(self, net_conf: dict | None):
+        """resetNetworkImpl (guided/integrator.cu:1096-1137)."""
+        dim = self.problem.dim
+        conf = net_conf or {}
+        self.spec = make_network(dim, n_dim_output(dim), conf)
+        self.adam_cfg = AdamConfig.from_json(conf.get("optimizer"))
+        self.trainer = init_trainer(jax.random.PRNGKey(42), self.spec)
+        self.loss_history: list[float] = []
+
+    def reset_training(self):
+        """resetTrainingImpl (guided/integrator.cu:1139-1146)."""
+        self.trainer = init_trainer(jax.random.PRNGKey(42), self.spec)
+        self.loss_history = []
+
+    def _phase(self, spp: int):
+        s = self.settings
+        training = spp < s.trainSppCount
+        if training:
+            return (jnp.float32(s.uniformFractionInTrainingPhase),
+                    jnp.int32(s.maxGuidedDepthInTrainingPhase), True)
+        return (jnp.float32(s.uniformFractionInGuidingPhase),
+                jnp.int32(s.maxGuidedDepthInGuidingPhase), False)
+
+    def solve(self) -> int:
+        s = self.settings
+        scene = self.problem.scene
+        key = jax.random.PRNGKey(0)
+        n = self.n_pixels
+
+        batch_size = min(65_536 * 8, max(1024, MAX_TRAIN_DEPTH * n))
+        n_batches = min(5, max(1, -(-(MAX_TRAIN_DEPTH * n) // batch_size)))
+
+        spec, adam_cfg = self.spec, self.adam_cfg  # static (python) configs
+        walk = jax.jit(lambda sc, params, pts, m, k, ton, uf, mgd:
+                       run_one_guided_sample(
+                           sc, spec, params, pts, m, k, jnp.bool_(True), ton,
+                           uf, mgd, eps=float(s.epsilonShell),
+                           max_depth=int(s.maxWalkingDepth),
+                           d_stack=self.problem.d_stack,
+                           n_stack=self.problem.n_stack))
+        train = jax.jit(lambda tr, sc, rec: train_on_records(
+            tr, spec, adam_cfg, sc, rec, batch_size=batch_size,
+            n_batches=n_batches))
+
+        start = time.time()
+        total = jnp.zeros((n, 3), jnp.float32)
+        self.total_walk_steps = 0
+        for spp in range(s.samplesPerPixel):
+            uniform_fraction, max_guided_depth, training = self._phase(spp)
+            contrib, records, steps = walk(
+                scene, self.trainer.ema_params, self.eval_points,
+                self.mask, jax.random.fold_in(key, spp),
+                jnp.bool_(training), uniform_fraction, max_guided_depth)
+            total = total + contrib
+            self.total_walk_steps += int(steps)
+            if training:
+                self.trainer, metric = train(self.trainer, scene, records)
+                self.loss_history.append(float(metric))
+            if (s.saveSppMetricsDuration > 0
+                    and spp % s.saveSppMetricsDuration == 0
+                    and spp < s.saveSppMetricsUntil):
+                self._dump_frames(np.asarray(total), spp + 1, "frames", str(spp))
+            if s.saveTimeMetricsDuration > 0 and spp % s.saveTimeMetricsDuration == 0:
+                ms = int((time.time() - start) * 1000)
+                self._dump_frames(np.asarray(total), spp + 1, "frames_time", str(ms))
+            _progress(spp + 1, s.samplesPerPixel)
+        total.block_until_ready()
+        duration_ms = int((time.time() - start) * 1000)
+
+        film = self.films["SOLUTION"]
+        film.reset()
+        film.put_frame(np.asarray(total) / s.samplesPerPixel)
+        return duration_ms
+
+    def query_network(self, p):
+        """queryNetworkImpl (guided/integrator.cu:565-615): print the VMM at
+        a world point."""
+        from ..core.logger import log_info
+
+        scene = self.problem.scene
+        x = normalize_coord(jnp.asarray(p)[None, :], scene.aabb_lo,
+                            scene.aabb_hi)
+        raw = apply_network(self.spec, self.trainer.ema_params, x)
+        vmm = vmm_from_raw(raw, scene.dim)
+        sp = float(vmm_selection_prob(raw, scene.dim)[0])
+        log_info("VMM @ %s (selection prob %.4f):", np.asarray(p).tolist(), sp)
+        for i in range(vmm.lam.shape[-1]):
+            log_info("Component %d: lambda = %f, kappa = %f, mu = %s", i,
+                     float(vmm.lam[0, i]), float(vmm.kappa[0, i]),
+                     np.round(np.asarray(vmm.mu[0, i]), 4).tolist())
+        return vmm

@@ -152,8 +152,11 @@ class UniformIntegrator(BaseIntegrator):
 
         start = time.time()
         total = jnp.zeros((self.n_pixels, 3), jnp.float32)
+        self.total_walk_steps = 0
         for spp in range(s.samplesPerPixel):
-            total = total + step(jax.random.fold_in(key, spp))
+            contrib, steps = step(jax.random.fold_in(key, spp))
+            total = total + contrib
+            self.total_walk_steps += int(steps)
             if (s.saveSppMetricsDuration > 0
                     and spp % s.saveSppMetricsDuration == 0
                     and spp < s.saveSppMetricsUntil):

@@ -299,8 +299,9 @@ def run_one_sample(scene: Scene, eval_points, mask, key, *, eps: float,
     keys = jax.random.split(key, max_depth)
 
     def body(st, k):
+        n_live = jnp.sum(st.active.astype(jnp.int32))
         st, contrib = wost_depth_step(scene, st, k, eps, d_stack, n_stack)
-        return st, contrib
+        return st, (contrib, n_live)
 
-    _, contribs = jax.lax.scan(body, state, keys)
-    return jnp.sum(contribs, axis=0)
+    _, (contribs, lives) = jax.lax.scan(body, state, keys)
+    return jnp.sum(contribs, axis=0), jnp.sum(lives)

@@ -1,0 +1,108 @@
+"""Guided integrator: unbiasedness vs analytic solution + training sanity
+(reference behavior: guided == uniform in expectation; SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from elaina_tpu.core.problem import Boundary
+from elaina_tpu.geometry.geomset import make_geom_set
+from elaina_tpu.nn.encoding import grid_encode, make_grid_encoding
+from elaina_tpu.nn.network import AdamConfig, apply_network, init_trainer, make_network
+from elaina_tpu.solver.distributions import n_dim_output
+from elaina_tpu.solver.guided import (
+    normalize_coord,
+    run_one_guided_sample,
+    train_on_records,
+)
+from tests.test_wost_uniform import _colors_from_fn, _scene, _square_boundary
+
+
+def _mixed_scene():
+    d_verts, d_idx = _square_boundary(n_per_side=6, sides=(1, 3))
+    d_gs, _ = make_geom_set(d_verts, d_idx)
+    d_colors = _colors_from_fn(d_verts, lambda v: (v[0] + 1) / 2)
+    n_verts, n_idx = _square_boundary(n_per_side=6, sides=(0, 2))
+    n_gs, _ = make_geom_set(n_verts, n_idx)
+    return _scene(
+        dirichlet=Boundary(gs=d_gs, colors=jnp.asarray(d_colors)),
+        neumann=Boundary(gs=n_gs,
+                         colors=jnp.zeros((len(n_verts), 2, 3), jnp.float32)),
+    )
+
+
+def test_guided_matches_analytic_with_online_training():
+    """Full guided pipeline (train phase then guide phase) stays unbiased:
+    MIS with the learned selection probability must reproduce u=(x+1)/2."""
+    scene = _mixed_scene()
+    spec = make_network(2, n_dim_output(2), {
+        "encoding": {"base_resolution": 4, "n_levels": 4,
+                     "n_features_per_level": 2, "per_level_scale": 1.5},
+        "network": {"n_neurons": 32, "n_hidden_layers": 2},
+    })
+    trainer = init_trainer(jax.random.PRNGKey(42), spec)
+    cfg = AdamConfig()
+
+    pts = np.array([[0.0, 0.0], [0.5, 0.8], [-0.5, -0.8]], np.float32)
+    pts_j = jnp.asarray(pts)
+    mask = jnp.ones((3,), bool)
+
+    walk = jax.jit(lambda params, k, ton, uf: run_one_guided_sample(
+        scene, spec, params, pts_j, mask, k, jnp.bool_(True), ton, uf,
+        jnp.int32(10), eps=0.02, max_depth=48))
+    train = jax.jit(lambda tr, rec: train_on_records(
+        tr, spec, cfg, scene, rec, batch_size=16, n_batches=1))
+
+    key = jax.random.PRNGKey(3)
+    total = jnp.zeros((3, 3))
+    train_spp, spp = 64, 256
+    losses = []
+    for s in range(spp):
+        training = s < train_spp
+        contrib, records, _steps = walk(trainer.ema_params,
+                                jax.random.fold_in(key, s),
+                                jnp.bool_(training), jnp.float32(0.5))
+        total = total + contrib
+        if training:
+            trainer, metric = train(trainer, records)
+            losses.append(float(metric))
+    u = np.asarray(total / spp)
+    expected = (pts[:, 0] + 1.0) / 2.0
+    np.testing.assert_allclose(u[:, 0], expected, atol=0.08)
+    assert np.isfinite(losses).all()
+
+
+def test_grid_encoding_interpolates():
+    spec = make_grid_encoding(2, {"base_resolution": 4, "n_levels": 2,
+                                  "n_features_per_level": 2,
+                                  "per_level_scale": 2.0})
+    table = jnp.ones((spec.n_params, spec.n_features))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (32, 2))
+    out = grid_encode(spec, table, x)
+    assert out.shape == (32, spec.out_dim)
+    np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-6)
+
+
+def test_network_output_shape_and_grads():
+    spec = make_network(2, n_dim_output(2), {})
+    trainer = init_trainer(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 2))
+    raw = apply_network(spec, trainer.params, x)
+    assert raw.shape == (64, n_dim_output(2))
+    assert bool(jnp.isfinite(raw).all())
+
+    def f(p):
+        return jnp.sum(apply_network(spec, p, x) ** 2)
+
+    g = jax.grad(f)(trainer.params)
+    assert all(bool(jnp.isfinite(v).all()) for v in jax.tree.leaves(g))
+
+
+def test_normalize_coord_in_unit_box():
+    lo = jnp.asarray([-100.0, -100.0])
+    hi = jnp.asarray([600.0, 600.0])
+    p = jnp.asarray([[-100.0, -100.0], [600.0, 600.0], [250.0, 250.0]])
+    x = normalize_coord(p, lo, hi)
+    assert float(x.min()) > 0.0 and float(x.max()) < 1.0
+    np.testing.assert_allclose(np.asarray(x[2]), 0.5, atol=1e-6)

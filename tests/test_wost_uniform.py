@@ -54,7 +54,8 @@ def _solve(scene, pts, spp=128, max_depth=48, eps=0.02, seed=0):
         scene, pts, mask, k, eps=eps, max_depth=max_depth))
     total = jnp.zeros((pts.shape[0], 3))
     for s in range(spp):
-        total = total + step(jax.random.fold_in(key, s))
+        contrib, _steps = step(jax.random.fold_in(key, s))
+        total = total + contrib
     return np.asarray(total / spp)
 
 
