@@ -26,7 +26,15 @@ import numpy as np
 
 from ..geometry.geomset import GeomSet, make_geom_set
 from ..geometry.grid import CandidateGrid, build_candidate_grid
-from ..geometry.obj import load_obj
+from ..geometry.obj import load_obj as _load_obj_py
+
+
+def load_obj(path: str, dim: int):
+    """OBJ load via the native C++ parser when built, else pure Python."""
+    from ..geometry import native as _native
+    if _native.available():
+        return _native.load_obj_native(path, dim)
+    return _load_obj_py(path, dim)
 from .config import json_get_optional, json_get_or_throw, load_json_file
 from .evaluation_grid import EvaluationGrid
 from .logger import log_info, log_success, log_warning

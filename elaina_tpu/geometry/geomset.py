@@ -46,11 +46,21 @@ class GeomSet(NamedTuple):
 
 
 def make_geom_set(verts: np.ndarray, indices: np.ndarray) -> tuple[GeomSet, int]:
-    """Build a GeomSet (and return the BVH depth for stack sizing)."""
+    """Build a GeomSet (and return the BVH depth for stack sizing).
+
+    Uses the native C++ builder (native/scene_build.cpp via ctypes) when the
+    shared library is present; the NumPy path is the portable fallback and
+    test oracle.
+    """
     dim = indices.shape[1]
-    tree = bvh_mod.build_bvh(verts, indices, LEAF_SIZE)
+    from . import native as native_mod
+    if native_mod.available():
+        tree = native_mod.build_bvh_native(verts, indices, LEAF_SIZE)
+        sil = native_mod.silhouette_entities_native(verts, indices)
+    else:
+        tree = bvh_mod.build_bvh(verts, indices, LEAF_SIZE)
+        sil = bvh_mod.silhouette_entities(verts, indices)
     leaf_prims = bvh_mod.pad_leaf_prims(tree, LEAF_SIZE)
-    sil = bvh_mod.silhouette_entities(verts, indices)
 
     pv = verts[indices]  # (P, dim, D)
     if dim == 2:

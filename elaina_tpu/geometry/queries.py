@@ -279,23 +279,71 @@ def sample_in_ball(gs: GeomSet, q, R, u):
     unit boundary measure of a point sampled uniformly on the chosen prim,
     so estimator terms divide by it directly (integrator.cu:440-442).
     """
-    if gs.n_prims > BRUTE_FORCE_MAX:
-        raise NotImplementedError(
-            "hierarchical in-ball sampling for large Neumann boundaries is "
-            "not wired yet (shipped scenes have <= 8 Neumann prims)")
-    pv = _prim_verts_all(gs)
-    pvb = tuple(v[None, :, :] for v in pv)
-    d, _ = prim_closest_point(gs.dim, q[:, None, :], pvb)   # (N, P)
-    inside = d < R[:, None]
-    gw = green_eval(jnp.maximum(d, GREEN_R_CLAMP), R[:, None], gs.dim)
-    w = jnp.where(inside, gs.prim_measure[None] * jnp.maximum(gw, 0.0), 0.0)
-    total = jnp.sum(w, axis=-1)
-    cdf = jnp.cumsum(w, axis=-1)
+    if gs.n_prims <= BRUTE_FORCE_MAX:
+        pv = _prim_verts_all(gs)
+        pvb = tuple(v[None, :, :] for v in pv)
+        d, _ = prim_closest_point(gs.dim, q[:, None, :], pvb)   # (N, P)
+        inside = d < R[:, None]
+        gw = green_eval(jnp.maximum(d, GREEN_R_CLAMP), R[:, None], gs.dim)
+        w = jnp.where(inside, gs.prim_measure[None] * jnp.maximum(gw, 0.0), 0.0)
+        total = jnp.sum(w, axis=-1)
+        cdf = jnp.cumsum(w, axis=-1)
+        target = u * total
+        idx = jnp.sum((target[:, None] >= cdf).astype(jnp.int32), axis=-1)
+        idx = jnp.minimum(idx, gs.n_prims - 1)
+        w_sel = jnp.take_along_axis(w, idx[:, None], axis=-1)[:, 0]
+        m_sel = gs.prim_measure[idx]
+        pdf_area = jnp.where(
+            total > 0,
+            w_sel / (jnp.maximum(total, 1e-30) * jnp.maximum(m_sel, 1e-30)),
+            0.0)
+        idx = jnp.where((total > 0) & (w_sel > 0), idx, -1)
+        return idx.astype(jnp.int32), pdf_area
+    return _sample_in_ball_chunked(gs, q, R, u)
+
+
+def _sample_in_ball_chunked(gs: GeomSet, q, R, u, chunk: int = BRUTE_FORCE_MAX):
+    """Large-P in-ball sampling: two chunked passes (total weight, then a
+    CDF walk) — exact, static shapes, bounded memory (N x chunk at a time)."""
+    P = gs.n_prims
+    n_chunks = -(-P // chunk)
+
+    def chunk_weights(c):
+        start = c * chunk
+        pids = start + jnp.arange(chunk)
+        valid = pids < P
+        pv = _prim_verts_at(gs, jnp.minimum(pids, P - 1))
+        d, _ = prim_closest_point(gs.dim, q[:, None, :],
+                                  tuple(v[None] for v in pv))
+        inside = (d < R[:, None]) & valid[None, :]
+        gw = green_eval(jnp.maximum(d, GREEN_R_CLAMP), R[:, None], gs.dim)
+        measure = gs.prim_measure[jnp.minimum(pids, P - 1)]
+        return jnp.where(inside, measure[None] * jnp.maximum(gw, 0.0), 0.0)
+
+    def pass1(c, acc):
+        return acc + jnp.sum(chunk_weights(c), axis=-1)
+
+    total = jax.lax.fori_loop(0, n_chunks, pass1, jnp.zeros(q.shape[:1]))
     target = u * total
-    idx = jnp.sum((target[:, None] >= cdf).astype(jnp.int32), axis=-1)
-    idx = jnp.minimum(idx, gs.n_prims - 1)
-    w_sel = jnp.take_along_axis(w, idx[:, None], axis=-1)[:, 0]
-    m_sel = gs.prim_measure[idx]
-    pdf_area = jnp.where(total > 0, w_sel / (jnp.maximum(total, 1e-30) * jnp.maximum(m_sel, 1e-30)), 0.0)
-    idx = jnp.where((total > 0) & (w_sel > 0), idx, -1)
-    return idx.astype(jnp.int32), pdf_area
+
+    def pass2(c, carry):
+        cum, idx, w_sel = carry
+        w = chunk_weights(c)                                    # (N, C)
+        cdf = cum[:, None] + jnp.cumsum(w, axis=-1)
+        hits = (target[:, None] < cdf) & (w > 0)
+        j = jnp.argmax(hits, axis=-1)
+        found = jnp.any(hits, axis=-1) & (idx < 0)
+        idx = jnp.where(found, (c * chunk + j).astype(jnp.int32), idx)
+        w_sel = jnp.where(found, jnp.take_along_axis(w, j[:, None], -1)[:, 0],
+                          w_sel)
+        return cum + jnp.sum(w, axis=-1), idx, w_sel
+
+    init = (jnp.zeros(q.shape[:1]), jnp.full(q.shape[:1], -1, jnp.int32),
+            jnp.zeros(q.shape[:1]))
+    _, idx, w_sel = jax.lax.fori_loop(0, n_chunks, pass2, init)
+
+    m_sel = gs.prim_measure[jnp.maximum(idx, 0)]
+    ok = (total > 0) & (idx >= 0)
+    pdf_area = jnp.where(
+        ok, w_sel / (jnp.maximum(total, 1e-30) * jnp.maximum(m_sel, 1e-30)), 0.0)
+    return jnp.where(ok, idx, -1), pdf_area

@@ -51,13 +51,12 @@ def _interp_map(t: np.ndarray, anchors: np.ndarray) -> np.ndarray:
 
 
 def _jet(t: np.ndarray) -> np.ndarray:
-    """MATLAB jet, analytic form."""
+    """MATLAB jet, analytic form: blue -> cyan -> yellow -> red."""
     t = np.clip(t, 0.0, 1.0)
-
-    def ramp(x):
-        return np.clip(np.minimum(4 * x - 1.5, -4 * x + 4.5), 0.0, 1.0)
-
-    return np.stack([ramp(t), ramp(t - 0.25), ramp(t - 0.5)], axis=-1)
+    r = np.clip(1.5 - np.abs(4 * t - 3.0), 0.0, 1.0)
+    g = np.clip(1.5 - np.abs(4 * t - 2.0), 0.0, 1.0)
+    b = np.clip(1.5 - np.abs(4 * t - 1.0), 0.0, 1.0)
+    return np.stack([r, g, b], axis=-1)
 
 
 TONES = ("NONE", "NONE_NORMALIZED", "MATLAB_JET", "MATLAB_PARULA", "IDL_RDBU")

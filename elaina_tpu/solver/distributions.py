@@ -357,6 +357,25 @@ def vmm_pdf_effective(vmm: VMM, wi, on_neumann, n_normal, dim: int):
     return jnp.where(on_neumann, p + p_ref, p)
 
 
+def vmf_beta_sample(key, kappa, mu, alpha, beta, dim: int):
+    """Joint direction x radius sample: vMF/von Mises direction + Beta-
+    distributed radial fraction (VMFBetaKernel, distribution.h:69-131 —
+    present in the reference as a component but not wired into the
+    integrators; kept here for the same parity)."""
+    k_dir, k_rad = jax.random.split(key)
+    direction = (vm_sample(k_dir, kappa, mu) if dim == 2
+                 else vmf_sample(k_dir, kappa, mu))
+    radius = beta_sample(k_rad, alpha, beta)
+    return direction, radius
+
+
+def vmf_beta_pdf(wi, r, kappa, mu, alpha, beta, dim: int):
+    """Product pdf of VMFBetaKernel (distribution.h:82-87, 114-119)."""
+    cos_theta = jnp.sum(wi * mu, axis=-1)
+    dir_pdf = vm_eval(cos_theta, kappa) if dim == 2 else vmf_eval(cos_theta, kappa)
+    return dir_pdf * beta_eval(r, alpha, beta)
+
+
 def vmm_sample(key, vmm: VMM, dim: int) -> jnp.ndarray:
     """Sample the mixture: CDF walk over weights, then the chosen component
     (distribution.h:186-198, 332-344)."""
