@@ -178,12 +178,21 @@ def grid_cell_index(grid: CandidateGrid, q):
     return lin
 
 
+def _use_pallas() -> bool:
+    import jax as _jax
+    return (os.environ.get("ELAINA_PALLAS", "0") == "1"
+            and _jax.default_backend() == "tpu")
+
+
 def grid_closest_point(grid: CandidateGrid, verts, indices, q):
     """Exact closest point via the candidate grid.
 
     q: (N, D) -> (dist (N,), prim_id (N,)).  Exact for in-grid queries
     whenever the build fit the band (grid.coverage == 1); out-of-grid
     queries use the clamped border cell's candidates.
+
+    Set ELAINA_PALLAS=1 to run the band sweep through the fused Pallas
+    kernel (ops/pallas_queries.candidate_band_pallas) on TPU.
     """
     dim = indices.shape[1]
     lin = grid_cell_index(grid, q)
@@ -191,6 +200,15 @@ def grid_closest_point(grid: CandidateGrid, verts, indices, q):
     safe = jnp.maximum(cand, 0)
     idx = indices[safe]                                 # (N, K, dim)
     pv = tuple(verts[idx[..., k]] for k in range(dim))  # (N, K, D)
+
+    if dim == 2 and _use_pallas():
+        from ..ops.pallas_queries import candidate_band_pallas
+        best_d, slot = candidate_band_pallas(
+            q, pv[0][..., 0], pv[0][..., 1], pv[1][..., 0], pv[1][..., 1],
+            cand >= 0)
+        best_i = jnp.take_along_axis(cand, slot[:, None], axis=-1)[:, 0]
+        return best_d, best_i
+
     d, _ = prim_closest_point(dim, q[:, None, :], pv)
     d = jnp.where(cand >= 0, d, jnp.inf)
     j = jnp.argmin(d, axis=-1)

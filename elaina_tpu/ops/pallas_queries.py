@@ -1,0 +1,181 @@
+"""Pallas TPU kernels for the dense geometry sweeps.
+
+The wavefront's hot geometric work on TPU is lanes x primitives vector
+math.  XLA already fuses these sweeps well; the Pallas versions here go
+further for the cases that matter:
+
+* the primitive soup is pinned in VMEM once per kernel (the shipped scenes'
+  Neumann sets and candidate-grid bands are a few KB),
+* one grid pass computes the distance *and* the argmin without
+  materializing the (lanes, prims) matrix in HBM,
+* block shapes are aligned to the VPU (8x128 lanes per tile).
+
+Kernels fall back to the jnp implementations (geometry/queries.py) off-TPU;
+``interpret=True`` paths keep them testable on CPU.
+
+Reference counterparts: the per-thread distance loops of the snch-lbvh
+queries (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE_TILE = 1024  # lanes per grid step (8 sublanes x 128 lanes)
+
+
+def _seg_closest_tile(q_ref, ax_ref, ay_ref, bx_ref, by_ref, dist_ref,
+                      idx_ref):
+    """One lane tile vs all segments: fused distance + argmin.
+
+    q: (T, 2); segment endpoints as (1, P) rows; outputs (T,), (T,) i32.
+    """
+    qx = q_ref[:, 0:1]                       # (T, 1)
+    qy = q_ref[:, 1:2]
+    ax, ay = ax_ref[:], ay_ref[:]            # (1, P)
+    bx, by = bx_ref[:], by_ref[:]
+    ex = bx - ax
+    ey = by - ay
+    wx = qx - ax                             # (T, P)
+    wy = qy - ay
+    den = jnp.maximum(ex * ex + ey * ey, 1e-30)
+    t = jnp.clip((wx * ex + wy * ey) / den, 0.0, 1.0)
+    dx = wx - t * ex
+    dy = wy - t * ey
+    d2 = dx * dx + dy * dy                   # (T, P)
+    best = jnp.min(d2, axis=1)
+    # argmin without gather: smallest index attaining the min
+    P = d2.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    idx = jnp.min(jnp.where(d2 <= best[:, None], cols, P), axis=1)
+    dist_ref[:] = jnp.sqrt(best)
+    idx_ref[:] = idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def closest_point_dense_pallas(q, seg_a, seg_b, *, interpret: bool = False):
+    """2D dense closest-point sweep: q (N, 2) vs segments (P, 2)+(P, 2).
+
+    Returns (dist (N,), prim (N,) int32).  P is padded to 128 lanes; N to
+    the lane tile.
+    """
+    n = q.shape[0]
+    P = seg_a.shape[0]
+    P_pad = -(-P // 128) * 128
+    n_pad = -(-n // LANE_TILE) * LANE_TILE
+
+    big = jnp.float32(3.0e18)  # padded segments live far away
+    ax = jnp.full((1, P_pad), big).at[0, :P].set(seg_a[:, 0])
+    ay = jnp.full((1, P_pad), big).at[0, :P].set(seg_a[:, 1])
+    bx = jnp.full((1, P_pad), big).at[0, :P].set(seg_b[:, 0])
+    by = jnp.full((1, P_pad), big).at[0, :P].set(seg_b[:, 1])
+    qp = jnp.zeros((n_pad, 2), jnp.float32).at[:n].set(q)
+
+    grid = (n_pad // LANE_TILE,)
+    dist, idx = pl.pallas_call(
+        _seg_closest_tile,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((LANE_TILE, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((LANE_TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE_TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad,), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=14 * n_pad * P_pad,
+            bytes_accessed=n_pad * 2 * 4 + 4 * P_pad * 4 + n_pad * 8,
+            transcendentals=n_pad,
+        ),
+        interpret=interpret,
+    )(qp, ax, ay, bx, by)
+    return dist[:n], jnp.minimum(idx[:n], P - 1)
+
+
+def _cand_band_tile(q_ref, vax_ref, vay_ref, vbx_ref, vby_ref, valid_ref,
+                    dist_ref, slot_ref):
+    """Candidate-band tile: per lane its own K gathered segments.
+
+    q: (T, 2); endpoints (T, K); valid (T, K) (1/0); outputs best distance
+    and the best *slot* in [0, K) (caller maps slots back to prim ids).
+    """
+    qx = q_ref[:, 0:1]
+    qy = q_ref[:, 1:2]
+    ax, ay = vax_ref[:], vay_ref[:]
+    bx, by = vbx_ref[:], vby_ref[:]
+    ex = bx - ax
+    ey = by - ay
+    wx = qx - ax
+    wy = qy - ay
+    den = jnp.maximum(ex * ex + ey * ey, 1e-30)
+    t = jnp.clip((wx * ex + wy * ey) / den, 0.0, 1.0)
+    dx = wx - t * ex
+    dy = wy - t * ey
+    d2 = dx * dx + dy * dy
+    d2 = jnp.where(valid_ref[:] > 0, d2, jnp.float32(jnp.inf))
+    best = jnp.min(d2, axis=1)
+    K = d2.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    slot = jnp.min(jnp.where(d2 <= best[:, None], cols, K), axis=1)
+    dist_ref[:] = jnp.sqrt(best)
+    slot_ref[:] = jnp.minimum(slot, K - 1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def candidate_band_pallas(q, vax, vay, vbx, vby, valid, *,
+                          interpret: bool = False):
+    """Closest point over per-lane candidate bands (grid accel inner loop).
+
+    q (N, 2); vax..vby (N, K) gathered endpoint coordinates; valid (N, K).
+    Returns (dist (N,), slot (N,) int32 in [0, K)).
+    """
+    n, K = vax.shape
+    K_pad = -(-K // 128) * 128
+    n_pad = -(-n // LANE_TILE) * LANE_TILE
+
+    def pad(a, fill):
+        out = jnp.full((n_pad, K_pad), fill, a.dtype)
+        return out.at[:n, :K].set(a)
+
+    qp = jnp.zeros((n_pad, 2), jnp.float32).at[:n].set(q)
+    args = (pad(vax, 1e18), pad(vay, 1e18), pad(vbx, 1e18), pad(vby, 1e18),
+            pad(valid.astype(jnp.int32), 0))
+
+    grid = (n_pad // LANE_TILE,)
+    dist, slot = pl.pallas_call(
+        _cand_band_tile,
+        grid=grid,
+        in_specs=[pl.BlockSpec((LANE_TILE, 2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((LANE_TILE, K_pad), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)] * 5,
+        out_specs=(
+            pl.BlockSpec((LANE_TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE_TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad,), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=14 * n_pad * K_pad,
+            bytes_accessed=n_pad * (2 + 5 * K_pad) * 4,
+            transcendentals=n_pad,
+        ),
+        interpret=interpret,
+    )(qp, *args)
+    return dist[:n], slot[:n]
