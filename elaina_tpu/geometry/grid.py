@@ -126,10 +126,13 @@ def build_candidate_grid(
             coverage=jnp.asarray(z["coverage"]),
         )
 
-    # start coarse; refine until the band fits K (cells shrink -> bands shrink)
+    # start coarse; the band size scales ~linearly with the cell size, so
+    # after the first probe jump straight to the resolution expected to fit
+    # K, then keep doubling if the estimate was off.
     base = 256 if dim == 2 else 64
     res_scalar = base
     best = None
+    probed = False
     while True:
         res = tuple(min(max(int(res_scalar * span[d] / max(span)), 8), max_res)
                     for d in range(dim))
@@ -137,9 +140,14 @@ def build_candidate_grid(
         cells = int(np.prod(res))
         fits = max_count <= K
         best = (res, cand, max_count)
-        if fits or res_scalar >= max_res or cells * K > 3e8:
+        if fits or res_scalar >= max_res or cells * K > 6e8:
             break
-        res_scalar *= 2
+        if not probed:
+            probed = True
+            factor = 2 ** int(np.ceil(np.log2(max(max_count / K, 2.0))))
+            res_scalar = min(res_scalar * factor, max_res)
+        else:
+            res_scalar *= 2
     res, cand, max_count = best
 
     inv_cell = np.asarray(res, np.float32) / np.maximum(span, 1e-20)

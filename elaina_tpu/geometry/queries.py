@@ -40,6 +40,7 @@ from .primitives import (
 )
 
 BRUTE_FORCE_MAX = 64
+CHUNKED_DENSE_MAX = 4096  # mid-size sets: chunked dense sweep beats traversal on TPU
 DEFAULT_STACK = 48
 
 
@@ -125,10 +126,39 @@ def _closest_point_bvh_one(gs: GeomSet, q, stack_size: int):
     return best_d, best_i
 
 
+def _closest_point_chunked(gs: GeomSet, q, chunk: int = BRUTE_FORCE_MAX):
+    P = gs.n_prims
+    n_chunks = -(-P // chunk)
+
+    def body(c, carry):
+        best_d, best_i = carry
+        start = c * chunk
+        pids = start + jnp.arange(chunk)
+        valid = pids < P
+        pv = _prim_verts_at(gs, jnp.minimum(pids, P - 1))
+        d, _ = prim_closest_point(gs.dim, q[:, None, :],
+                                  tuple(v[None] for v in pv))
+        d = jnp.where(valid[None, :], d, jnp.inf)
+        j = jnp.argmin(d, axis=-1)
+        d_c = jnp.take_along_axis(d, j[:, None], axis=-1)[:, 0]
+        better = d_c < best_d
+        best_i = jnp.where(better, (start + j).astype(jnp.int32), best_i)
+        return jnp.minimum(best_d, d_c), best_i
+
+    init = (jnp.full(q.shape[:1], jnp.inf), jnp.zeros(q.shape[:1], jnp.int32))
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
 def closest_point(gs: GeomSet, q, stack_size: int = DEFAULT_STACK):
-    """q: (N, D) -> (dist (N,), prim_id (N,))."""
+    """q: (N, D) -> (dist (N,), prim_id (N,)).
+
+    Dense sweep (small), chunked sweep (mid-size, TPU-friendly), vmapped
+    BVH traversal (large; the candidate grid in geometry/grid.py is the
+    production accelerator for large sets on TPU)."""
     if gs.n_prims <= BRUTE_FORCE_MAX:
         return _closest_point_dense(gs, q)
+    if gs.n_prims <= CHUNKED_DENSE_MAX:
+        return _closest_point_chunked(gs, q)
     return jax.vmap(partial(_closest_point_bvh_one, gs, stack_size=stack_size))(q)
 
 
@@ -158,21 +188,44 @@ def closest_silhouette(gs: GeomSet, q):
     sweep is both exact and fast; a coned-BVH path can be added for large
     Neumann meshes.
     """
-    if gs.sil_p0.shape[0] == 0:
+    E = gs.sil_p0.shape[0]
+    if E == 0:
         return jnp.full(q.shape[:1], jnp.inf, q.dtype)
-    if gs.dim == 2:
-        c = gs.sil_p0[None, :, :]                           # (1, E, D)
-        d = jnp.linalg.norm(q[:, None, :] - c, axis=-1)     # (N, E)
-        v = q[:, None, :] - c
-    else:
-        d, t = seg_closest_point(q[:, None, :], gs.sil_p0[None], gs.sil_p1[None])
-        c = gs.sil_p0[None] + t[..., None] * (gs.sil_p1 - gs.sil_p0)[None]
-        v = q[:, None, :] - c
-    s1 = jnp.sum(gs.sil_n1[None] * v, axis=-1)
-    s2 = jnp.sum(gs.sil_n2[None] * v, axis=-1)
-    is_sil = gs.sil_always[None] | (s1 * s2 <= 0.0)
-    d = jnp.where(is_sil, d, jnp.inf)
-    return jnp.min(d, axis=-1)
+
+    def sweep(p0, p1, n1, n2, always):
+        if gs.dim == 2:
+            c = p0[None, :, :]                              # (1, e, D)
+            d = jnp.linalg.norm(q[:, None, :] - c, axis=-1)  # (N, e)
+            v = q[:, None, :] - c
+        else:
+            d, t = seg_closest_point(q[:, None, :], p0[None], p1[None])
+            c = p0[None] + t[..., None] * (p1 - p0)[None]
+            v = q[:, None, :] - c
+        s1 = jnp.sum(n1[None] * v, axis=-1)
+        s2 = jnp.sum(n2[None] * v, axis=-1)
+        is_sil = always[None] | (s1 * s2 <= 0.0)
+        return jnp.min(jnp.where(is_sil, d, jnp.inf), axis=-1)
+
+    if E <= CHUNKED_DENSE_MAX:
+        return sweep(gs.sil_p0, gs.sil_p1, gs.sil_n1, gs.sil_n2, gs.sil_always)
+
+    # chunked sweep for very large entity sets (bounded memory)
+    chunk = CHUNKED_DENSE_MAX
+    n_chunks = -(-E // chunk)
+
+    def body(c_idx, best):
+        start = c_idx * chunk
+
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, jnp.minimum(start, E - chunk),
+                                                chunk, 0)
+
+        d = sweep(sl(gs.sil_p0), sl(gs.sil_p1), sl(gs.sil_n1), sl(gs.sil_n2),
+                  sl(gs.sil_always))
+        return jnp.minimum(best, d)
+
+    return jax.lax.fori_loop(0, n_chunks, body,
+                             jnp.full(q.shape[:1], jnp.inf, q.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -251,15 +304,46 @@ def _ray_bvh_one(gs: GeomSet, o, d, tmax, stack_size: int, any_hit: bool):
     return found, jnp.where(found, best_t, jnp.inf), best_i
 
 
+def _ray_dense_chunked(gs: GeomSet, o, d, tmax, chunk: int = BRUTE_FORCE_MAX):
+    """Mid-size prim sets: chunked lanes x prims sweep with a running min —
+    lockstep-friendly (no per-lane stacks), bounded memory."""
+    P = gs.n_prims
+    n_chunks = -(-P // chunk)
+
+    def body(c, carry):
+        best_t, best_i = carry
+        start = c * chunk
+        pids = start + jnp.arange(chunk)
+        valid = pids < P
+        pv = _prim_verts_at(gs, jnp.minimum(pids, P - 1))
+        hit, t = prim_ray_intersect(gs.dim, o[:, None, :], d[:, None, :],
+                                    tuple(v[None] for v in pv), tmax[:, None])
+        t = jnp.where(hit & valid[None, :], t, jnp.inf)
+        j = jnp.argmin(t, axis=-1)
+        t_c = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
+        better = t_c < best_t
+        best_i = jnp.where(better, (start + j).astype(jnp.int32), best_i)
+        return jnp.minimum(best_t, t_c), best_i
+
+    init = (jnp.full(o.shape[:1], jnp.inf), jnp.zeros(o.shape[:1], jnp.int32))
+    best_t, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
+    hit = jnp.isfinite(best_t) & (best_t <= tmax)
+    return hit, jnp.where(hit, best_t, jnp.inf), best_i
+
+
 def ray_intersect(gs: GeomSet, o, d, tmax, stack_size: int = DEFAULT_STACK,
                   any_hit: bool = False):
     """(N, D) rays -> (hit (N,), t (N,), prim_id (N,)).
 
     Closest hit by default; ``any_hit=True`` matches the reference's
     occlusion-only ``ray_intersect<true>`` (uniform/integrator.cu:385-393).
+    Strategy: fused dense sweep for small sets, chunked sweep for mid-size
+    sets (TPU-friendly), vmapped BVH traversal beyond that (CPU fallback).
     """
     if gs.n_prims <= BRUTE_FORCE_MAX:
         return _ray_dense(gs, o, d, tmax)
+    if gs.n_prims <= CHUNKED_DENSE_MAX:
+        return _ray_dense_chunked(gs, o, d, tmax)
     fn = partial(_ray_bvh_one, gs, stack_size=stack_size, any_hit=any_hit)
     return jax.vmap(fn)(o, d, tmax)
 

@@ -26,6 +26,7 @@ not semantic:
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import NamedTuple
@@ -367,7 +368,17 @@ class GuidedIntegrator(BaseIntegrator):
         return (jnp.float32(s.uniformFractionInGuidingPhase),
                 jnp.int32(s.maxGuidedDepthInGuidingPhase), False)
 
-    def solve(self) -> int:
+    def solve(self, spp_chunk: int | None = None,
+              checkpoint_path: str | None = None,
+              checkpoint_every: int = 0) -> int:
+        """Full guided solve (guided solveImpl, integrator.cu:967-1094).
+
+        ``spp_chunk`` runs several samples per dispatch with the training
+        step *inside* the scan (the trainer state is the scan carry), which
+        removes per-spp host round-trips on TPU.  Metric dumps force
+        chunk=1.  Optional checkpointing saves (trainer, solution) every
+        ``checkpoint_every`` spp and resumes from ``checkpoint_path``.
+        """
         s = self.settings
         scene = self.problem.scene
         key = jax.random.PRNGKey(0)
@@ -376,40 +387,88 @@ class GuidedIntegrator(BaseIntegrator):
         batch_size = min(65_536 * 8, max(1024, MAX_TRAIN_DEPTH * n))
         n_batches = min(5, max(1, -(-(MAX_TRAIN_DEPTH * n) // batch_size)))
 
+        metrics_on = (s.saveSppMetricsDuration > 0
+                      or s.saveTimeMetricsDuration > 0)
+        if spp_chunk is None:
+            spp_chunk = 1 if metrics_on else min(4, s.samplesPerPixel)
+        spp_chunk = max(1, spp_chunk)
+
         spec, adam_cfg = self.spec, self.adam_cfg  # static (python) configs
-        walk = jax.jit(lambda sc, params, pts, m, k, ton, uf, mgd:
-                       run_one_guided_sample(
-                           sc, spec, params, pts, m, k, jnp.bool_(True), ton,
-                           uf, mgd, eps=float(s.epsilonShell),
-                           max_depth=int(s.maxWalkingDepth),
-                           d_stack=self.problem.d_stack,
-                           n_stack=self.problem.n_stack))
-        train = jax.jit(lambda tr, sc, rec: train_on_records(
-            tr, spec, adam_cfg, sc, rec, batch_size=batch_size,
-            n_batches=n_batches))
+
+        def chunk_fn(tr, keys, ton, uf, mgd):
+            def body(carry, kk):
+                tr, acc, steps = carry
+                contrib, records, st = run_one_guided_sample(
+                    scene, spec, tr.ema_params, self.eval_points, self.mask,
+                    kk, jnp.bool_(True), ton, uf, mgd,
+                    eps=float(s.epsilonShell),
+                    max_depth=int(s.maxWalkingDepth),
+                    d_stack=self.problem.d_stack,
+                    n_stack=self.problem.n_stack)
+
+                def do_train(t):
+                    return train_on_records(t, spec, adam_cfg, scene, records,
+                                            batch_size=batch_size,
+                                            n_batches=n_batches)
+
+                tr, metric = jax.lax.cond(
+                    ton, do_train, lambda t: (t, jnp.float32(0.0)), tr)
+                return (tr, acc + contrib, steps + st), metric
+
+            init = (tr, jnp.zeros((n, 3), jnp.float32), jnp.int32(0))
+            (tr, acc, steps), metrics = jax.lax.scan(body, init, keys)
+            return tr, acc, steps, metrics
+
+        chunk_jit = {}
+
+        def run_chunk(c):  # compile once per distinct chunk length
+            if c not in chunk_jit:
+                chunk_jit[c] = jax.jit(chunk_fn)
+            return chunk_jit[c]
 
         start = time.time()
         total = jnp.zeros((n, 3), jnp.float32)
         self.total_walk_steps = 0
-        for spp in range(s.samplesPerPixel):
+        spp0 = 0
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            from ..core.checkpoint import load_solve_state, load_trainer
+            self.trainer, _ = load_trainer(checkpoint_path)
+            sol_path = checkpoint_path + ".solve.npz"
+            if os.path.exists(sol_path):
+                total, spp0, _ = load_solve_state(sol_path)
+
+        spp = spp0
+        while spp < s.samplesPerPixel:
             uniform_fraction, max_guided_depth, training = self._phase(spp)
-            contrib, records, steps = walk(
-                scene, self.trainer.ema_params, self.eval_points,
-                self.mask, jax.random.fold_in(key, spp),
-                jnp.bool_(training), uniform_fraction, max_guided_depth)
+            # do not straddle the train->guide phase switch within one chunk
+            limit = (s.trainSppCount if spp < s.trainSppCount
+                     else s.samplesPerPixel)
+            c = min(spp_chunk, limit - spp, s.samplesPerPixel - spp)
+            keys = jnp.stack([jax.random.fold_in(key, spp + i)
+                              for i in range(c)])
+            self.trainer, contrib, steps, metrics = run_chunk(c)(
+                self.trainer, keys, jnp.bool_(training), uniform_fraction,
+                max_guided_depth)
             total = total + contrib
             self.total_walk_steps += int(steps)
             if training:
-                self.trainer, metric = train(self.trainer, scene, records)
-                self.loss_history.append(float(metric))
+                self.loss_history.extend(np.asarray(metrics).tolist())
+            spp += c
+            last = spp - 1
             if (s.saveSppMetricsDuration > 0
-                    and spp % s.saveSppMetricsDuration == 0
-                    and spp < s.saveSppMetricsUntil):
-                self._dump_frames(np.asarray(total), spp + 1, "frames", str(spp))
-            if s.saveTimeMetricsDuration > 0 and spp % s.saveTimeMetricsDuration == 0:
+                    and last % s.saveSppMetricsDuration == 0
+                    and last < s.saveSppMetricsUntil):
+                self._dump_frames(np.asarray(total), spp, "frames", str(last))
+            if (s.saveTimeMetricsDuration > 0
+                    and last % s.saveTimeMetricsDuration == 0):
                 ms = int((time.time() - start) * 1000)
-                self._dump_frames(np.asarray(total), spp + 1, "frames_time", str(ms))
-            _progress(spp + 1, s.samplesPerPixel)
+                self._dump_frames(np.asarray(total), spp, "frames_time", str(ms))
+            if (checkpoint_path and checkpoint_every > 0
+                    and spp % checkpoint_every == 0):
+                from ..core.checkpoint import save_solve_state, save_trainer
+                save_trainer(checkpoint_path, self.trainer, {"spp": spp})
+                save_solve_state(checkpoint_path + ".solve.npz", total, spp)
+            _progress(spp, s.samplesPerPixel)
         total.block_until_ready()
         duration_ms = int((time.time() - start) * 1000)
 

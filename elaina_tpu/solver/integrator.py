@@ -138,34 +138,62 @@ class BaseIntegrator:
 
 
 class UniformIntegrator(BaseIntegrator):
-    def solve(self) -> int:
+    def solve(self, spp_chunk: int | None = None) -> int:
         """Run the full spp loop; returns wall-clock milliseconds
-        (UniformIntegrator::solve, integrator.cu:666-672)."""
+        (UniformIntegrator::solve, integrator.cu:666-672).
+
+        ``spp_chunk`` batches several samples per dispatch with an inner
+        ``lax.scan`` — a TPU throughput lever the queue-per-kernel reference
+        has no analogue for.  Metric dumps force chunk=1 to keep the
+        per-spp frame protocol exact.
+        """
         s = self.settings
         scene = self.problem.scene
         key = jax.random.PRNGKey(0)
 
-        step = jax.jit(lambda k: run_one_sample(
-            scene, self.eval_points, self.mask, k,
-            eps=float(s.epsilonShell), max_depth=int(s.maxWalkingDepth),
-            d_stack=self.problem.d_stack, n_stack=self.problem.n_stack))
+        metrics_on = s.saveSppMetricsDuration > 0 or s.saveTimeMetricsDuration > 0
+        if spp_chunk is None:
+            spp_chunk = 1 if metrics_on else min(4, s.samplesPerPixel)
+        spp_chunk = max(1, min(spp_chunk, s.samplesPerPixel))
+        if s.samplesPerPixel % spp_chunk != 0:
+            spp_chunk = 1  # keep the sample count exact
+
+        def chunk_fn(k):
+            def body(carry, kk):
+                acc, steps = carry
+                c, st = run_one_sample(
+                    scene, self.eval_points, self.mask, kk,
+                    eps=float(s.epsilonShell),
+                    max_depth=int(s.maxWalkingDepth),
+                    d_stack=self.problem.d_stack,
+                    n_stack=self.problem.n_stack)
+                return (acc + c, steps + st), None
+            init = (jnp.zeros((self.n_pixels, 3), jnp.float32), jnp.int32(0))
+            (acc, steps), _ = jax.lax.scan(
+                body, init, jax.random.split(k, spp_chunk))
+            return acc, steps
+
+        step = jax.jit(chunk_fn)
 
         start = time.time()
         total = jnp.zeros((self.n_pixels, 3), jnp.float32)
         self.total_walk_steps = 0
-        for spp in range(s.samplesPerPixel):
-            contrib, steps = step(jax.random.fold_in(key, spp))
+        done = 0
+        while done < s.samplesPerPixel:
+            contrib, steps = step(jax.random.fold_in(key, done))
             total = total + contrib
             self.total_walk_steps += int(steps)
+            done += spp_chunk
+            spp = done - 1
             if (s.saveSppMetricsDuration > 0
                     and spp % s.saveSppMetricsDuration == 0
                     and spp < s.saveSppMetricsUntil):
-                self._dump_frames(np.asarray(total), spp + 1, "frames", str(spp))
+                self._dump_frames(np.asarray(total), done, "frames", str(spp))
             if s.saveTimeMetricsDuration > 0 and spp % s.saveTimeMetricsDuration == 0:
                 elapsed_ms = int((time.time() - start) * 1000)
-                self._dump_frames(np.asarray(total), spp + 1, "frames_time",
+                self._dump_frames(np.asarray(total), done, "frames_time",
                                   str(elapsed_ms))
-            _progress(spp + 1, s.samplesPerPixel)
+            _progress(done, s.samplesPerPixel)
         total.block_until_ready()
         duration_ms = int((time.time() - start) * 1000)
 

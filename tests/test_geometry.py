@@ -39,12 +39,21 @@ def _random_tri_scene(n_tris=300, seed=1):
 
 
 def test_bvh_closest_point_matches_brute_2d():
+    from functools import partial
+
+    import jax
+
     verts, indices = _random_polyline_scene()
-    assert indices.shape[0] > Q.BRUTE_FORCE_MAX  # forces the BVH path
+    assert indices.shape[0] > Q.BRUTE_FORCE_MAX
     gs, depth = make_geom_set(verts, indices)
     q = jnp.asarray(np.random.default_rng(2).uniform(-12, 12, (500, 2)), jnp.float32)
-    d_bvh, i_bvh = Q.closest_point(gs, q, stack_size=depth + 4)
+    d_bvh, i_bvh = jax.vmap(
+        partial(Q._closest_point_bvh_one, gs, stack_size=depth + 4))(q)
     d_ref, _ = Q._closest_point_dense(gs, q)
+    # the chunked mid-size sweep (the public path for this prim count) too
+    d_chunk, _ = Q._closest_point_chunked(gs, q)
+    np.testing.assert_allclose(np.asarray(d_chunk), np.asarray(d_ref),
+                               rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(d_bvh), np.asarray(d_ref), rtol=1e-5, atol=1e-5)
     # the chosen prim must realize the min distance
     a = gs.verts[gs.indices[i_bvh, 0]]
@@ -54,10 +63,15 @@ def test_bvh_closest_point_matches_brute_2d():
 
 
 def test_bvh_closest_point_matches_brute_3d():
+    from functools import partial
+
+    import jax
+
     verts, indices = _random_tri_scene()
     gs, depth = make_geom_set(verts, indices)
     q = jnp.asarray(np.random.default_rng(3).uniform(-6, 6, (300, 3)), jnp.float32)
-    d_bvh, i_bvh = Q.closest_point(gs, q, stack_size=depth + 4)
+    d_bvh, i_bvh = jax.vmap(
+        partial(Q._closest_point_bvh_one, gs, stack_size=depth + 4))(q)
     d_ref, _ = Q._closest_point_dense(gs, q)
     np.testing.assert_allclose(np.asarray(d_bvh), np.asarray(d_ref), rtol=1e-4, atol=1e-5)
 
@@ -70,15 +84,26 @@ def test_bvh_ray_matches_brute_2d():
     ang = rng.uniform(0, 2 * math.pi, 400)
     d = jnp.asarray(np.stack([np.cos(ang), np.sin(ang)], -1), jnp.float32)
     tmax = jnp.full((400,), 30.0)
-    h_bvh, t_bvh, i_bvh = Q.ray_intersect(gs, o, d, tmax, stack_size=depth + 4)
+    from functools import partial
+
+    import jax
+
+    h_bvh, t_bvh, i_bvh = jax.vmap(partial(
+        Q._ray_bvh_one, gs, stack_size=depth + 4, any_hit=False))(o, d, tmax)
     h_ref, t_ref, _ = Q._ray_dense(gs, o, d, tmax)
     np.testing.assert_array_equal(np.asarray(h_bvh), np.asarray(h_ref))
     hit = np.asarray(h_ref)
     np.testing.assert_allclose(
         np.asarray(t_bvh)[hit], np.asarray(t_ref)[hit], rtol=1e-4, atol=1e-5
     )
+    # the chunked mid-size sweep (public path for this prim count)
+    h_chunk, t_chunk, _ = Q._ray_dense_chunked(gs, o, d, tmax)
+    np.testing.assert_array_equal(np.asarray(h_chunk), hit)
+    np.testing.assert_allclose(np.asarray(t_chunk)[hit], np.asarray(t_ref)[hit],
+                               rtol=1e-4, atol=1e-5)
     # any-hit agrees on hit/miss
-    h_any, _, _ = Q.ray_intersect(gs, o, d, tmax, stack_size=depth + 4, any_hit=True)
+    h_any, _, _ = jax.vmap(partial(
+        Q._ray_bvh_one, gs, stack_size=depth + 4, any_hit=True))(o, d, tmax)
     np.testing.assert_array_equal(np.asarray(h_any), hit)
 
 
