@@ -281,9 +281,21 @@ EXP_CLAMP_MIN = -10.0
 EXP_CLAMP_MAX = 15.0
 
 
+@jax.custom_jvp
 def act_exp(x):
-    """Exponential activation with clamp (train.h:71-72) — used for lambda, kappa."""
+    """Exponential activation with clamp (train.h:71-72) — used for lambda,
+    kappa.  The reference's hand derivative is exp(clamp(x)) even in the
+    saturated region (train.h:95-96) — NOT the true zero gradient of the
+    clamp — so saturated components keep receiving updates; mirror that."""
     return jnp.exp(jnp.clip(x, EXP_CLAMP_MIN, EXP_CLAMP_MAX))
+
+
+@act_exp.defjvp
+def _act_exp_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    y = jnp.exp(jnp.clip(x, EXP_CLAMP_MIN, EXP_CLAMP_MAX))
+    return y, y * dx
 
 
 def act_logistic(x):

@@ -1,0 +1,120 @@
+"""End-to-end experiment runner test: config JSON -> outputs on disk
+(exec.cu run_expr parity), on a self-contained synthetic scene."""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from elaina_tpu.exec import run_expr
+from elaina_tpu.output.image_io import read_exr
+
+
+def _write_circle_obj(path, n=64, r=1.0, cx=0.0, cy=0.0):
+    with open(path, "w") as f:
+        for i in range(n):
+            t = 2 * math.pi * i / n
+            f.write(f"v {cx + r * math.cos(t)} {cy + r * math.sin(t)} 0\n")
+        for i in range(n):
+            f.write(f"l {i + 1} {(i + 1) % n + 1}\n")
+
+
+def _write_colors_npz(path, n, value=1.0):
+    left = np.full((n, 3), value, np.float32)
+    np.savez(path, left=left, right=left)
+
+
+def _base_conf(tmp_path, exp_name, integrator):
+    model = tmp_path / "circle.obj"
+    colors = tmp_path / "colors.npz"
+    _write_circle_obj(str(model))
+    _write_colors_npz(str(colors), 64, 0.8)
+    conf = {
+        "dimensionality": 2,
+        "base_path": str(tmp_path / "exp") + "/",
+        "exp_name": exp_name,
+        "integrator": {
+            "setting": {
+                "frameSize": [16, 16], "maxWalkingDepth": 32,
+                "samplesPerPixel": 8, "epsilonShell": 0.1,
+                "saveSppMetricsDuration": 2, "saveSppMetricsUntil": 4,
+                "trainSppCount": 2,
+            },
+            "type": integrator,
+            "channels": ["SOLUTION", "DIRICHLET_SDF"],
+        },
+        "export": [
+            {"type": "image", "channel": "SOLUTION", "file_name": "solution"},
+            {"type": "energy", "tone": "MATLAB_JET", "channel": "SOLUTION",
+             "file_name": "energy"},
+            {"type": "image", "channel": "DIRICHLET_SDF", "file_name": "dsdf"},
+        ],
+        "scene": {
+            "aabb": {"min": [-1.2, -1.2], "max": [1.2, 1.2]},
+            "evaluation_grid": {"mData": {"scale": 0.7, "pos": [0, 0],
+                                          "up": [0, 1]}},
+            "mesh": {"dirichlet_path": str(model),
+                     "vertex_color_dirichlet_path": str(colors)},
+        },
+    }
+    if integrator == "guided":
+        conf["network"] = {
+            "encoding": {"base_resolution": 4, "n_levels": 2,
+                         "n_features_per_level": 2, "per_level_scale": 1.5},
+            "network": {"n_neurons": 16, "n_hidden_layers": 1},
+            "optimizer": {"decay": 0.95,
+                          "nested": {"learning_rate": 0.008, "otype": "Adam"},
+                          "otype": "Ema"},
+        }
+    return conf
+
+
+@pytest.mark.parametrize("integrator", ["uniform", "guided"])
+def test_run_expr_end_to_end(tmp_path, integrator):
+    conf = _base_conf(tmp_path, f"circle_{integrator}", integrator)
+    conf_path = tmp_path / "conf.json"
+    conf_path.write_text(json.dumps(conf))
+
+    result = run_expr(str(conf_path))
+    out = tmp_path / "exp" / f"circle_{integrator}"
+
+    assert "duration" in result and result["duration"] >= 0
+    for name in ("conf.json", "result.json", "solution.exr", "solution.png",
+                 "energy.exr", "energy.png", "dsdf.exr", "dsdf.png"):
+        assert (out / name).exists(), name
+    # per-spp metric frames (saveSppMetricsDuration=2, until 4 -> 0 and 2)
+    assert (out / "frames" / "0.exr").exists()
+    assert (out / "frames" / "2.exr").exists()
+
+    # constant boundary data 0.8 inside a circle -> solution ~ 0.8 everywhere
+    sol = read_exr(str(out / "solution.exr"))
+    inner = sol[6:10, 6:10, 0]
+    np.testing.assert_allclose(inner, 0.8, atol=0.15)
+
+    # SDF channel: center pixel distance ~ 1 (circle radius)
+    sdf = read_exr(str(out / "dsdf.exr"))
+    assert sdf[8, 8, 0] == pytest.approx(1.0, abs=0.12)
+
+    rj = json.loads((out / "result.json").read_text())
+    assert "duration" in rj and "timestamp" in rj
+
+
+def test_run_expr_with_mask(tmp_path):
+    conf = _base_conf(tmp_path, "masked", "uniform")
+    from PIL import Image
+    mask = np.zeros((16, 16, 3), np.uint8)
+    mask[:, :8] = 255  # left half enabled
+    mpath = tmp_path / "mask.png"
+    Image.fromarray(mask).save(str(mpath))
+    conf["scene"]["mask_path"] = str(mpath)
+    conf["integrator"]["setting"]["saveSppMetricsDuration"] = -1
+    conf_path = tmp_path / "conf.json"
+    conf_path.write_text(json.dumps(conf))
+    run_expr(str(conf_path))
+    sol = read_exr(str(tmp_path / "exp" / "masked" / "solution.exr"))
+    # masked pixels (right half) must be exactly zero (problem.cu:215-249,
+    # generateEvaluationPointsImpl skip)
+    assert np.all(sol[:, 8:, :3] == 0.0)
+    assert np.any(sol[:, :8, :3] > 0.0)
