@@ -77,7 +77,24 @@ def main() -> int:
     ap.add_argument("--spp", type=int, default=0)
     ap.add_argument("--train-spp", type=int, default=0)
     ap.add_argument("--scene", default="ladybug")
+    ap.add_argument("--time-budget", type=float, default=900.0,
+                    help="soft solve-time cap (s); throughput is reported "
+                         "from completed work")
     args = ap.parse_args()
+
+    # hard watchdog: if the device wedges we still emit a parsable line
+    import signal
+
+    def _die(signum, frame):
+        print(json.dumps({
+            "metric": "guided_wost_walk_steps_per_sec_per_chip",
+            "value": 0.0, "unit": "walk-steps/s/chip", "vs_baseline": 0.0,
+            "detail": {"error": "watchdog timeout (device hang?)"}}),
+            flush=True)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _die)
+    signal.alarm(int(args.time_budget * 2 + 600))
 
     import jax
 
@@ -117,7 +134,7 @@ def main() -> int:
                                  "epsilon": 1e-15, "l2_reg": 1e-6}},
     })
 
-    duration_ms = integ.solve()
+    duration_ms = integ.solve(time_budget_s=args.time_budget)
     steps = integ.total_walk_steps
     value = steps / max(duration_ms / 1000.0, 1e-9)
 

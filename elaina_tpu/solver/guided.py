@@ -370,7 +370,8 @@ class GuidedIntegrator(BaseIntegrator):
 
     def solve(self, spp_chunk: int | None = None,
               checkpoint_path: str | None = None,
-              checkpoint_every: int = 0) -> int:
+              checkpoint_every: int = 0,
+              time_budget_s: float | None = None) -> int:
         """Full guided solve (guided solveImpl, integrator.cu:967-1094).
 
         ``spp_chunk`` runs several samples per dispatch with the training
@@ -469,12 +470,16 @@ class GuidedIntegrator(BaseIntegrator):
                 save_trainer(checkpoint_path, self.trainer, {"spp": spp})
                 save_solve_state(checkpoint_path + ".solve.npz", total, spp)
             _progress(spp, s.samplesPerPixel)
+            if time_budget_s and (time.time() - start) > time_budget_s:
+                total.block_until_ready()
+                break
         total.block_until_ready()
         duration_ms = int((time.time() - start) * 1000)
+        self.spp_done = spp - spp0
 
         film = self.films["SOLUTION"]
         film.reset()
-        film.put_frame(np.asarray(total) / s.samplesPerPixel)
+        film.put_frame(np.asarray(total) / max(spp, 1))
         return duration_ms
 
     def query_network(self, p):
