@@ -26,26 +26,46 @@ class GridEncodingSpec(NamedTuple):
     n_features: int
     resolutions: tuple          # per-level cell counts
     offsets: tuple              # per-level start offset into the table (vertices)
-    n_params: int               # total feature-vector count * n_features
+    level_sizes: tuple          # per-level table entries (dense: (res+1)^dim)
+    hashed: tuple               # per-level bool: hashed (True) or dense index
+    n_params: int               # total feature-vector count
 
     @property
     def out_dim(self) -> int:
         return self.n_levels * self.n_features
 
 
+# large primes for spatial hashing (instant-ngp convention)
+_HASH_PRIMES = (1, 2_654_435_761, 805_459_861)
+
+
 def make_grid_encoding(dim: int, conf: dict) -> GridEncodingSpec:
+    """DenseGrid or HashGrid (tcnn otypes).  HashGrid levels whose dense
+    vertex count exceeds 2**log2_hashmap_size fall back to hashed lookups
+    (instant-ngp style)."""
     base = int(conf.get("base_resolution", 8))
     n_levels = int(conf.get("n_levels", 8))
     n_features = int(conf.get("n_features_per_level", 4))
     scale = float(conf.get("per_level_scale", 1.405))
+    otype = str(conf.get("otype", "DenseGrid")).lower()
+    hash_cap = 2 ** int(conf.get("log2_hashmap_size", 19))
+
     resolutions = tuple(int(math.floor(base * scale**l)) for l in range(n_levels))
-    offsets = []
+    offsets, sizes, hashed = [], [], []
     total = 0
     for r in resolutions:
+        dense = (r + 1) ** dim
+        if "hash" in otype and dense > hash_cap:
+            sizes.append(hash_cap)
+            hashed.append(True)
+        else:
+            sizes.append(dense)
+            hashed.append(False)
         offsets.append(total)
-        total += (r + 1) ** dim
+        total += sizes[-1]
     return GridEncodingSpec(dim=dim, n_levels=n_levels, n_features=n_features,
                             resolutions=resolutions, offsets=tuple(offsets),
+                            level_sizes=tuple(sizes), hashed=tuple(hashed),
                             n_params=total)
 
 
@@ -69,9 +89,16 @@ def grid_encode(spec: GridEncodingSpec, table: jnp.ndarray, x: jnp.ndarray):
         feat = 0.0
         for corner in np.ndindex(*([2] * dim)):
             ii = i0 + jnp.asarray(corner, jnp.int32)
-            lin = ii[..., 0]
-            for d in range(1, dim):
-                lin = lin * (res + 1) + ii[..., d]
+            if spec.hashed[lvl]:
+                h = ii[..., 0].astype(jnp.uint32) * jnp.uint32(_HASH_PRIMES[0])
+                for d in range(1, dim):
+                    h = h ^ (ii[..., d].astype(jnp.uint32)
+                             * jnp.uint32(_HASH_PRIMES[d]))
+                lin = (h % jnp.uint32(spec.level_sizes[lvl])).astype(jnp.int32)
+            else:
+                lin = ii[..., 0]
+                for d in range(1, dim):
+                    lin = lin * (res + 1) + ii[..., d]
             w = jnp.ones(x.shape[:-1], table.dtype)
             for d in range(dim):
                 w = w * (frac[..., d] if corner[d] else 1.0 - frac[..., d])
