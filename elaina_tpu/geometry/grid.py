@@ -56,7 +56,7 @@ def _cell_centers(lo, hi, res):
     return np.stack([m.reshape(-1) for m in mesh], axis=-1).astype(np.float32)
 
 
-def _build_at_res(verts, indices, lo, hi, res, K, chunk=2048):
+def _build_at_res(verts, indices, lo, hi, res, K, chunk=512):
     """Returns (cand (C,K) int32, max_band_count)."""
     dim = indices.shape[1]
     centers = _cell_centers(lo, hi, res)
@@ -85,20 +85,61 @@ def _build_at_res(verts, indices, lo, hi, res, K, chunk=2048):
         out = out.at[rows, dest].set(prim_ids, mode="drop")
         return out[:, :K], count
 
-    # one device dispatch for the whole build: lax.map over cell chunks
-    # (avoids thousands of host<->device roundtrips over slow links)
-    C_pad = -(-C // chunk) * chunk
+    # super-chunked dispatches: each jit call runs a lax.map over SC chunks
+    # (one dispatch for everything trips TPU-runtime execution watchdogs;
+    # per-chunk dispatches drown in tunnel round-trips — this is the middle)
+    SC = 32
+    super_cells = SC * chunk
+    C_pad = -(-C // super_cells) * super_cells
     centers_pad = np.zeros((C_pad, dim), np.float32)
     centers_pad[:C] = centers
 
     @jax.jit
-    def build_all(cs):
-        return jax.lax.map(one_chunk, cs.reshape(-1, chunk, dim))
+    def build_super(cs):
+        return jax.lax.map(one_chunk, cs.reshape(SC, chunk, dim))
 
-    idx_all, count_all = build_all(jnp.asarray(centers_pad))
-    cand = np.asarray(idx_all).reshape(C_pad, K)[:C]
-    max_count = int(np.max(np.asarray(count_all).reshape(C_pad)[:C]))
-    return cand, max_count
+    cand = np.empty((C_pad, K), np.int32)
+    max_count = 0
+    for s in range(0, C_pad, super_cells):
+        idx_s, count_s = build_super(jnp.asarray(centers_pad[s:s + super_cells]))
+        cand[s:s + super_cells] = np.asarray(idx_s).reshape(super_cells, K)
+        max_count = max(max_count, int(np.max(np.asarray(count_s))))
+    return cand[:C], max_count
+
+
+def _count_at_res(verts, indices, lo, hi, res, chunk=512):
+    """Max band count at a resolution — probe pass, no candidate arrays.
+
+    One compilation serves every resolution (shapes depend only on chunk
+    and the primitive count)."""
+    dim = indices.shape[1]
+    centers = _cell_centers(lo, hi, res)
+    C = centers.shape[0]
+    h = 0.5 * float(np.linalg.norm((hi - lo) / np.asarray(res, np.float64)))
+    pv = tuple(jnp.asarray(verts[indices[:, k]]) for k in range(dim))
+
+    def one_chunk(args):
+        c, hh = args
+        d, _ = prim_closest_point(dim, c[:, None, :], tuple(v[None] for v in pv))
+        m = jnp.min(d, axis=-1)
+        return jnp.max(jnp.sum(d <= (m + 2.0 * hh)[:, None], axis=-1))
+
+    SC = 32
+    super_cells = SC * chunk
+    C_pad = -(-C // super_cells) * super_cells
+    centers_pad = np.zeros((C_pad, dim), np.float32)
+    centers_pad[:C] = centers
+
+    @jax.jit
+    def count_super(cs, hh):
+        hs = jnp.broadcast_to(hh, (SC,))
+        return jnp.max(jax.lax.map(one_chunk, (cs.reshape(SC, chunk, dim), hs)))
+
+    max_count = 0
+    for s in range(0, C_pad, super_cells):
+        max_count = max(max_count, int(count_super(
+            jnp.asarray(centers_pad[s:s + super_cells]), jnp.float32(h))))
+    return max_count
 
 
 def build_candidate_grid(
@@ -128,29 +169,54 @@ def build_candidate_grid(
             coverage=jnp.asarray(z["coverage"]),
         )
 
-    # start coarse; the band size scales ~linearly with the cell size, so
-    # after the first probe jump straight to the resolution expected to fit
-    # K, then keep doubling if the estimate was off.
-    base = 256 if dim == 2 else 64
-    res_scalar = base
-    best = None
-    probed = False
-    while True:
-        res = tuple(min(max(int(res_scalar * span[d] / max(span)), 8), max_res)
-                    for d in range(dim))
-        cand, max_count = _build_at_res(verts, indices, lo, hi, res, K)
-        cells = int(np.prod(res))
-        fits = max_count <= K
-        best = (res, cand, max_count)
-        if fits or res_scalar >= max_res or cells * K > 6e8:
-            break
-        if not probed:
-            probed = True
-            factor = 2 ** int(np.ceil(np.log2(max(max_count / K, 2.0))))
-            res_scalar = min(res_scalar * factor, max_res)
-        else:
-            res_scalar *= 2
-    res, cand, max_count = best
+    # Strategy: probe the band count at two coarse resolutions to fit its
+    # scaling exponent (dense hatch fills and fan vertices make it sub- or
+    # super-linear in cell size), then pick the finest (resolution, K) that
+    # keeps coverage exact under the memory budget.
+    BUDGET = 1.4e9  # total candidate slots (int32)
+    K_CAP = 2048
+
+    def res_tuple(scalar):
+        return tuple(min(max(int(scalar * span[d] / max(span)), 8), max_res)
+                     for d in range(dim))
+
+    probe_scalar = 256 if dim == 2 else 64
+    probe_res = res_tuple(probe_scalar)
+    probe_count = _count_at_res(verts, indices, lo, hi, probe_res)
+    res, max_count, cand = probe_res, probe_count, None
+
+    if probe_count <= K:
+        cand, max_count = _build_at_res(verts, indices, lo, hi, probe_res, K)
+    else:
+        probe_count2 = _count_at_res(verts, indices, lo, hi,
+                                     res_tuple(probe_scalar * 2))
+        # count(res) ~ probe_count * (probe_scalar / res)^p
+        p = np.log2(max(probe_count, 1) / max(probe_count2, 1))
+        p = float(np.clip(p, 0.0, 2.0))
+
+        chosen = (probe_scalar,
+                  int(min(K_CAP, 2 ** np.ceil(np.log2(max(probe_count, K))))))
+        scalar = probe_scalar
+        while scalar * 2 <= max_res:
+            scalar *= 2
+            k_est = probe_count * (probe_scalar / scalar) ** p * 1.3
+            k_need = int(2 ** np.ceil(np.log2(max(k_est, K))))
+            cells = int(np.prod(res_tuple(scalar)))
+            if k_need <= K_CAP and cells * k_need <= BUDGET:
+                chosen = (scalar, k_need)   # finest feasible wins
+        scalar, K = chosen
+        # build, doubling K (then coarsening) until the measured band fits
+        while True:
+            res = res_tuple(scalar)
+            cand, max_count = _build_at_res(verts, indices, lo, hi, res, K)
+            if max_count <= K:
+                break
+            if K * 2 <= K_CAP and int(np.prod(res)) * K * 2 <= BUDGET:
+                K *= 2
+            elif scalar > probe_scalar:
+                scalar //= 2
+            else:
+                break  # give up exactness; coverage flag records it
 
     inv_cell = np.asarray(res, np.float32) / np.maximum(span, 1e-20)
     coverage = 1.0 if max_count <= K else 0.0
