@@ -396,11 +396,11 @@ class GuidedIntegrator(BaseIntegrator):
 
         spec, adam_cfg = self.spec, self.adam_cfg  # static (python) configs
 
-        def chunk_fn(tr, keys, ton, uf, mgd):
+        def chunk_fn(sc, pts, m, tr, keys, ton, uf, mgd):
             def body(carry, kk):
                 tr, acc, steps = carry
                 contrib, records, st = run_one_guided_sample(
-                    scene, spec, tr.ema_params, self.eval_points, self.mask,
+                    sc, spec, tr.ema_params, pts, m,
                     kk, jnp.bool_(True), ton, uf, mgd,
                     eps=float(s.epsilonShell),
                     max_depth=int(s.maxWalkingDepth),
@@ -408,7 +408,7 @@ class GuidedIntegrator(BaseIntegrator):
                     n_stack=self.problem.n_stack)
 
                 def do_train(t):
-                    return train_on_records(t, spec, adam_cfg, scene, records,
+                    return train_on_records(t, spec, adam_cfg, sc, records,
                                             batch_size=batch_size,
                                             n_batches=n_batches)
 
@@ -424,7 +424,9 @@ class GuidedIntegrator(BaseIntegrator):
 
         def run_chunk(c):  # compile once per distinct chunk length
             if c not in chunk_jit:
-                chunk_jit[c] = jax.jit(chunk_fn)
+                f = jax.jit(chunk_fn)
+                chunk_jit[c] = lambda *a: f(scene, self.eval_points,
+                                            self.mask, *a)
             return chunk_jit[c]
 
         start = time.time()

@@ -74,8 +74,8 @@ class BaseIntegrator:
         scene = self.problem.scene
         if scene.dirichlet is not None:
             d, _ = jax.jit(
-                lambda q: dirichlet_distance(scene, q, self.problem.d_stack)
-            )(self.eval_points)
+                lambda sc, q: dirichlet_distance(sc, q, self.problem.d_stack)
+            )(scene, self.eval_points)
             vals = np.asarray(d)
         else:
             vals = np.full((self.n_pixels,), np.inf, np.float32)
@@ -86,8 +86,8 @@ class BaseIntegrator:
     def render_silhouette_sdf(self):
         scene = self.problem.scene
         if scene.neumann is not None:
-            d = jax.jit(lambda q: Q.closest_silhouette(scene.neumann.gs, q))(
-                self.eval_points)
+            d = jax.jit(Q.closest_silhouette)(scene.neumann.gs,
+                                              self.eval_points)
             vals = np.asarray(d)
         else:
             vals = np.full((self.n_pixels,), np.inf, np.float32)
@@ -98,7 +98,8 @@ class BaseIntegrator:
     def render_source(self):
         scene = self.problem.scene
         if scene.source is not None:
-            vals = np.asarray(jax.jit(scene.source.sample)(self.eval_points))
+            vals = np.asarray(jax.jit(
+                lambda src, q: src.sample(q))(scene.source, self.eval_points))
             vals = vals * scene.source_intensity
         else:
             vals = np.zeros((self.n_pixels, 3), np.float32)
@@ -158,11 +159,15 @@ class UniformIntegrator(BaseIntegrator):
         if s.samplesPerPixel % spp_chunk != 0:
             spp_chunk = 1  # keep the sample count exact
 
-        def chunk_fn(k):
+        # NOTE: scene/eval points are jit *arguments* (device inputs), not
+        # closure captures — captured constants are shipped inside the
+        # compile payload, which breaks remote-compile setups for
+        # accelerator-resident tables (HTTP 413 on axon).
+        def chunk_fn(sc, pts, m, k):
             def body(carry, kk):
                 acc, steps = carry
                 c, st = run_one_sample(
-                    scene, self.eval_points, self.mask, kk,
+                    sc, pts, m, kk,
                     eps=float(s.epsilonShell),
                     max_depth=int(s.maxWalkingDepth),
                     d_stack=self.problem.d_stack,
@@ -173,7 +178,8 @@ class UniformIntegrator(BaseIntegrator):
                 body, init, jax.random.split(k, spp_chunk))
             return acc, steps
 
-        step = jax.jit(chunk_fn)
+        jit_step = jax.jit(chunk_fn)
+        step = lambda k: jit_step(scene, self.eval_points, self.mask, k)
 
         start = time.time()
         total = jnp.zeros((self.n_pixels, 3), jnp.float32)
