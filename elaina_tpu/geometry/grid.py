@@ -271,23 +271,49 @@ def grid_closest_point(grid: CandidateGrid, verts, indices, q):
     kernel (ops/pallas_queries.candidate_band_pallas) on TPU.
     """
     dim = indices.shape[1]
+    K = grid.cand.shape[1]
     lin = grid_cell_index(grid, q)
-    cand = grid.cand[lin]                               # (N, K)
-    safe = jnp.maximum(cand, 0)
-    idx = indices[safe]                                 # (N, K, dim)
-    pv = tuple(verts[idx[..., k]] for k in range(dim))  # (N, K, D)
 
-    if dim == 2 and _use_pallas():
-        from ..ops.pallas_queries import candidate_band_pallas
-        best_d, slot = candidate_band_pallas(
-            q, pv[0][..., 0], pv[0][..., 1], pv[1][..., 0], pv[1][..., 1],
-            cand >= 0)
-        best_i = jnp.take_along_axis(cand, slot[:, None], axis=-1)[:, 0]
+    def band_slice(k0, kc):
+        cand = jax.lax.dynamic_slice_in_dim(grid.cand, k0, kc, 1)[lin]
+        safe = jnp.maximum(cand, 0)
+        idx = indices[safe]                                  # (N, kc, dim)
+        pv = tuple(verts[idx[..., k]] for k in range(dim))   # (N, kc, D)
+        return cand, pv
+
+    if K <= 128:
+        cand, pv = band_slice(0, K)
+        if dim == 2 and _use_pallas():
+            from ..ops.pallas_queries import candidate_band_pallas
+            best_d, slot = candidate_band_pallas(
+                q, pv[0][..., 0], pv[0][..., 1], pv[1][..., 0], pv[1][..., 1],
+                cand >= 0)
+            best_i = jnp.take_along_axis(cand, slot[:, None], axis=-1)[:, 0]
+            return best_d, best_i
+        d, _ = prim_closest_point(dim, q[:, None, :], pv)
+        d = jnp.where(cand >= 0, d, jnp.inf)
+        j = jnp.argmin(d, axis=-1)
+        best_d = jnp.take_along_axis(d, j[:, None], axis=-1)[:, 0]
+        best_i = jnp.take_along_axis(cand, j[:, None], axis=-1)[:, 0]
         return best_d, best_i
 
-    d, _ = prim_closest_point(dim, q[:, None, :], pv)
-    d = jnp.where(cand >= 0, d, jnp.inf)
-    j = jnp.argmin(d, axis=-1)
-    best_d = jnp.take_along_axis(d, j[:, None], axis=-1)[:, 0]
-    best_i = jnp.take_along_axis(cand, j[:, None], axis=-1)[:, 0]
-    return best_d, best_i
+    # wide bands: sweep the candidate axis in fixed slices so the gathered
+    # intermediates stay ~N x 128 (wide-K tables would otherwise materialize
+    # multi-GB (N, K, ...) gathers and blow HBM at large lane counts)
+    KC = 128
+    n_chunks = K // KC
+
+    def body(i, carry):
+        best_d, best_i = carry
+        cand, pv = band_slice(i * KC, KC)
+        d, _ = prim_closest_point(dim, q[:, None, :], pv)
+        d = jnp.where(cand >= 0, d, jnp.inf)
+        j = jnp.argmin(d, axis=-1)
+        d_c = jnp.take_along_axis(d, j[:, None], axis=-1)[:, 0]
+        i_c = jnp.take_along_axis(cand, j[:, None], axis=-1)[:, 0]
+        better = d_c < best_d
+        return (jnp.where(better, d_c, best_d),
+                jnp.where(better, i_c, best_i))
+
+    init = (jnp.full(q.shape[:1], jnp.inf), jnp.zeros(q.shape[:1], jnp.int32))
+    return jax.lax.fori_loop(0, n_chunks, body, init)
