@@ -297,23 +297,79 @@ def grid_closest_point(grid: CandidateGrid, verts, indices, q):
         best_i = jnp.take_along_axis(cand, j[:, None], axis=-1)[:, 0]
         return best_d, best_i
 
-    # wide bands: sweep the candidate axis in fixed slices so the gathered
-    # intermediates stay ~N x 128 (wide-K tables would otherwise materialize
-    # multi-GB (N, K, ...) gathers and blow HBM at large lane counts)
+    # Wide bands: sweep the candidate axis in fixed slices, with all gathers
+    # coordinate-planar — each materialized array is (N, KC), which tiles
+    # the TPU's (8, 128) layout perfectly.  Gathering (N, KC, D) instead
+    # pads the trailing D=2/3 to 128 lanes (a 40-64x HBM blowup that OOMs
+    # compiles at production lane counts).
     KC = 128
     n_chunks = K // KC
+    qc = tuple(q[:, d:d + 1] for d in range(dim))            # (N, 1) planes
+    vert_planes = tuple(verts[:, d] for d in range(dim))     # (V,) planes
+    idx_planes = tuple(indices[:, k] for k in range(indices.shape[1]))
 
     def body(i, carry):
-        best_d, best_i = carry
-        cand, pv = band_slice(i * KC, KC)
-        d, _ = prim_closest_point(dim, q[:, None, :], pv)
-        d = jnp.where(cand >= 0, d, jnp.inf)
-        j = jnp.argmin(d, axis=-1)
-        d_c = jnp.take_along_axis(d, j[:, None], axis=-1)[:, 0]
+        best_d2, best_i = carry
+        cand = jax.lax.dynamic_slice_in_dim(grid.cand, i * KC, KC, 1)[lin]
+        safe = jnp.maximum(cand, 0)
+        corner = [[vert_planes[d][idx_planes[k][safe]] for d in range(dim)]
+                  for k in range(len(idx_planes))]           # [vert][dim](N, KC)
+        if dim == 2:
+            (ax, ay), (bx, by) = corner
+            ex, ey = bx - ax, by - ay
+            wx, wy = qc[0] - ax, qc[1] - ay
+            den = jnp.maximum(ex * ex + ey * ey, 1e-30)
+            t = jnp.clip((wx * ex + wy * ey) / den, 0.0, 1.0)
+            dx, dy = wx - t * ex, wy - t * ey
+            d2 = dx * dx + dy * dy
+        else:
+            d2 = _tri_planar_d2(qc, corner)
+        d2 = jnp.where(cand >= 0, d2, jnp.inf)
+        j = jnp.argmin(d2, axis=-1)
+        d_c = jnp.take_along_axis(d2, j[:, None], axis=-1)[:, 0]
         i_c = jnp.take_along_axis(cand, j[:, None], axis=-1)[:, 0]
-        better = d_c < best_d
-        return (jnp.where(better, d_c, best_d),
+        better = d_c < best_d2
+        return (jnp.where(better, d_c, best_d2),
                 jnp.where(better, i_c, best_i))
 
     init = (jnp.full(q.shape[:1], jnp.inf), jnp.zeros(q.shape[:1], jnp.int32))
-    return jax.lax.fori_loop(0, n_chunks, body, init)
+    best_d2, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
+    return jnp.sqrt(best_d2), best_i
+
+
+def _tri_planar_d2(qc, corner):
+    """Squared point-triangle distance on coordinate planes (all (N, KC))."""
+    a, b, c = corner
+
+    def sub(u, v):
+        return tuple(ui - vi for ui, vi in zip(u, v))
+
+    def dot3(u, v):
+        return sum(ui * vi for ui, vi in zip(u, v))
+
+    e1 = sub(b, a)
+    e2 = sub(c, a)
+    w = sub(qc, a)
+    d11 = dot3(e1, e1)
+    d12 = dot3(e1, e2)
+    d22 = dot3(e2, e2)
+    w1 = dot3(w, e1)
+    w2 = dot3(w, e2)
+    den = jnp.maximum(d11 * d22 - d12 * d12, 1e-30)
+    u = (d22 * w1 - d12 * w2) / den
+    v = (d11 * w2 - d12 * w1) / den
+    inside = (u >= 0) & (v >= 0) & (u + v <= 1)
+    # interior distance via the explicit residual (no cancellation)
+    diff = tuple(wi - u * e1i - v * e2i for wi, e1i, e2i in zip(w, e1, e2))
+    d2_in = dot3(diff, diff)
+
+    def edge_d2(p0, p1):
+        e = sub(p1, p0)
+        wp = sub(qc, p0)
+        t = jnp.clip(dot3(wp, e) / jnp.maximum(dot3(e, e), 1e-30), 0.0, 1.0)
+        diff = tuple(wi - t * ei for wi, ei in zip(wp, e))
+        return dot3(diff, diff)
+
+    d2_edge = jnp.minimum(jnp.minimum(edge_d2(a, b), edge_d2(b, c)),
+                          edge_d2(c, a))
+    return jnp.where(inside, d2_in, d2_edge)
