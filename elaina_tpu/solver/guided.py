@@ -239,18 +239,19 @@ def run_one_guided_sample(scene: Scene, spec: NetworkSpec, infer_params,
     keys = jax.random.split(key, max_depth)
 
     def body(carry, xs):
-        st, rec = carry
+        st, rec, acc, lives = carry
         k, depth = xs
         n_live = jnp.sum(st.active.astype(jnp.int32))
         st, rec, c = guided_depth_step(
             scene, spec, infer_params, st, rec, k, depth,
             guiding_on, training_on, uniform_fraction, max_guided_depth,
             eps=eps, d_stack=d_stack, n_stack=n_stack)
-        return (st, rec), (c, n_live)
+        return (st, rec, acc + c, lives + n_live), None
 
-    (state, records), (contribs, lives) = jax.lax.scan(
-        body, (state, records), (keys, jnp.arange(max_depth)))
-    return jnp.sum(contribs, axis=0), records, jnp.sum(lives)
+    init = (state, records, jnp.zeros((n, 3), jnp.float32), jnp.int32(0))
+    (state, records, total, lives), _ = jax.lax.scan(
+        body, init, (keys, jnp.arange(max_depth)))
+    return total, records, lives
 
 
 # --------------------------------------------------------------------------- #

@@ -298,10 +298,16 @@ def run_one_sample(scene: Scene, eval_points, mask, key, *, eps: float,
     state = init_walk_state(eval_points, mask)
     keys = jax.random.split(key, max_depth)
 
-    def body(st, k):
+    # accumulate contributions in the carry: stacking per-depth (N, 3)
+    # outputs would materialize a (depth, N, 3) array whose trailing dim
+    # pads 3 -> 128 on TPU (a ~40x HBM blowup at production sizes)
+    def body(carry, k):
+        st, acc, lives = carry
         n_live = jnp.sum(st.active.astype(jnp.int32))
         st, contrib = wost_depth_step(scene, st, k, eps, d_stack, n_stack)
-        return st, (contrib, n_live)
+        return (st, acc + contrib, lives + n_live), None
 
-    _, (contribs, lives) = jax.lax.scan(body, state, keys)
-    return jnp.sum(contribs, axis=0), jnp.sum(lives)
+    init = (state, jnp.zeros((eval_points.shape[0], 3), jnp.float32),
+            jnp.int32(0))
+    (_, total, lives), _ = jax.lax.scan(body, init, keys)
+    return total, lives
