@@ -214,6 +214,10 @@ class Problem:
                     np.minimum(aabb_min, v.min(0)) - margin,
                     np.maximum(aabb_max, v.max(0)) + margin,
                     cache_dir=cache_dir)
+                from ..geometry.grid import (_pallas_interpret, _use_pallas,
+                                             attach_coords)
+                if dim == 2 and (_use_pallas() or _pallas_interpret()):
+                    d_grid = attach_coords(d_grid, v, idx)
         if json_get_optional(mesh, "neumann_path"):
             v, idx = load_obj(resolve(mesh["neumann_path"]), dim)
             gs, depth = make_geom_set(v, idx)

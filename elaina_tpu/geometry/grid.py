@@ -1,33 +1,42 @@
-"""Candidate-grid acceleration for closest-point queries (TPU-native).
+"""Adaptive candidate-grid acceleration for closest-point queries (TPU-native).
 
 The reference's hot query — closest point on the Dirichlet boundary, once
 per walk per depth (uniform/integrator.cu:138-157) — runs on GPU as a
 per-thread BVH descent.  That shape (divergent per-lane stacks + random
 scatter) is hostile to the TPU's lockstep vector units, so the TPU build
-replaces it with a *candidate grid*:
+replaces it with an *adaptive candidate grid*:
 
-For every cell of a uniform grid over the query domain we precompute the
-set of primitives that can be the nearest neighbour of ANY point in that
-cell.  With c = cell center, h = half-diagonal, m = min_j d(c, prim_j):
+For every cell of a grid over the query domain we precompute the exact set
+of primitives that can be the nearest neighbour of ANY point in the cell:
+with lower_i <= min_{q in cell} d(q, prim_i), upper_i >= max_{q in cell}
+d(q, prim_i) (2D: exact box-segment bounds; 3D: center +/- half-diagonal),
+the band
 
-    for q in cell:  d(q, nearest) <= m + h   and
-    the true nearest k satisfies d(c, k) <= d(q, k) + h <= m + 2h,
+    {i : lower_i <= M},   M = min_j upper_j
 
-so the band {i : d(c, i) <= m + 2h} provably contains the exact nearest
-primitive for every in-cell query.  A query is then one cell lookup + K
-primitive evaluations — a single fused gather + dense reduce, no control
-flow.  K is measured at build time; the resolution is raised until the band
-fits the requested K (or the largest configured resolution is reached).
+provably contains the exact nearest primitive for every in-cell query.
+Cells whose band exceeds the uniform row width K are REFINED: subdivided
+2x per axis, recursively, until the band fits (bands shrink with cell
+size).  All bands land as uniform K-wide rows of one flat table, so every
+query lane does identical work: resolve its row id through the per-level
+``meta`` indirection (1-3 tiny gathers), then sweep K candidates.
 
-The grid is built on device in cell chunks (distance matrix + top_k), costs
-seconds once per scene, and is cached to disk keyed by a geometry hash.
+On TPU the sweep runs as a Pallas kernel: one contiguous row DMA per lane
+from the pre-resolved *coordinate table* (attach_coords) plus a dense VPU
+distance reduction — zero per-candidate gathers, which otherwise dominate
+the whole solve (measured ~18 cycles/element through XLA's gather).
+
+The build runs on device in cell chunks and is cached to disk keyed by a
+geometry hash.  A per-(level-0)-cell lower bound of the boundary distance
+(``lbound``) falls out of the build for free.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 
 import jax
@@ -36,110 +45,202 @@ import numpy as np
 
 from .primitives import prim_closest_point
 
+PAD_COORD = 1.0e9  # far-away coordinate for padded candidate slots
+
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["origin", "inv_cell", "cand", "coverage"],
+         data_fields=["origin", "inv_cell", "cand", "meta", "coverage",
+                      "lbound", "coords"],
          meta_fields=["res"])
 @dataclass
 class CandidateGrid:
     origin: jnp.ndarray      # (D,)
-    inv_cell: jnp.ndarray    # (D,) 1/cell_size
-    cand: jnp.ndarray        # (C, K) int32 prim ids, -1 padded
-    coverage: jnp.ndarray    # 1.0 if every cell's band fit K (diagnostic)
-    res: tuple               # static cell counts per axis
+    inv_cell: jnp.ndarray    # (D,) 1/cell_size at level 0
+    cand: jnp.ndarray        # (R, K) int32 prim-id rows, -1 padded
+    meta: tuple              # per-level int32 arrays: >=0 row id,
+    #                          <0 -> -(refined-cell ordinal)-1 into level+1
+    coverage: jnp.ndarray    # 1.0 if every leaf cell's band fit K
+    lbound: jnp.ndarray      # (C0,) f32 min-over-cell distance lower bound
+    coords: jnp.ndarray | None = None
+    # coords: (R, n_corners*D*Kp) f32 — candidate corner coordinates,
+    # planes concatenated per row (2D: [ax | ay | bx | by]); padded slots
+    # hold PAD_COORD.  Built by attach_coords for the Pallas DMA sweep.
+    res: tuple = ()          # static level-0 cell counts per axis
+
+
+# --------------------------------------------------------------------------- #
+# per-(cell, prim) distance bounds
+# --------------------------------------------------------------------------- #
+
+
+def _point_seg_d2(cx, cy, ax, ay, bx, by):
+    """Squared point-segment distance on coordinate planes (broadcasting)."""
+    ex, ey = bx - ax, by - ay
+    wx, wy = cx - ax, cy - ay
+    den = jnp.maximum(ex * ex + ey * ey, 1e-30)
+    t = jnp.clip((wx * ex + wy * ey) / den, 0.0, 1.0)
+    dx, dy = wx - t * ex, wy - t * ey
+    return dx * dx + dy * dy
+
+
+def _seg_box_overlap(ax, ay, bx, by, lox, loy, hix, hiy):
+    """True where segment (a,b) intersects the axis-aligned box (slab test)."""
+    def slab(a0, d0, lo0, hi0, tmin, tmax):
+        degen = jnp.abs(d0) < 1e-20
+        inv = 1.0 / jnp.where(degen, 1.0, d0)
+        t0 = (lo0 - a0) * inv
+        t1 = (hi0 - a0) * inv
+        lo_t = jnp.minimum(t0, t1)
+        hi_t = jnp.maximum(t0, t1)
+        inside = (a0 >= lo0) & (a0 <= hi0)
+        lo_t = jnp.where(degen, jnp.where(inside, -jnp.inf, jnp.inf), lo_t)
+        hi_t = jnp.where(degen, jnp.where(inside, jnp.inf, -jnp.inf), hi_t)
+        return jnp.maximum(tmin, lo_t), jnp.minimum(tmax, hi_t)
+
+    dx, dy = bx - ax, by - ay
+    tmin = jnp.full(jnp.broadcast_shapes(ax.shape, lox.shape), 0.0)
+    tmax = jnp.full(jnp.broadcast_shapes(ax.shape, lox.shape), 1.0)
+    tmin, tmax = slab(ax, dx, lox, hix, tmin, tmax)
+    tmin, tmax = slab(ay, dy, loy, hiy, tmin, tmax)
+    return tmin <= tmax
+
+
+def _point_box_dist(px, py, lox, loy, hix, hiy):
+    dx = jnp.maximum(jnp.maximum(lox - px, px - hix), 0.0)
+    dy = jnp.maximum(jnp.maximum(loy - py, py - hiy), 0.0)
+    return jnp.sqrt(dx * dx + dy * dy)
+
+
+def _cell_prim_bounds(dim, centers, hcell, pv):
+    """Per (cell, prim) distance bounds over the whole cell.
+
+    centers: (chunk, D); hcell: (D,) half cell size; pv: tuple of dim (P, D).
+    Returns (lower, upper) each (chunk, P) with
+      lower <= min_{q in cell} d(q, prim) and upper >= max_{q in cell} d(q, prim).
+    2D: both EXACT (box-segment distance; the max over a box of a convex
+    distance function is attained at a corner).  3D: center +/- half-diag.
+    """
+    if dim == 2:
+        a, b = pv
+        ax, ay = a[None, :, 0], a[None, :, 1]            # (1, P)
+        bx, by = b[None, :, 0], b[None, :, 1]
+        cx, cy = centers[:, 0:1], centers[:, 1:2]        # (chunk, 1)
+        hx, hy = float(hcell[0]), float(hcell[1])
+        lox, hix = cx - hx, cx + hx
+        loy, hiy = cy - hy, cy + hy
+        d2 = [_point_seg_d2(qx, qy, ax, ay, bx, by)
+              for qx, qy in ((lox, loy), (lox, hiy), (hix, loy), (hix, hiy))]
+        upper = jnp.sqrt(jnp.maximum(jnp.maximum(d2[0], d2[1]),
+                                     jnp.maximum(d2[2], d2[3])))
+        corner_min = jnp.sqrt(jnp.minimum(jnp.minimum(d2[0], d2[1]),
+                                          jnp.minimum(d2[2], d2[3])))
+        d_end = jnp.minimum(_point_box_dist(ax, ay, lox, loy, hix, hiy),
+                            _point_box_dist(bx, by, lox, loy, hix, hiy))
+        overlap = _seg_box_overlap(ax, ay, bx, by, lox, loy, hix, hiy)
+        lower = jnp.where(overlap, 0.0, jnp.minimum(corner_min, d_end))
+        return lower, upper
+    h = float(np.linalg.norm(np.asarray(hcell, np.float64)))
+    d, _ = prim_closest_point(dim, centers[:, None, :],
+                              tuple(v[None] for v in pv))
+    return jnp.maximum(d - h, 0.0), d + h
+
+
+# --------------------------------------------------------------------------- #
+# device build passes (chunked; super-chunked dispatches keep each call
+# inside the tunneled-TPU runtime watchdog while amortizing round-trips)
+# --------------------------------------------------------------------------- #
+
+_CHUNK = 256
+_SC = 32
+
+
+def _pad_centers(centers, chunk_cells):
+    n = centers.shape[0]
+    n_pad = -(-n // chunk_cells) * chunk_cells
+    out = np.zeros((n_pad, centers.shape[1]), np.float32)
+    out[:n] = centers
+    return out
+
+
+def _count_pass(pv, dim, centers, hcell):
+    """(counts (n,), lcell (n,)) — band size + cell-min lower bound."""
+    def one_chunk(c):
+        lower, upper = _cell_prim_bounds(dim, c, hcell, pv)
+        M = jnp.min(upper, axis=-1)
+        in_band = lower <= M[:, None] * (1.0 + 1e-6) + 1e-9
+        return jnp.sum(in_band, axis=-1), jnp.min(lower, axis=-1)
+
+    @jax.jit
+    def super_chunk(cs):
+        return jax.lax.map(one_chunk, cs.reshape(_SC, _CHUNK, dim))
+
+    n = centers.shape[0]
+    sup = _SC * _CHUNK
+    cp = _pad_centers(centers, sup)
+    counts = np.empty((cp.shape[0],), np.int32)
+    lcell = np.empty((cp.shape[0],), np.float32)
+    for s in range(0, cp.shape[0], sup):
+        c_s, l_s = super_chunk(jnp.asarray(cp[s:s + sup]))
+        counts[s:s + sup] = np.asarray(c_s).reshape(-1)
+        lcell[s:s + sup] = np.asarray(l_s).reshape(-1)
+    return counts[:n], lcell[:n]
+
+
+def _band_pass(pv, dim, centers, hcell, K):
+    """Band rows (n, K) int32 (-1 padded), truncated at K by prim order."""
+    P = pv[0].shape[0]
+
+    def one_chunk(c):
+        lower, upper = _cell_prim_bounds(dim, c, hcell, pv)
+        M = jnp.min(upper, axis=-1)
+        in_band = lower <= M[:, None] * (1.0 + 1e-6) + 1e-9
+        rank = jnp.cumsum(in_band, axis=-1) - 1
+        dest = jnp.where(in_band & (rank < K), rank, K)
+        rows = jnp.broadcast_to(jnp.arange(c.shape[0])[:, None], dest.shape)
+        prim_ids = jnp.broadcast_to(
+            jnp.arange(P, dtype=jnp.int32)[None], dest.shape)
+        out = jnp.full((c.shape[0], K + 1), -1, jnp.int32)
+        out = out.at[rows, dest].set(prim_ids, mode="drop")
+        return out[:, :K]
+
+    @jax.jit
+    def super_chunk(cs):
+        return jax.lax.map(one_chunk, cs.reshape(_SC, _CHUNK, dim))
+
+    n = centers.shape[0]
+    sup = _SC * _CHUNK
+    cp = _pad_centers(centers, sup)
+    rows = np.empty((cp.shape[0], K), np.int32)
+    for s in range(0, cp.shape[0], sup):
+        r_s = super_chunk(jnp.asarray(cp[s:s + sup]))
+        rows[s:s + sup] = np.asarray(r_s).reshape(sup, K)
+    return rows[:n]
 
 
 def _cell_centers(lo, hi, res):
     dim = len(res)
-    axes = [lo[d] + (np.arange(res[d]) + 0.5) * (hi[d] - lo[d]) / res[d] for d in range(dim)]
+    axes = [lo[d] + (np.arange(res[d]) + 0.5) * (hi[d] - lo[d]) / res[d]
+            for d in range(dim)]
     mesh = np.meshgrid(*axes, indexing="ij")
     return np.stack([m.reshape(-1) for m in mesh], axis=-1).astype(np.float32)
 
 
-def _build_at_res(verts, indices, lo, hi, res, K, chunk=512):
-    """Returns (cand (C,K) int32, max_band_count)."""
-    dim = indices.shape[1]
-    centers = _cell_centers(lo, hi, res)
-    C = centers.shape[0]
-    h = 0.5 * float(np.linalg.norm((hi - lo) / np.asarray(res, np.float64)))
-
-    pv = tuple(jnp.asarray(verts[indices[:, k]]) for k in range(dim))
-
-    P = indices.shape[0]
-
-    def one_chunk(c):
-        # (chunk, P) exact distances from cell centers to primitives
-        d, _ = prim_closest_point(dim, c[:, None, :], tuple(v[None] for v in pv))
-        m = jnp.min(d, axis=-1)
-        thresh = m + 2.0 * h
-        in_band = d <= thresh[:, None]
-        count = jnp.sum(in_band, axis=-1)
-        # band compaction without sort/top_k (top_k's unrolled comparator
-        # network explodes XLA compile time for K > ~16): rank in-band prims
-        # by prefix count and scatter their ids into the first K slots.
-        rank = jnp.cumsum(in_band, axis=-1) - 1                 # (chunk, P)
-        dest = jnp.where(in_band & (rank < K), rank, K)         # K = trash
-        rows = jnp.broadcast_to(jnp.arange(c.shape[0])[:, None], dest.shape)
-        prim_ids = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], dest.shape)
-        out = jnp.full((c.shape[0], K + 1), -1, jnp.int32)
-        out = out.at[rows, dest].set(prim_ids, mode="drop")
-        return out[:, :K], count
-
-    # super-chunked dispatches: each jit call runs a lax.map over SC chunks
-    # (one dispatch for everything trips TPU-runtime execution watchdogs;
-    # per-chunk dispatches drown in tunnel round-trips — this is the middle)
-    SC = 32
-    super_cells = SC * chunk
-    C_pad = -(-C // super_cells) * super_cells
-    centers_pad = np.zeros((C_pad, dim), np.float32)
-    centers_pad[:C] = centers
-
-    @jax.jit
-    def build_super(cs):
-        return jax.lax.map(one_chunk, cs.reshape(SC, chunk, dim))
-
-    cand = np.empty((C_pad, K), np.int32)
-    max_count = 0
-    for s in range(0, C_pad, super_cells):
-        idx_s, count_s = build_super(jnp.asarray(centers_pad[s:s + super_cells]))
-        cand[s:s + super_cells] = np.asarray(idx_s).reshape(super_cells, K)
-        max_count = max(max_count, int(np.max(np.asarray(count_s))))
-    return cand[:C], max_count
+def _children_centers(centers, hcell, dim):
+    """2^dim children per cell; child ordinal bit d set <-> upper half of
+    dim d (must match the fraction test in grid_row_index)."""
+    offs = []
+    for sub in range(2 ** dim):
+        o = [(0.25 if (sub >> d) & 1 else -0.25) * 2.0 * hcell[d]
+             for d in range(dim)]
+        offs.append(o)
+    offs = np.asarray(offs, np.float32)                  # (2^dim, D)
+    out = centers[:, None, :] + offs[None]               # (n, 2^dim, D)
+    return out.reshape(-1, dim)
 
 
-def _count_at_res(verts, indices, lo, hi, res, chunk=512):
-    """Max band count at a resolution — probe pass, no candidate arrays.
-
-    One compilation serves every resolution (shapes depend only on chunk
-    and the primitive count)."""
-    dim = indices.shape[1]
-    centers = _cell_centers(lo, hi, res)
-    C = centers.shape[0]
-    h = 0.5 * float(np.linalg.norm((hi - lo) / np.asarray(res, np.float64)))
-    pv = tuple(jnp.asarray(verts[indices[:, k]]) for k in range(dim))
-
-    def one_chunk(args):
-        c, hh = args
-        d, _ = prim_closest_point(dim, c[:, None, :], tuple(v[None] for v in pv))
-        m = jnp.min(d, axis=-1)
-        return jnp.max(jnp.sum(d <= (m + 2.0 * hh)[:, None], axis=-1))
-
-    SC = 32
-    super_cells = SC * chunk
-    C_pad = -(-C // super_cells) * super_cells
-    centers_pad = np.zeros((C_pad, dim), np.float32)
-    centers_pad[:C] = centers
-
-    @jax.jit
-    def count_super(cs, hh):
-        hs = jnp.broadcast_to(hh, (SC,))
-        return jnp.max(jax.lax.map(one_chunk, (cs.reshape(SC, chunk, dim), hs)))
-
-    max_count = 0
-    for s in range(0, C_pad, super_cells):
-        max_count = max(max_count, int(count_super(
-            jnp.asarray(centers_pad[s:s + super_cells]), jnp.float32(h))))
-    return max_count
+# --------------------------------------------------------------------------- #
+# build
+# --------------------------------------------------------------------------- #
 
 
 def build_candidate_grid(
@@ -147,103 +248,158 @@ def build_candidate_grid(
     indices: np.ndarray,
     lo: np.ndarray,
     hi: np.ndarray,
-    K: int = 32,
+    K: int = 256,
     max_res: int = 2048,
+    max_levels: int = 4,
     cache_dir: str | None = None,
 ) -> CandidateGrid:
+    """Build the adaptive candidate grid (cached to disk by geometry hash).
+
+    Level-0 resolution targets ~512 cells on the longest axis in 2D (~64 in
+    3D), capped at ``max_res``; cells whose provably-exact band exceeds K
+    are subdivided (up to ``max_levels`` total levels).  All bands are
+    uniform K-wide rows — every query lane does identical work.
+    """
     dim = indices.shape[1]
     lo = np.asarray(lo, np.float32)
     hi = np.asarray(hi, np.float32)
     span = hi - lo
 
     key = hashlib.sha1(
-        verts.tobytes() + indices.tobytes() + lo.tobytes() + hi.tobytes()
-        + np.int64([K, max_res]).tobytes()
+        b"v3" + verts.tobytes() + indices.tobytes() + lo.tobytes()
+        + hi.tobytes() + np.int64([K, max_res, max_levels]).tobytes()
     ).hexdigest()[:16]
-    cache_path = os.path.join(cache_dir, f"candgrid_{key}.npz") if cache_dir else None
+    cache_path = (os.path.join(cache_dir, f"candgrid_{key}.npz")
+                  if cache_dir else None)
     if cache_path and os.path.exists(cache_path):
         z = np.load(cache_path)
+        meta = tuple(jnp.asarray(z[f"meta_{i}"])
+                     for i in range(int(z["n_levels"])))
         return CandidateGrid(
-            origin=jnp.asarray(z["origin"]), inv_cell=jnp.asarray(z["inv_cell"]),
+            origin=jnp.asarray(z["origin"]),
+            inv_cell=jnp.asarray(z["inv_cell"]),
             res=tuple(int(r) for r in z["res"]), cand=jnp.asarray(z["cand"]),
-            coverage=jnp.asarray(z["coverage"]),
+            meta=meta, coverage=jnp.asarray(z["coverage"]),
+            lbound=jnp.asarray(z["lbound"]),
         )
 
-    # Strategy: probe the band count at two coarse resolutions to fit its
-    # scaling exponent (dense hatch fills and fan vertices make it sub- or
-    # super-linear in cell size), then pick the finest (resolution, K) that
-    # keeps coverage exact under the memory budget.
-    BUDGET = 1.4e9  # total candidate slots (int32)
-    K_CAP = 2048
+    base = 512 if dim == 2 else 64
+    res = tuple(int(np.clip(base * span[d] / max(span), 8, max_res))
+                for d in range(dim))
 
-    def res_tuple(scalar):
-        return tuple(min(max(int(scalar * span[d] / max(span)), 8), max_res)
-                     for d in range(dim))
+    pv = tuple(jnp.asarray(verts[indices[:, k]]) for k in range(dim))
 
-    probe_scalar = 256 if dim == 2 else 64
-    probe_res = res_tuple(probe_scalar)
-    probe_count = _count_at_res(verts, indices, lo, hi, probe_res)
-    res, max_count, cand = probe_res, probe_count, None
+    centers = _cell_centers(lo, hi, res)
+    hcell = 0.5 * span / np.asarray(res, np.float64)
 
-    if probe_count <= K:
-        cand, max_count = _build_at_res(verts, indices, lo, hi, probe_res, K)
-    else:
-        probe_count2 = _count_at_res(verts, indices, lo, hi,
-                                     res_tuple(probe_scalar * 2))
-        # count(res) ~ probe_count * (probe_scalar / res)^p
-        p = np.log2(max(probe_count, 1) / max(probe_count2, 1))
-        p = float(np.clip(p, 0.0, 2.0))
+    metas: list[np.ndarray] = []
+    row_blocks: list[np.ndarray] = []
+    row_base = 0
+    lbound = None
+    coverage = 1.0
 
-        chosen = (probe_scalar,
-                  int(min(K_CAP, 2 ** np.ceil(np.log2(max(probe_count, K))))))
-        scalar = probe_scalar
-        while scalar * 2 <= max_res:
-            scalar *= 2
-            k_est = probe_count * (probe_scalar / scalar) ** p * 1.3
-            k_need = int(2 ** np.ceil(np.log2(max(k_est, K))))
-            cells = int(np.prod(res_tuple(scalar)))
-            if k_need <= K_CAP and cells * k_need <= BUDGET:
-                chosen = (scalar, k_need)   # finest feasible wins
-        scalar, K = chosen
-        # build, doubling K (then coarsening) until the measured band fits
-        while True:
-            res = res_tuple(scalar)
-            cand, max_count = _build_at_res(verts, indices, lo, hi, res, K)
-            if max_count <= K:
-                break
-            if K * 2 <= K_CAP and int(np.prod(res)) * K * 2 <= BUDGET:
-                K *= 2
-            elif scalar > probe_scalar:
-                scalar //= 2
-            else:
-                break  # give up exactness; coverage flag records it
+    for lvl in range(max_levels):
+        counts, lcell = _count_pass(pv, dim, centers, hcell)
+        if lvl == 0:
+            lbound = lcell
+        last = lvl == max_levels - 1
+        fit = counts <= K if not last else np.ones_like(counts, bool)
+        if last and int(counts.max(initial=0)) > K:
+            coverage = 0.0
+            logging.getLogger("elaina").warning(
+                "candidate grid: %d leaf cells still exceed K=%d at level "
+                "%d (max band %d); results may be approximate there",
+                int((counts > K).sum()), K, lvl, int(counts.max()))
+        fit_idx = np.flatnonzero(fit)
+        over_idx = np.flatnonzero(~fit)
 
+        meta = np.empty((centers.shape[0],), np.int32)
+        meta[fit_idx] = row_base + np.arange(fit_idx.shape[0], dtype=np.int32)
+        meta[over_idx] = -np.arange(over_idx.shape[0], dtype=np.int32) - 1
+        metas.append(meta)
+
+        if fit_idx.shape[0]:
+            rows = _band_pass(pv, dim, centers[fit_idx], hcell, K)
+            row_blocks.append(rows)
+            row_base += rows.shape[0]
+
+        if over_idx.shape[0] == 0:
+            break
+        centers = _children_centers(centers[over_idx], hcell, dim)
+        hcell = hcell * 0.5
+
+    cand = (np.concatenate(row_blocks, 0) if row_blocks
+            else np.full((1, K), -1, np.int32))
     inv_cell = np.asarray(res, np.float32) / np.maximum(span, 1e-20)
-    coverage = 1.0 if max_count <= K else 0.0
+
     grid = CandidateGrid(
         origin=jnp.asarray(lo),
         inv_cell=jnp.asarray(inv_cell),
         res=res,
         cand=jnp.asarray(cand),
+        meta=tuple(jnp.asarray(m) for m in metas),
         coverage=jnp.asarray(np.float32(coverage)),
+        lbound=jnp.asarray(lbound),
     )
-    if max_count > K:
-        import logging
-        logging.getLogger("elaina").warning(
-            "candidate grid: band needs %d prims > K=%d at res %s; "
-            "nearest results may be approximate in dense regions", max_count, K, res)
     if cache_path:
         os.makedirs(cache_dir, exist_ok=True)
+        payload = {f"meta_{i}": m for i, m in enumerate(metas)}
         np.savez_compressed(
             cache_path, origin=np.asarray(lo), inv_cell=inv_cell,
             res=np.asarray(res, np.int64), cand=cand,
-            coverage=np.float32(coverage),
+            n_levels=np.int64(len(metas)),
+            coverage=np.float32(coverage), lbound=lbound, **payload,
         )
     return grid
 
 
+# --------------------------------------------------------------------------- #
+# Pallas coordinate table
+# --------------------------------------------------------------------------- #
+
+
+def coords_from_cand(cand: np.ndarray, verts: np.ndarray,
+                     indices: np.ndarray) -> np.ndarray:
+    """Pre-resolve candidate corner coordinates into a planar row table.
+
+    Returns (R, n_corners*D*Kp) f32 with Kp = K rounded up to 128 and the
+    planes concatenated per row (2D: [ax | ay | bx | by]); padded slots hold
+    PAD_COORD.  One contiguous row DMA per lane then feeds the Pallas band
+    sweep with zero per-candidate gathers.
+    """
+    C, K = cand.shape
+    dim = indices.shape[1]
+    D = verts.shape[1]
+    Kp = -(-K // 128) * 128
+    out = np.full((C, dim * D * Kp), PAD_COORD, np.float32)
+    safe = np.maximum(cand, 0)
+    valid = cand >= 0
+    col = 0
+    for k in range(dim):
+        vi = indices[safe, k]                        # (C, K)
+        for d in range(D):
+            p = verts[vi, d].astype(np.float32)
+            out[:, col:col + K] = np.where(valid, p, PAD_COORD)
+            col += Kp
+    return out
+
+
+def attach_coords(grid: CandidateGrid, verts: np.ndarray,
+                  indices: np.ndarray) -> CandidateGrid:
+    """Return a copy of the grid with the Pallas coordinate table attached."""
+    if grid.coords is not None:
+        return grid
+    coords = coords_from_cand(np.asarray(grid.cand), verts, indices)
+    return replace(grid, coords=jnp.asarray(coords))
+
+
+# --------------------------------------------------------------------------- #
+# queries
+# --------------------------------------------------------------------------- #
+
+
 def grid_cell_index(grid: CandidateGrid, q):
-    """Linear cell index for query points (clamped to the grid)."""
+    """Level-0 linear cell index for query points (clamped to the grid)."""
     rel = (q - grid.origin) * grid.inv_cell
     dim = len(grid.res)
     idx = jnp.clip(rel.astype(jnp.int32), 0,
@@ -254,28 +410,68 @@ def grid_cell_index(grid: CandidateGrid, q):
     return lin
 
 
+def grid_row_index(grid: CandidateGrid, q):
+    """Resolve each query's candidate-table row through the refinement
+    levels (1 tiny gather per level)."""
+    dim = len(grid.res)
+    rel = (q - grid.origin) * grid.inv_cell
+    idx = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0,
+                   jnp.asarray([r - 1 for r in grid.res], jnp.int32))
+    lin = idx[..., 0]
+    for d in range(1, dim):
+        lin = lin * grid.res[d] + idx[..., d]
+    frac = jnp.clip(rel - idx.astype(rel.dtype), 0.0, 1.0 - 1e-7)
+
+    row = grid.meta[0][lin]
+    for lvl in range(1, len(grid.meta)):
+        need = row < 0
+        bits = (frac >= 0.5)
+        sub = bits[..., 0].astype(jnp.int32)
+        for d in range(1, dim):
+            sub = sub + (bits[..., d].astype(jnp.int32) << d)
+        child = (-row - 1) * (2 ** dim) + sub
+        child = jnp.clip(child, 0, grid.meta[lvl].shape[0] - 1)
+        row = jnp.where(need, grid.meta[lvl][child], row)
+        frac = jnp.where(frac >= 0.5, frac * 2.0 - 1.0, frac * 2.0)
+    return jnp.maximum(row, 0)
+
+
 def _use_pallas() -> bool:
     import jax as _jax
-    return (os.environ.get("ELAINA_PALLAS", "0") == "1"
+    return (os.environ.get("ELAINA_PALLAS", "1") == "1"
             and _jax.default_backend() == "tpu")
 
 
+def _pallas_interpret() -> bool:
+    """Force the Pallas path in interpret mode (CPU tests of the kernel)."""
+    return os.environ.get("ELAINA_PALLAS_INTERPRET", "0") == "1"
+
+
 def grid_closest_point(grid: CandidateGrid, verts, indices, q):
-    """Exact closest point via the candidate grid.
+    """Exact closest point via the adaptive candidate grid.
 
     q: (N, D) -> (dist (N,), prim_id (N,)).  Exact for in-grid queries
-    whenever the build fit the band (grid.coverage == 1); out-of-grid
+    whenever every leaf band fit K (grid.coverage == 1); out-of-grid
     queries use the clamped border cell's candidates.
 
-    Set ELAINA_PALLAS=1 to run the band sweep through the fused Pallas
-    kernel (ops/pallas_queries.candidate_band_pallas) on TPU.
+    When the coordinate table is attached (attach_coords) and the backend
+    is TPU, the band sweep runs as a per-lane-DMA Pallas kernel
+    (ops/pallas_queries.grid_band_dma_2d); ELAINA_PALLAS=0 opts out.
     """
     dim = indices.shape[1]
     K = grid.cand.shape[1]
-    lin = grid_cell_index(grid, q)
+    row = grid_row_index(grid, q)
+
+    if (grid.coords is not None and dim == 2
+            and (_use_pallas() or _pallas_interpret())):
+        from ..ops.pallas_queries import grid_band_dma_2d
+        d2, slot = grid_band_dma_2d(row, q, grid.coords,
+                                    interpret=_pallas_interpret())
+        best_i = grid.cand[row, jnp.minimum(slot, K - 1)]
+        return jnp.sqrt(d2), jnp.maximum(best_i, 0)
 
     def band_slice(k0, kc):
-        cand = jax.lax.dynamic_slice_in_dim(grid.cand, k0, kc, 1)[lin]
+        cand = jax.lax.dynamic_slice_in_dim(grid.cand, k0, kc, 1)[row]
         safe = jnp.maximum(cand, 0)
         idx = indices[safe]                                  # (N, kc, dim)
         pv = tuple(verts[idx[..., k]] for k in range(dim))   # (N, kc, D)
@@ -310,7 +506,7 @@ def grid_closest_point(grid: CandidateGrid, verts, indices, q):
 
     def body(i, carry):
         best_d2, best_i = carry
-        cand = jax.lax.dynamic_slice_in_dim(grid.cand, i * KC, KC, 1)[lin]
+        cand = jax.lax.dynamic_slice_in_dim(grid.cand, i * KC, KC, 1)[row]
         safe = jnp.maximum(cand, 0)
         corner = [[vert_planes[d][idx_planes[k][safe]] for d in range(dim)]
                   for k in range(len(idx_planes))]           # [vert][dim](N, KC)

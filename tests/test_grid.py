@@ -26,6 +26,64 @@ def test_grid_exact_2d():
     np.testing.assert_allclose(np.asarray(d), np.asarray(db), rtol=1e-6, atol=1e-6)
 
 
+def test_grid_pallas_dma_path_interpret():
+    """The Pallas per-lane-DMA band sweep (interpret mode) matches the XLA
+    grid path and brute force exactly."""
+    t = np.linspace(0, 2 * math.pi, 400, endpoint=False)
+    r = 3 + np.sin(5 * t)
+    verts = np.stack([r * np.cos(t), r * np.sin(t)], -1).astype(np.float32)
+    idx = np.stack([np.arange(400), (np.arange(400) + 1) % 400],
+                   -1).astype(np.int32)
+    lo, hi = np.array([-5, -5], np.float32), np.array([5, 5], np.float32)
+    grid = build_candidate_grid(verts, idx, lo, hi, K=40, max_res=512)
+
+    from elaina_tpu.geometry.grid import attach_coords, grid_cell_index
+    from elaina_tpu.ops.pallas_queries import grid_band_dma_2d
+
+    grid_c = attach_coords(grid, verts, idx)
+    assert grid_c.coords.shape[1] % 128 == 0
+
+    q = jnp.asarray(np.random.default_rng(2).uniform(-5, 5, (700, 2)),
+                    jnp.float32)
+    lin = grid_cell_index(grid_c, q)
+    d2, slot = grid_band_dma_2d(lin, q, grid_c.coords, interpret=True)
+    pid = grid_c.cand[lin, jnp.minimum(slot, grid_c.cand.shape[1] - 1)]
+
+    a, b = verts[idx[:, 0]][None], verts[idx[:, 1]][None]
+    db = jnp.min(seg_closest_point(np.asarray(q)[:, None, :], a, b)[0], axis=1)
+    np.testing.assert_allclose(np.sqrt(np.asarray(d2)), np.asarray(db),
+                               rtol=1e-5, atol=1e-6)
+    # pid may differ from the XLA path only on exact ties (shared-vertex
+    # equidistant segments): the chosen prim must attain the true distance
+    a_sel = verts[idx[np.asarray(pid), 0]][:, None]
+    b_sel = verts[idx[np.asarray(pid), 1]][:, None]
+    d_sel = seg_closest_point(np.asarray(q)[:, None, :], a_sel, b_sel)[0][:, 0]
+    np.testing.assert_allclose(d_sel, np.asarray(db), rtol=1e-5, atol=1e-5)
+
+
+def test_grid_lbound_is_lower_bound():
+    """The per-cell L grid lower-bounds the true distance everywhere."""
+    t = np.linspace(0, 2 * math.pi, 200, endpoint=False)
+    verts = np.stack([2 * np.cos(t), 2 * np.sin(t)], -1).astype(np.float32)
+    idx = np.stack([np.arange(200), (np.arange(200) + 1) % 200],
+                   -1).astype(np.int32)
+    lo, hi = np.array([-4, -4], np.float32), np.array([4, 4], np.float32)
+    grid = build_candidate_grid(verts, idx, lo, hi, K=32, max_res=256)
+
+    from elaina_tpu.geometry.grid import grid_cell_index
+
+    q = jnp.asarray(np.random.default_rng(3).uniform(-4, 4, (2000, 2)),
+                    jnp.float32)
+    lb = grid.lbound[grid_cell_index(grid, q)]
+    a, b = verts[idx[:, 0]][None], verts[idx[:, 1]][None]
+    d_true = jnp.min(seg_closest_point(np.asarray(q)[:, None, :], a, b)[0],
+                     axis=1)
+    assert bool(jnp.all(lb <= d_true + 1e-5))
+    # and it is reasonably tight (within a cell diagonal)
+    diag = float(np.linalg.norm(1.0 / np.asarray(grid.inv_cell)))
+    assert bool(jnp.all(d_true - lb <= diag + 1e-5))
+
+
 def test_grid_exact_3d():
     rng = np.random.default_rng(1)
     centers = rng.uniform(-3, 3, (120, 3)).astype(np.float32)
