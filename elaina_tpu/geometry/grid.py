@@ -50,7 +50,7 @@ PAD_COORD = 1.0e9  # far-away coordinate for padded candidate slots
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["origin", "inv_cell", "cand", "meta", "coverage",
-                      "lbound", "coords"],
+                      "lbound", "row_lbound", "row_diag", "coords"],
          meta_fields=["res"])
 @dataclass
 class CandidateGrid:
@@ -61,9 +61,12 @@ class CandidateGrid:
     #                          <0 -> -(refined-cell ordinal)-1 into level+1
     coverage: jnp.ndarray    # 1.0 if every leaf cell's band fit K
     lbound: jnp.ndarray      # (C0,) f32 min-over-cell distance lower bound
+    row_lbound: jnp.ndarray  # (R,) f32 leaf-cell min-over-cell lower bound
+    row_diag: jnp.ndarray    # (R,) f32 leaf-cell diameter (bound gap):
+    #                          true distance <= row_lbound + row_diag
     coords: jnp.ndarray | None = None
-    # coords: (R, n_corners*D*Kp) f32 — candidate corner coordinates,
-    # planes concatenated per row (2D: [ax | ay | bx | by]); padded slots
+    # coords: (R, n_rows, 128) f32 — candidate corner coordinates,
+    # planes at row-aligned offsets (2D: [ax | ay | bx | by]); padded slots
     # hold PAD_COORD.  Built by attach_coords for the Pallas DMA sweep.
     res: tuple = ()          # static level-0 cell counts per axis
 
@@ -187,7 +190,8 @@ def _count_pass(pv, dim, centers, hcell):
 
 
 def _band_pass(pv, dim, centers, hcell, K):
-    """Band rows (n, K) int32 (-1 padded), truncated at K by prim order."""
+    """Band rows (n, K) int32 (-1 padded, truncated at K by prim order)
+    plus the per-cell min-over-cell lower bound (n,)."""
     P = pv[0].shape[0]
 
     def one_chunk(c):
@@ -201,7 +205,7 @@ def _band_pass(pv, dim, centers, hcell, K):
             jnp.arange(P, dtype=jnp.int32)[None], dest.shape)
         out = jnp.full((c.shape[0], K + 1), -1, jnp.int32)
         out = out.at[rows, dest].set(prim_ids, mode="drop")
-        return out[:, :K]
+        return out[:, :K], jnp.min(lower, axis=-1)
 
     @jax.jit
     def super_chunk(cs):
@@ -211,10 +215,12 @@ def _band_pass(pv, dim, centers, hcell, K):
     sup = _SC * _CHUNK
     cp = _pad_centers(centers, sup)
     rows = np.empty((cp.shape[0], K), np.int32)
+    lcell = np.empty((cp.shape[0],), np.float32)
     for s in range(0, cp.shape[0], sup):
-        r_s = super_chunk(jnp.asarray(cp[s:s + sup]))
+        r_s, l_s = super_chunk(jnp.asarray(cp[s:s + sup]))
         rows[s:s + sup] = np.asarray(r_s).reshape(sup, K)
-    return rows[:n]
+        lcell[s:s + sup] = np.asarray(l_s).reshape(-1)
+    return rows[:n], lcell[:n]
 
 
 def _cell_centers(lo, hi, res):
@@ -250,7 +256,7 @@ def build_candidate_grid(
     hi: np.ndarray,
     K: int = 256,
     max_res: int = 2048,
-    max_levels: int = 4,
+    max_levels: int = 6,
     cache_dir: str | None = None,
 ) -> CandidateGrid:
     """Build the adaptive candidate grid (cached to disk by geometry hash).
@@ -266,7 +272,7 @@ def build_candidate_grid(
     span = hi - lo
 
     key = hashlib.sha1(
-        b"v3" + verts.tobytes() + indices.tobytes() + lo.tobytes()
+        b"v4" + verts.tobytes() + indices.tobytes() + lo.tobytes()
         + hi.tobytes() + np.int64([K, max_res, max_levels]).tobytes()
     ).hexdigest()[:16]
     cache_path = (os.path.join(cache_dir, f"candgrid_{key}.npz")
@@ -281,6 +287,8 @@ def build_candidate_grid(
             res=tuple(int(r) for r in z["res"]), cand=jnp.asarray(z["cand"]),
             meta=meta, coverage=jnp.asarray(z["coverage"]),
             lbound=jnp.asarray(z["lbound"]),
+            row_lbound=jnp.asarray(z["row_lbound"]),
+            row_diag=jnp.asarray(z["row_diag"]),
         )
 
     base = 512 if dim == 2 else 64
@@ -294,6 +302,8 @@ def build_candidate_grid(
 
     metas: list[np.ndarray] = []
     row_blocks: list[np.ndarray] = []
+    row_lb_blocks: list[np.ndarray] = []
+    row_dg_blocks: list[np.ndarray] = []
     row_base = 0
     lbound = None
     coverage = 1.0
@@ -319,8 +329,11 @@ def build_candidate_grid(
         metas.append(meta)
 
         if fit_idx.shape[0]:
-            rows = _band_pass(pv, dim, centers[fit_idx], hcell, K)
+            rows, row_lb = _band_pass(pv, dim, centers[fit_idx], hcell, K)
             row_blocks.append(rows)
+            row_lb_blocks.append(row_lb)
+            diam = np.float32(2.0 * np.linalg.norm(hcell))
+            row_dg_blocks.append(np.full((rows.shape[0],), diam, np.float32))
             row_base += rows.shape[0]
 
         if over_idx.shape[0] == 0:
@@ -330,6 +343,10 @@ def build_candidate_grid(
 
     cand = (np.concatenate(row_blocks, 0) if row_blocks
             else np.full((1, K), -1, np.int32))
+    row_lbound = (np.concatenate(row_lb_blocks) if row_lb_blocks
+                  else np.zeros((1,), np.float32))
+    row_diag = (np.concatenate(row_dg_blocks) if row_dg_blocks
+                else np.full((1,), np.float32(np.inf)))
     inv_cell = np.asarray(res, np.float32) / np.maximum(span, 1e-20)
 
     grid = CandidateGrid(
@@ -340,6 +357,8 @@ def build_candidate_grid(
         meta=tuple(jnp.asarray(m) for m in metas),
         coverage=jnp.asarray(np.float32(coverage)),
         lbound=jnp.asarray(lbound),
+        row_lbound=jnp.asarray(row_lbound),
+        row_diag=jnp.asarray(row_diag),
     )
     if cache_path:
         os.makedirs(cache_dir, exist_ok=True)
@@ -348,7 +367,8 @@ def build_candidate_grid(
             cache_path, origin=np.asarray(lo), inv_cell=inv_cell,
             res=np.asarray(res, np.int64), cand=cand,
             n_levels=np.int64(len(metas)),
-            coverage=np.float32(coverage), lbound=lbound, **payload,
+            coverage=np.float32(coverage), lbound=lbound,
+            row_lbound=row_lbound, row_diag=row_diag, **payload,
         )
     return grid
 
@@ -362,16 +382,20 @@ def coords_from_cand(cand: np.ndarray, verts: np.ndarray,
                      indices: np.ndarray) -> np.ndarray:
     """Pre-resolve candidate corner coordinates into a planar row table.
 
-    Returns (R, n_corners*D*Kp) f32 with Kp = K rounded up to 128 and the
-    planes concatenated per row (2D: [ax | ay | bx | by]); padded slots hold
-    PAD_COORD.  One contiguous row DMA per lane then feeds the Pallas band
-    sweep with zero per-candidate gathers.
+    Returns (R, n_rows, 128) f32 where plane p (2D order: ax, ay, bx, by)
+    occupies sublane rows [p*Kp/128, (p+1)*Kp/128) with Kp = K rounded up
+    to 128; n_rows is padded to a multiple of 8 so a single-cell slice is
+    a whole (8, 128)-tiled block — the TPU DMA granularity.  Padded slots
+    hold PAD_COORD.  One contiguous block DMA per lane then feeds the
+    Pallas band sweep with zero per-candidate gathers.
     """
     C, K = cand.shape
     dim = indices.shape[1]
     D = verts.shape[1]
     Kp = -(-K // 128) * 128
-    out = np.full((C, dim * D * Kp), PAD_COORD, np.float32)
+    rpp = Kp // 128                  # sublane rows per plane
+    n_rows = -(-dim * D * rpp // 8) * 8
+    out = np.full((C, n_rows * 128), PAD_COORD, np.float32)
     safe = np.maximum(cand, 0)
     valid = cand >= 0
     col = 0
@@ -381,7 +405,7 @@ def coords_from_cand(cand: np.ndarray, verts: np.ndarray,
             p = verts[vi, d].astype(np.float32)
             out[:, col:col + K] = np.where(valid, p, PAD_COORD)
             col += Kp
-    return out
+    return out.reshape(C, n_rows, 128)
 
 
 def attach_coords(grid: CandidateGrid, verts: np.ndarray,
@@ -447,28 +471,58 @@ def _pallas_interpret() -> bool:
     return os.environ.get("ELAINA_PALLAS_INTERPRET", "0") == "1"
 
 
-def grid_closest_point(grid: CandidateGrid, verts, indices, q):
+def grid_closest_point(grid: CandidateGrid, verts, indices, q, need=None,
+                       row=None):
     """Exact closest point via the adaptive candidate grid.
 
     q: (N, D) -> (dist (N,), prim_id (N,)).  Exact for in-grid queries
     whenever every leaf band fit K (grid.coverage == 1); out-of-grid
     queries use the clamped border cell's candidates.
 
+    ``need`` (optional bool (N,)): lanes with need=False may return garbage
+    — on the Pallas path their row DMA is skipped entirely, which is the
+    main throughput lever (the hardware's scattered-row fetch rate is the
+    solve's floor).  ``row`` (optional) reuses a precomputed
+    grid_row_index.
+
     When the coordinate table is attached (attach_coords) and the backend
     is TPU, the band sweep runs as a per-lane-DMA Pallas kernel
     (ops/pallas_queries.grid_band_dma_2d); ELAINA_PALLAS=0 opts out.
     """
+    d, pid, _ = grid_closest_point_detail(grid, verts, indices, q, need, row)
+    return d, pid
+
+
+def grid_closest_point_detail(grid: CandidateGrid, verts, indices, q,
+                              need=None, row=None):
+    """grid_closest_point plus the winning primitive's corner coordinates
+    (tuple of dim arrays (N, D)) — on the Pallas path these come straight
+    out of the kernel, so shell classification needs zero vertex gathers."""
     dim = indices.shape[1]
     K = grid.cand.shape[1]
-    row = grid_row_index(grid, q)
+    if row is None:
+        row = grid_row_index(grid, q)
 
     if (grid.coords is not None and dim == 2
             and (_use_pallas() or _pallas_interpret())):
         from ..ops.pallas_queries import grid_band_dma_2d
-        d2, slot = grid_band_dma_2d(row, q, grid.coords,
-                                    interpret=_pallas_interpret())
+        rpp = -(-K // 128)
+        row_m = row if need is None else jnp.where(need, row, -1)
+        d2, slot, (ax, ay, bx, by) = grid_band_dma_2d(
+            row_m, q, grid.coords, rpp, interpret=_pallas_interpret())
         best_i = grid.cand[row, jnp.minimum(slot, K - 1)]
-        return jnp.sqrt(d2), jnp.maximum(best_i, 0)
+        pv = (jnp.stack([ax, ay], -1), jnp.stack([bx, by], -1))
+        return jnp.sqrt(d2), jnp.maximum(best_i, 0), pv
+    d, pid = _grid_closest_point_xla(grid, verts, indices, q, row)
+    safe = jnp.maximum(pid, 0)
+    idx = indices[safe]
+    pv = tuple(verts[idx[..., k]] for k in range(dim))
+    return d, pid, pv
+
+
+def _grid_closest_point_xla(grid: CandidateGrid, verts, indices, q, row):
+    dim = indices.shape[1]
+    K = grid.cand.shape[1]
 
     def band_slice(k0, kc):
         cand = jax.lax.dynamic_slice_in_dim(grid.cand, k0, kc, 1)[row]

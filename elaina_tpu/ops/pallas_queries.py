@@ -33,75 +33,128 @@ DMA_BLOCK = 256       # lanes per kernel block (row DMAs in flight)
 DMA_LANE_CHUNK = 8192  # lanes per pallas_call (bounds SMEM scalar prefetch)
 
 
-def _grid_band_dma_kernel(lin_ref, q_ref, tab_ref, d2_ref, slot_ref,
-                          buf, sems):
-    """Per-lane candidate-row DMA + dense segment-distance sweep.
+def _make_grid_band_dma_kernel(rpp: int):
+    """Build the kernel for rpp = K/128 sublane rows per coordinate plane."""
 
-    Each lane DMAs its grid cell's coordinate row (4 planes of K candidate
-    segment endpoints, concatenated: [ax | ay | bx | by]) from HBM into
-    VMEM, then the block computes all lane x candidate distances on the VPU
-    with zero gathers.  This replaces the XLA gather formulation whose
-    per-element cost (~18 cycles) dominated the whole solve.
-    """
-    b = pl.program_id(0)
-    BL = q_ref.shape[0]
+    def kernel(lin_ref, q_ref, tab_ref, d2_ref, slot_ref, ax_ref, ay_ref,
+               bx_ref, by_ref, buf, sems):
+        """Per-lane candidate-block DMA + dense segment-distance sweep.
 
-    def dma(l):
-        cell = lin_ref[b * BL + l]
-        return pltpu.make_async_copy(tab_ref.at[cell], buf.at[l], sems.at[l])
+        Each lane DMAs its grid cell's coordinate block ((n_rows, 128) f32:
+        4 planes of K candidate segment endpoints, plane p at sublane rows
+        [p*rpp, (p+1)*rpp)) from HBM into VMEM, then the block computes all
+        lane x candidate distances on the VPU with zero gathers.  This
+        replaces the XLA gather formulation whose per-element cost
+        (~18 cycles) dominated the whole solve.
 
-    def issue(l, carry):
-        dma(l).start()
-        return carry
+        Lanes with a negative row index SKIP their DMA (start and wait):
+        the scattered-row fetch rate is the hardware floor, so per-lane
+        predication (dead walks, lanes far from the boundary) is the main
+        throughput lever.  Their outputs are garbage; callers mask.
+        """
+        b = pl.program_id(0)
+        BL = q_ref.shape[0]
 
-    jax.lax.fori_loop(0, BL, issue, 0)
+        def issue(l, carry):
+            cell = lin_ref[b * BL + l]
 
-    def wait(l, carry):
-        dma(l).wait()
-        return carry
+            @pl.when(cell >= 0)
+            def _():
+                pltpu.make_async_copy(tab_ref.at[cell], buf.at[l],
+                                      sems).start()
+            return carry
 
-    jax.lax.fori_loop(0, BL, wait, 0)
+        jax.lax.fori_loop(0, BL, issue, 0, unroll=BL)
 
-    K = buf.shape[1] // 4
-    ax, ay = buf[:, 0:K], buf[:, K:2 * K]
-    bx, by = buf[:, 2 * K:3 * K], buf[:, 3 * K:4 * K]
-    qx = q_ref[:, 0:1]
-    qy = q_ref[:, 1:2]
-    ex = bx - ax
-    ey = by - ay
-    wx = qx - ax
-    wy = qy - ay
-    den = jnp.maximum(ex * ex + ey * ey, 1e-30)
-    t = jnp.clip((wx * ex + wy * ey) / den, 0.0, 1.0)
-    dx = wx - t * ex
-    dy = wy - t * ey
-    d2 = dx * dx + dy * dy                       # (BL, K)
-    best = jnp.min(d2, axis=1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    slot = jnp.min(jnp.where(d2 <= best[:, None], cols, K), axis=1)
-    d2_ref[:] = best
-    slot_ref[:] = jnp.minimum(slot, K - 1).astype(jnp.int32)
+        def wait(l, carry):
+            cell = lin_ref[b * BL + l]
+
+            @pl.when(cell >= 0)
+            def _():
+                pltpu.make_async_copy(tab_ref.at[cell], buf.at[l],
+                                      sems).wait()
+            return carry
+
+        jax.lax.fori_loop(0, BL, wait, 0)
+
+        qx = q_ref[:, 0:1]                            # (BL, 1)
+        qy = q_ref[:, 1:2]
+        K = rpp * 128
+        best_d2 = jnp.full((BL, 128), jnp.float32(jnp.inf))
+        best_flat = jnp.full((BL, 128), K, jnp.int32)
+        best_ax = jnp.zeros((BL, 128), jnp.float32)
+        best_ay = jnp.zeros((BL, 128), jnp.float32)
+        best_bx = jnp.zeros((BL, 128), jnp.float32)
+        best_by = jnp.zeros((BL, 128), jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BL, 128), 1)
+        for r in range(rpp):                          # rank-2 compute only
+            ax = buf[:, 0 * rpp + r, :]               # (BL, 128)
+            ay = buf[:, 1 * rpp + r, :]
+            bx = buf[:, 2 * rpp + r, :]
+            by = buf[:, 3 * rpp + r, :]
+            ex = bx - ax
+            ey = by - ay
+            wx = qx - ax
+            wy = qy - ay
+            den = jnp.maximum(ex * ex + ey * ey, 1e-30)
+            t = jnp.clip((wx * ex + wy * ey) / den, 0.0, 1.0)
+            dx = wx - t * ex
+            dy = wy - t * ey
+            d2 = dx * dx + dy * dy                    # (BL, 128)
+            better = d2 < best_d2                     # strict: first r wins
+            best_d2 = jnp.where(better, d2, best_d2)
+            best_flat = jnp.where(better, r * 128 + lane, best_flat)
+            best_ax = jnp.where(better, ax, best_ax)
+            best_ay = jnp.where(better, ay, best_ay)
+            best_bx = jnp.where(better, bx, best_bx)
+            best_by = jnp.where(better, by, best_by)
+        best = jnp.min(best_d2, axis=1)               # (BL,)
+        slot = jnp.min(jnp.where(best_d2 <= best[:, None], best_flat, K),
+                       axis=1)
+        # winning column (consistent with slot's tie-break: within a column
+        # the strict `better` keeps the smallest r, and slot's global min
+        # flat lands on that same candidate)
+        wcol = slot - (slot // 128) * 128             # (BL,)
+        sel = lane == wcol[:, None]
+        d2_ref[pl.ds(b, 1), :] = best[None, :]
+        slot_ref[pl.ds(b, 1), :] = jnp.minimum(slot, K - 1)[None, :]
+        ax_ref[pl.ds(b, 1), :] = jnp.sum(
+            jnp.where(sel, best_ax, 0.0), axis=1)[None, :]
+        ay_ref[pl.ds(b, 1), :] = jnp.sum(
+            jnp.where(sel, best_ay, 0.0), axis=1)[None, :]
+        bx_ref[pl.ds(b, 1), :] = jnp.sum(
+            jnp.where(sel, best_bx, 0.0), axis=1)[None, :]
+        by_ref[pl.ds(b, 1), :] = jnp.sum(
+            jnp.where(sel, best_by, 0.0), axis=1)[None, :]
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def grid_band_dma_2d(lin, q, coords, *, interpret: bool = False):
-    """Candidate-grid closest-point sweep via per-lane row DMA.
+@functools.partial(jax.jit, static_argnames=("rpp", "interpret"))
+def grid_band_dma_2d(lin, q, coords, rpp: int, *, interpret: bool = False):
+    """Candidate-grid closest-point sweep via per-lane block DMA.
 
-    lin: (N,) int32 cell index per lane; q: (N, 2) f32; coords: (C, 4*K) f32
-    coordinate table (geometry/grid.attach-style layout, K a multiple of
-    128).  Returns (d2 (N,), slot (N,) int32 in [0, K)).
+    lin: (N,) int32 candidate-table row per lane; q: (N, 2) f32;
+    coords: (R, n_rows, 128) f32 coordinate table
+    (geometry/grid.coords_from_cand layout); rpp = ceil(K/128) sublane rows
+    per plane.  Returns (d2 (N,), slot (N,) int32 in [0, rpp*128),
+    (ax, ay, bx, by) (N,) each) — the winning candidate's endpoint
+    coordinates, so callers compute uv/side/normals without any per-lane
+    vertex gathers.
     """
     n = lin.shape[0]
-    W = coords.shape[1]
+    n_rows = coords.shape[1]
+    if n_rows < 4 * rpp:
+        raise ValueError(f"coords table {coords.shape} too small for rpp={rpp}")
     BL = DMA_BLOCK
     LC = min(DMA_LANE_CHUNK, -(-n // BL) * BL)
     n_pad = -(-n // LC) * LC
 
-    lin_p = jnp.zeros((n_pad,), jnp.int32).at[:n].set(lin)
+    lin_p = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(lin)
     q_p = jnp.zeros((n_pad, 2), jnp.float32).at[:n].set(q)
 
     call = pl.pallas_call(
-        _grid_band_dma_kernel,
+        _make_grid_band_dma_kernel(rpp),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(LC // BL,),
@@ -110,42 +163,44 @@ def grid_band_dma_2d(lin, q, coords, *, interpret: bool = False):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=(
-                pl.BlockSpec((BL,), lambda i, lin_ref: (i,),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((BL,), lambda i, lin_ref: (i,),
-                             memory_space=pltpu.VMEM),
-            ),
+            out_specs=tuple(
+                pl.BlockSpec((LC // BL, BL), lambda i, lin_ref: (0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(6)),
             scratch_shapes=[
-                pltpu.VMEM((BL, W), jnp.float32),
-                pltpu.SemaphoreType.DMA((BL,)),
+                pltpu.VMEM((BL, n_rows, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
             ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((LC,), jnp.float32),
-            jax.ShapeDtypeStruct((LC,), jnp.int32),
+            jax.ShapeDtypeStruct((LC // BL, BL), jnp.float32),
+            jax.ShapeDtypeStruct((LC // BL, BL), jnp.int32),
+            jax.ShapeDtypeStruct((LC // BL, BL), jnp.float32),
+            jax.ShapeDtypeStruct((LC // BL, BL), jnp.float32),
+            jax.ShapeDtypeStruct((LC // BL, BL), jnp.float32),
+            jax.ShapeDtypeStruct((LC // BL, BL), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=16 * LC * (W // 4),
-            bytes_accessed=LC * W * 4 + LC * 16,
+            flops=16 * LC * rpp * 128,
+            bytes_accessed=LC * n_rows * 128 * 4 + LC * 16,
             transcendentals=0,
         ),
         interpret=interpret,
     )
 
     if n_pad == LC:
-        d2, slot = call(lin_p, q_p, coords)
-        return d2[:n], slot[:n]
+        outs = call(lin_p, q_p, coords)
+    else:
+        lin_r = lin_p.reshape(-1, LC)
+        q_r = q_p.reshape(-1, LC, 2)
 
-    lin_r = lin_p.reshape(-1, LC)
-    q_r = q_p.reshape(-1, LC, 2)
+        def body(carry, xs):
+            l_c, q_c = xs
+            return carry, call(l_c, q_c, coords)
 
-    def body(carry, xs):
-        l_c, q_c = xs
-        return carry, call(l_c, q_c, coords)
-
-    _, (d2, slot) = jax.lax.scan(body, 0, (lin_r, q_r))
-    return d2.reshape(-1)[:n], slot.reshape(-1)[:n]
+        _, outs = jax.lax.scan(body, 0, (lin_r, q_r))
+    d2, slot, ax, ay, bx, by = (o.reshape(-1)[:n] for o in outs)
+    return d2, slot, (ax, ay, bx, by)
 
 
 def _seg_closest_tile(q_ref, ax_ref, ay_ref, bx_ref, by_ref, dist_ref,

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from ..core.problem import Scene
 from ..geometry import queries as Q
-from ..geometry.grid import grid_closest_point
+from ..geometry.grid import (grid_closest_point, grid_closest_point_detail,
+                             grid_row_index)
 from ..geometry.primitives import (
     prim_measure,
     prim_normal,
@@ -94,6 +95,39 @@ def dirichlet_distance(scene: Scene, q, stack_size: int):
     return Q.closest_point(gs, q, stack_size)
 
 
+def dirichlet_distance_masked(scene: Scene, q, active, eps, stack_size: int):
+    """Closest Dirichlet point with lazy exactness.
+
+    Returns (R_D, pid, pv, need): R_D is EXACT where ``need`` (the lane
+    might be inside the eps-shell, or is close enough that the step size
+    would suffer), and a provably-valid LOWER BOUND elsewhere — valid as a
+    star radius, and provably > eps there (so never in-shell).  pid and the
+    primitive corner coordinates ``pv`` are only meaningful where ``need``.
+
+    The point: lanes that don't need exactness skip their candidate-row
+    fetch entirely on TPU (the scattered-row DMA rate is the solve's
+    hardware floor), and dead lanes skip it too.
+    """
+    gs = scene.dirichlet.gs
+    g = scene.d_grid
+    if g is None:
+        d, pid = Q.closest_point(gs, q, stack_size)
+        pv = _gather_prim_verts(gs, pid)
+        return d, pid, pv, jnp.ones_like(d, bool) & active
+    row = grid_row_index(g, q)
+    rl = g.row_lbound[row]
+    diam = g.row_diag[row]
+    # out-of-grid lanes clamp to a border cell whose lower bound is not
+    # valid for them: always compute those exactly
+    res = jnp.asarray([r for r in g.res], jnp.float32)
+    rel = (q - g.origin) * g.inv_cell
+    outside = jnp.any((rel < 0.0) | (rel >= res), axis=-1)
+    need = active & ((rl < eps + diam) | outside)
+    d_e, pid, pv = grid_closest_point_detail(g, gs.verts, gs.indices, q,
+                                             need=need, row=row)
+    return jnp.where(need, d_e, rl), pid, pv, need
+
+
 def _separate(scene: Scene, state: WalkState, eps: float, stack_size: int,
               shrink: bool):
     """Star-radius computation + epsilon-shell classification.
@@ -105,8 +139,8 @@ def _separate(scene: Scene, state: WalkState, eps: float, stack_size: int,
     dim = scene.dim
     q = state.pos
     if scene.dirichlet is not None:
-        R_D, pid_d = dirichlet_distance(scene, q, stack_size)
-        pv = _gather_prim_verts(scene.dirichlet.gs, pid_d)
+        R_D, pid_d, pv, need = dirichlet_distance_masked(
+            scene, q, state.active, eps, stack_size)
         uv = prim_project(dim, q, pv)
         side = prim_side(dim, q, pv)
         if dim == 2:
@@ -114,7 +148,7 @@ def _separate(scene: Scene, state: WalkState, eps: float, stack_size: int,
         else:
             interior = (uv[..., 0] > 0) & (uv[..., 1] > 0) & (
                 uv[..., 0] + uv[..., 1] < 1.0)
-        in_shell = (R_D < eps) & interior
+        in_shell = need & (R_D < eps) & interior
     else:
         n = q.shape[0]
         R_D = jnp.full((n,), jnp.inf)

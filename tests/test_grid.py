@@ -41,13 +41,21 @@ def test_grid_pallas_dma_path_interpret():
     from elaina_tpu.ops.pallas_queries import grid_band_dma_2d
 
     grid_c = attach_coords(grid, verts, idx)
-    assert grid_c.coords.shape[1] % 128 == 0
+    assert grid_c.coords.shape[1] % 8 == 0 and grid_c.coords.shape[2] == 128
 
     q = jnp.asarray(np.random.default_rng(2).uniform(-5, 5, (700, 2)),
                     jnp.float32)
-    lin = grid_cell_index(grid_c, q)
-    d2, slot = grid_band_dma_2d(lin, q, grid_c.coords, interpret=True)
-    pid = grid_c.cand[lin, jnp.minimum(slot, grid_c.cand.shape[1] - 1)]
+    from elaina_tpu.geometry.grid import grid_row_index
+    row = grid_row_index(grid_c, q)
+    K = grid_c.cand.shape[1]
+    d2, slot, (pax, pay, pbx, pby) = grid_band_dma_2d(
+        row, q, grid_c.coords, -(-K // 128), interpret=True)
+    pid = grid_c.cand[row, jnp.minimum(slot, K - 1)]
+    # winning coords must match the pid's actual vertices
+    np.testing.assert_allclose(np.asarray(pax), verts[idx[np.asarray(pid), 0], 0],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(pby), verts[idx[np.asarray(pid), 1], 1],
+                               rtol=0, atol=0)
 
     a, b = verts[idx[:, 0]][None], verts[idx[:, 1]][None]
     db = jnp.min(seg_closest_point(np.asarray(q)[:, None, :], a, b)[0], axis=1)
@@ -59,6 +67,56 @@ def test_grid_pallas_dma_path_interpret():
     b_sel = verts[idx[np.asarray(pid), 1]][:, None]
     d_sel = seg_closest_point(np.asarray(q)[:, None, :], a_sel, b_sel)[0][:, 0]
     np.testing.assert_allclose(d_sel, np.asarray(db), rtol=1e-5, atol=1e-5)
+
+
+def test_masked_dirichlet_distance():
+    """dirichlet_distance_masked: exact where need, valid lower bound > eps
+    elsewhere (so never falsely in-shell), on the interpret Pallas path."""
+    import os
+
+    t = np.linspace(0, 2 * math.pi, 300, endpoint=False)
+    verts = np.stack([3 * np.cos(t), 3 * np.sin(t)], -1).astype(np.float32)
+    idx = np.stack([np.arange(300), (np.arange(300) + 1) % 300],
+                   -1).astype(np.int32)
+    lo, hi = np.array([-5, -5], np.float32), np.array([5, 5], np.float32)
+    grid = build_candidate_grid(verts, idx, lo, hi, K=64, max_res=256)
+
+    from elaina_tpu.core.problem import Boundary, Scene
+    from elaina_tpu.geometry.geomset import make_geom_set
+    from elaina_tpu.geometry.grid import attach_coords
+    from elaina_tpu.solver.wost import dirichlet_distance_masked
+
+    gs, _ = make_geom_set(verts, idx)
+    scene = Scene(
+        dirichlet=Boundary(gs=gs, colors=jnp.zeros((300, 2, 3))),
+        neumann=None, d_grid=attach_coords(grid, verts, idx), source=None,
+        aabb_lo=lo, aabb_hi=hi, dim=2, source_intensity=1.0,
+        dirichlet_intensity=1.0, neumann_intensity=1.0)
+
+    q = jnp.asarray(np.random.default_rng(5).uniform(-5, 5, (1500, 2)),
+                    jnp.float32)
+    active = jnp.arange(1500) % 5 != 0          # some dead lanes
+    eps = 0.4
+    os.environ["ELAINA_PALLAS_INTERPRET"] = "1"
+    try:
+        d, pid, pv, need = dirichlet_distance_masked(scene, q, active, eps, 32)
+    finally:
+        os.environ["ELAINA_PALLAS_INTERPRET"] = "0"
+
+    a, b = verts[idx[:, 0]][None], verts[idx[:, 1]][None]
+    d_true = np.asarray(jnp.min(
+        seg_closest_point(np.asarray(q)[:, None, :], a, b)[0], axis=1))
+    d = np.asarray(d)
+    need = np.asarray(need)
+    act = np.asarray(active)
+    # where needed: exact
+    np.testing.assert_allclose(d[need], d_true[need], rtol=1e-5, atol=1e-5)
+    # active lanes not needed: valid lower bound, and provably out of shell
+    skip = act & ~need
+    assert np.all(d[skip] <= d_true[skip] + 1e-5)
+    assert np.all(d[skip] >= eps)
+    # every active lane possibly in the shell must be flagged as needed
+    assert np.all(~(act & (d_true < eps)) | need)
 
 
 def test_grid_lbound_is_lower_bound():

@@ -107,14 +107,24 @@ def main():
     c = jax.jit(step1).lower(scene, pts, mask, key).compile()
     timed("wost_depth_step x1", c, scene, pts, mask, key)
 
-    # --- full step scan x4 (run_one_sample max_depth=4) ---
-    def full4(sc, p, m, k):
-        total, steps = run_one_sample(sc, p, m, k, eps=1.0, max_depth=4,
-                                      d_stack=problem.d_stack,
-                                      n_stack=problem.n_stack)
-        return jnp.sum(total) + steps
-    c = jax.jit(full4).lower(scene, pts, mask, key).compile()
-    timed("run_one_sample depth=4", c, scene, pts, mask, key)
+    # --- full step scan (run_one_sample) at several depths ---
+    for depth in (4, 64):
+        def fulln(sc, p, m, k, _d=depth):
+            total, steps = run_one_sample(sc, p, m, k, eps=1.0, max_depth=_d,
+                                          d_stack=problem.d_stack,
+                                          n_stack=problem.n_stack)
+            return jnp.sum(total) + steps
+
+        c = jax.jit(fulln).lower(scene, pts, mask, key).compile()
+        t = timed(f"run_one_sample depth={depth}", c, scene, pts, mask, key)
+        # executed walk-steps/s at this depth
+        steps = int(jax.jit(
+            lambda sc, p, m, k, _d=depth: run_one_sample(
+                sc, p, m, k, eps=1.0, max_depth=_d,
+                d_stack=problem.d_stack, n_stack=problem.n_stack)[1]
+        )(scene, pts, mask, key))
+        print(f"  -> {steps} walk-steps, {steps / t:.3g} walk-steps/s",
+              flush=True)
 
 
 if __name__ == "__main__":
