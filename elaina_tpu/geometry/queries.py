@@ -44,6 +44,27 @@ CHUNKED_DENSE_MAX = 4096  # mid-size sets: chunked dense sweep beats traversal o
 DEFAULT_STACK = 48
 
 
+ONEHOT_GATHER_MAX = 64
+
+
+def small_gather(arr, idx):
+    """Row gather that avoids XLA's per-element gather cost for tiny tables.
+
+    XLA TPU gathers cost ~10-20 cycles PER ELEMENT regardless of table
+    size; for tables of a few rows (the shipped scenes' Neumann sets) a
+    one-hot contraction is pure VPU work and an order of magnitude faster
+    inside the per-depth solve step.
+    """
+    P = arr.shape[0]
+    if P > ONEHOT_GATHER_MAX:
+        return arr[idx]
+    oh = (idx[..., None] == jnp.arange(P, dtype=idx.dtype))
+    flat = arr.reshape(P, -1).astype(jnp.float32)
+    out = jnp.matmul(oh.astype(jnp.float32), flat)
+    out = out.reshape(idx.shape + arr.shape[1:])
+    return out.astype(arr.dtype)
+
+
 def _prim_verts_all(gs: GeomSet):
     """Tuple of dim arrays (P, D)."""
     return tuple(gs.verts[gs.indices[:, k]] for k in range(gs.dim))
@@ -52,6 +73,12 @@ def _prim_verts_all(gs: GeomSet):
 def _prim_verts_at(gs: GeomSet, pid):
     """Gather primitive vertices at (possibly padded) prim ids."""
     safe = jnp.maximum(pid, 0)
+    if gs.indices.shape[0] <= ONEHOT_GATHER_MAX and pid.ndim == 1:
+        corners = jnp.concatenate(
+            [gs.verts[gs.indices[:, k]] for k in range(gs.dim)], axis=-1)
+        flat = small_gather(corners, safe)             # (N, dim*D)
+        D = gs.verts.shape[1]
+        return tuple(flat[..., k * D:(k + 1) * D] for k in range(gs.dim))
     idx = gs.indices[safe]
     return tuple(gs.verts[idx[..., k]] for k in range(gs.dim))
 
@@ -376,7 +403,7 @@ def sample_in_ball(gs: GeomSet, q, R, u):
         idx = jnp.sum((target[:, None] >= cdf).astype(jnp.int32), axis=-1)
         idx = jnp.minimum(idx, gs.n_prims - 1)
         w_sel = jnp.take_along_axis(w, idx[:, None], axis=-1)[:, 0]
-        m_sel = gs.prim_measure[idx]
+        m_sel = small_gather(gs.prim_measure, idx)
         pdf_area = jnp.where(
             total > 0,
             w_sel / (jnp.maximum(total, 1e-30) * jnp.maximum(m_sel, 1e-30)),
@@ -426,7 +453,8 @@ def _sample_in_ball_chunked(gs: GeomSet, q, R, u, chunk: int = BRUTE_FORCE_MAX):
             jnp.zeros(q.shape[:1]))
     _, idx, w_sel = jax.lax.fori_loop(0, n_chunks, pass2, init)
 
-    m_sel = gs.prim_measure[jnp.maximum(idx, 0)]
+    m_sel = small_gather(gs.prim_measure, jnp.maximum(idx, 0)) \
+        if gs.n_prims <= ONEHOT_GATHER_MAX else gs.prim_measure[jnp.maximum(idx, 0)]
     ok = (total > 0) & (idx >= 0)
     pdf_area = jnp.where(
         ok, w_sel / (jnp.maximum(total, 1e-30) * jnp.maximum(m_sel, 1e-30)), 0.0)

@@ -143,16 +143,20 @@ class UniformIntegrator(BaseIntegrator):
         """Run the full spp loop; returns wall-clock milliseconds
         (UniformIntegrator::solve, integrator.cu:666-672).
 
-        ``spp_chunk`` batches several samples per dispatch with an inner
-        ``lax.scan`` — a TPU throughput lever the queue-per-kernel reference
-        has no analogue for.  Metric dumps force chunk=1 to keep the
-        per-spp frame protocol exact.
+        Default path: PERSISTENT LANES — each lane owns its pixel and runs
+        its spp samples back-to-back, restarting the moment a walk dies, so
+        the fixed-shape wavefront stays ~fully live (see
+        wost.make_persistent_chunk).  Metric dumps (frames / frames_time)
+        fall back to the per-sample path to keep the per-spp frame protocol
+        exact; ``spp_chunk`` tunes that path's samples per dispatch.
         """
         s = self.settings
         scene = self.problem.scene
         key = jax.random.PRNGKey(0)
 
         metrics_on = s.saveSppMetricsDuration > 0 or s.saveTimeMetricsDuration > 0
+        if not metrics_on and spp_chunk is None:
+            return self._solve_persistent()
         if spp_chunk is None:
             spp_chunk = 1 if metrics_on else min(4, s.samplesPerPixel)
         spp_chunk = max(1, min(spp_chunk, s.samplesPerPixel))
@@ -200,6 +204,50 @@ class UniformIntegrator(BaseIntegrator):
                 self._dump_frames(np.asarray(total), done, "frames_time",
                                   str(elapsed_ms))
             _progress(done, s.samplesPerPixel)
+        total.block_until_ready()
+        duration_ms = int((time.time() - start) * 1000)
+
+        film = self.films["SOLUTION"]
+        film.reset()
+        film.put_frame(np.asarray(total) / s.samplesPerPixel)
+        return duration_ms
+
+    def _solve_persistent(self) -> int:
+        """Persistent-lane solve (wost.make_persistent_chunk)."""
+        from .wost import (compute_step0, make_persistent_chunk,
+                           persistent_carry_from_step0)
+
+        s = self.settings
+        scene = self.problem.scene
+        key = jax.random.PRNGKey(0)
+        iter_chunk = 256
+
+        start = time.time()
+        step0 = jax.jit(lambda sc, p, m: compute_step0(
+            sc, p, m, eps=float(s.epsilonShell),
+            d_stack=self.problem.d_stack, n_stack=self.problem.n_stack))
+        rd0, in_shell0, contrib0 = step0(scene, self.eval_points, self.mask)
+
+        chunk = make_persistent_chunk(
+            eps=float(s.epsilonShell), max_depth=int(s.maxWalkingDepth),
+            spp=int(s.samplesPerPixel), iter_chunk=iter_chunk,
+            d_stack=self.problem.d_stack, n_stack=self.problem.n_stack)
+        carry = persistent_carry_from_step0(
+            self.eval_points, self.mask, int(s.samplesPerPixel), in_shell0,
+            contrib0)
+
+        self.total_walk_steps = 0
+        max_chunks = -(-int(s.samplesPerPixel) * int(s.maxWalkingDepth)
+                       // iter_chunk) + 2
+        for i in range(max_chunks):
+            carry, remaining, steps = chunk(scene, self.eval_points,
+                                            self.mask, rd0, key, carry)
+            self.total_walk_steps += int(steps)
+            _progress(min(i + 1, max_chunks), max_chunks)
+            if not bool(remaining):
+                _progress(max_chunks, max_chunks)
+                break
+        total = carry[1]
         total.block_until_ready()
         duration_ms = int((time.time() - start) * 1000)
 

@@ -70,15 +70,26 @@ def init_walk_state(eval_points, active):
 
 
 def _gather_prim_verts(gs, pid):
-    safe = jnp.maximum(pid, 0)
-    idx = gs.indices[safe]
-    return tuple(gs.verts[idx[..., k]] for k in range(gs.dim))
+    return Q._prim_verts_at(gs, pid)
 
 
 def _surface_color(dim, colors, gs, pid, side, uv):
     """Side-selected two-sided vertex color, geometrically interpolated
     (integrator/common.h:242-260)."""
     safe = jnp.maximum(pid, 0)
+    if colors.shape[0] <= Q.ONEHOT_GATHER_MAX:
+        # tiny boundary (shipped Neumann sets): one-hot contraction beats
+        # XLA's per-element gather cost by ~10x inside the depth step
+        per_prim = jnp.concatenate(
+            [colors[gs.indices[:, k]].reshape(gs.indices.shape[0], 6)
+             for k in range(dim)], axis=-1)                  # (P, dim*6)
+        flat = Q.small_gather(per_prim, safe)                # (N, dim*6)
+        pick = jnp.where(side >= 0, 0, 1)[:, None]           # (N, 1)
+        vals = tuple(
+            jnp.where(pick == 0,
+                      flat[:, k * 6:k * 6 + 3], flat[:, k * 6 + 3:k * 6 + 6])
+            for k in range(dim))
+        return geometric_interpolate(dim, vals, uv)
     idx = gs.indices[safe]                                   # (N, dim)
     pick = jnp.where(side[..., None] >= 0, 0, 1)             # (N, 1)
     vals = tuple(
@@ -95,7 +106,8 @@ def dirichlet_distance(scene: Scene, q, stack_size: int):
     return Q.closest_point(gs, q, stack_size)
 
 
-def dirichlet_distance_masked(scene: Scene, q, active, eps, stack_size: int):
+def dirichlet_distance_masked(scene: Scene, q, active, eps, stack_size: int,
+                              step0=None):
     """Closest Dirichlet point with lazy exactness.
 
     Returns (R_D, pid, pv, need): R_D is EXACT where ``need`` (the lane
@@ -113,7 +125,11 @@ def dirichlet_distance_masked(scene: Scene, q, active, eps, stack_size: int):
     if g is None:
         d, pid = Q.closest_point(gs, q, stack_size)
         pv = _gather_prim_verts(gs, pid)
-        return d, pid, pv, jnp.ones_like(d, bool) & active
+        need = jnp.ones_like(d, bool) & active
+        if step0 is not None:
+            fresh, rd0 = step0
+            need &= ~fresh
+        return d, pid, pv, need
     row = grid_row_index(g, q)
     rl = g.row_lbound[row]
     diam = g.row_diag[row]
@@ -123,24 +139,38 @@ def dirichlet_distance_masked(scene: Scene, q, active, eps, stack_size: int):
     rel = (q - g.origin) * g.inv_cell
     outside = jnp.any((rel < 0.0) | (rel >= res), axis=-1)
     need = active & ((rl < eps + diam) | outside)
+    if step0 is not None:
+        fresh, rd0 = step0
+        need &= ~fresh
+    import os
+    if os.environ.get("ELAINA_DEBUG_NO_FETCH") == "1":  # cost-profiling aid
+        need = need & False
     d_e, pid, pv = grid_closest_point_detail(g, gs.verts, gs.indices, q,
                                              need=need, row=row)
-    return jnp.where(need, d_e, rl), pid, pv, need
+    R_D = jnp.where(need, d_e, rl)
+    if step0 is not None:
+        R_D = jnp.where(step0[0], step0[1], R_D)
+    return R_D, pid, pv, need
 
 
 def _separate(scene: Scene, state: WalkState, eps: float, stack_size: int,
-              shrink: bool):
+              shrink: bool, step0=None):
     """Star-radius computation + epsilon-shell classification.
 
     Returns (in_shell, R_B, pid_d, uv_d, side_d, R_D).
     ``shrink`` applies the 0.99 stability factor (uniform/integrator.cu:195;
     the guided variant omits it, guided/integrator.cu:239).
+
+    ``step0`` (optional): (fresh (N,) bool, rd0 (N,)) — lanes at their
+    walk's first step reuse the cached exact eval-point distance instead of
+    fetching (every sample of a pixel repeats the identical step-0 query;
+    in-shell pixels never even restart, the integrator pre-resolves them).
     """
     dim = scene.dim
     q = state.pos
     if scene.dirichlet is not None:
         R_D, pid_d, pv, need = dirichlet_distance_masked(
-            scene, q, state.active, eps, stack_size)
+            scene, q, state.active, eps, stack_size, step0=step0)
         uv = prim_project(dim, q, pv)
         side = prim_side(dim, q, pv)
         if dim == 2:
@@ -170,9 +200,13 @@ def _separate(scene: Scene, state: WalkState, eps: float, stack_size: int,
 
 def _boundary_term(scene: Scene, state: WalkState, in_shell, pid_d, uv, side):
     """Dirichlet epsilon-shell contribution (integrator.cu:214-232)."""
+    import os
     dim = scene.dim
-    color = _surface_color(dim, scene.dirichlet.colors, scene.dirichlet.gs,
-                           pid_d, side, uv)
+    if os.environ.get("ELAINA_DEBUG_NO_COLOR") == "1":  # cost-profiling aid
+        color = jnp.ones((state.pos.shape[0], 3), jnp.float32)
+    else:
+        color = _surface_color(dim, scene.dirichlet.colors,
+                               scene.dirichlet.gs, pid_d, side, uv)
     contrib = color * scene.dirichlet_intensity * state.thp
     return jnp.where((state.active & in_shell)[:, None], contrib, 0.0)
 
@@ -247,7 +281,7 @@ def _neumann_term(scene: Scene, state: WalkState, live, R_B, key, eps: float,
     valid &= ~occluded
 
     side = prim_side(dim, state.pos, pv)
-    normal = gs.prim_normal[jnp.maximum(pid, 0)]
+    normal = Q.small_gather(gs.prim_normal, jnp.maximum(pid, 0))
     side_on = jnp.sign(jnp.sum(normal * state.n_normal, axis=-1))
     side = jnp.where(state.on_neumann, side_on, side)
     valid &= side != 0
@@ -278,7 +312,7 @@ def _walk(scene: Scene, state: WalkState, live, R_B, key, eps: float,
     if scene.neumann is not None:
         gs = scene.neumann.gs
         hit, t, pid = Q.ray_intersect(gs, current, direction, R_B, n_stack)
-        n_raw = gs.prim_normal[jnp.maximum(pid, 0)]
+        n_raw = Q.small_gather(gs.prim_normal, jnp.maximum(pid, 0))
         # shading normal: oppose the incoming direction (integrator.cu:509-512)
         n_flip = jnp.where(jnp.sum(n_raw * direction, axis=-1,
                                    keepdims=True) > 0, -n_raw, n_raw)
@@ -297,12 +331,12 @@ def _walk(scene: Scene, state: WalkState, live, R_B, key, eps: float,
 
 
 def wost_depth_step(scene: Scene, state: WalkState, key, eps: float,
-                    d_stack: int, n_stack: int):
+                    d_stack: int, n_stack: int, step0=None):
     """One fused depth iteration for every lane.  Returns (state', contrib)."""
     k_sep, k_src, k_neu, k_walk = jax.random.split(key, 4)
 
     in_shell, R_B, pid_d, uv_d, side_d, _ = _separate(
-        scene, state, eps, d_stack, shrink=True)
+        scene, state, eps, d_stack, shrink=True, step0=step0)
     in_shell &= state.active
 
     contrib = jnp.zeros((state.pos.shape[0], 3), jnp.float32)
@@ -320,6 +354,124 @@ def wost_depth_step(scene: Scene, state: WalkState, key, eps: float,
     state = _walk(scene, state, live, R_B, k_walk, eps, n_stack)
     state = state._replace(active=live)
     return state, contrib
+
+
+def make_persistent_chunk(*, eps: float, max_depth: int,
+                          spp: int, iter_chunk: int, d_stack: int = 48,
+                          n_stack: int = 48):
+    """Persistent-lane solve chunk (jit once, dispatch repeatedly).
+
+    Lane i owns pixel i and runs its spp samples BACK-TO-BACK: the moment a
+    walk dies the lane restarts with its pixel's next sample, keeping the
+    wavefront ~fully live.  A fixed-shape depth scan pays its full-width
+    per-step cost (gathers, dense sweeps) whether lanes are alive or not —
+    measured 15 ms/step with every lane dead — so with walks averaging ~9
+    steps a 64-deep scan wastes ~85% of the machine.  Persistent lanes
+    amortize that fixed cost over ~100% live work.  (The reference's
+    wavefront regenerates its queues per sample instead:
+    uniform/integrator.cu:550-575; this is the TPU-native equivalent of
+    persistent-threads scheduling.)
+
+    Returns a jitted function
+        chunk(scene, eval_points, mask, rd0, key, carry)
+            -> (carry', remaining, steps)
+    where carry = (state, acc, sample_idx, walk_step, it); call
+    ``persistent_carry_init`` for the initial carry (or
+    ``compute_step0`` + ``persistent_carry_from_step0`` to pre-resolve
+    in-shell pixels).  ``rd0`` is the cached exact eval-point Dirichlet
+    distance: restarting lanes reuse it instead of re-fetching their
+    candidate row (every sample repeats the identical step-0 query).
+    ``remaining`` is a scalar bool (host reads it once per chunk);
+    ``steps`` counts executed (live-lane) walk steps in this chunk.  The
+    scene is a device argument, not a closure capture (remote-compile
+    payload safety).
+    """
+
+    def chunk(scene, eval_points, mask, rd0, key, carry):
+        def cond(c):
+            st, acc, sidx, wstep, it, it0, steps = c
+            return ((it - it0) < iter_chunk) & (
+                jnp.any(st.active) | jnp.any(sidx < spp))
+
+        def body(c):
+            st, acc, sidx, wstep, it, it0, steps = c
+            restart = (~st.active) & (sidx < spp) & mask
+            st = WalkState(
+                pos=jnp.where(restart[:, None], eval_points, st.pos),
+                thp=jnp.where(restart[:, None], 1.0, st.thp),
+                active=st.active | restart,
+                on_neumann=jnp.where(restart, False, st.on_neumann),
+                n_normal=jnp.where(restart[:, None], 0.0, st.n_normal),
+            )
+            sidx = sidx + restart.astype(jnp.int32)
+            wstep = jnp.where(restart, 0, wstep)
+            steps = steps + jnp.sum(st.active.astype(jnp.int32))
+            k = jax.random.fold_in(key, it)
+            # restarting lanes are at their pixel's eval point: reuse the
+            # cached step-0 distance, skip their candidate-row fetch
+            st, contrib = wost_depth_step(
+                scene, st, k, eps, d_stack, n_stack, step0=(restart, rd0))
+            wstep = wstep + st.active.astype(jnp.int32)
+            # depth cap: kill walks that exhausted the budget
+            # (uniform/integrator.cu:552 depth loop bound)
+            st = st._replace(active=st.active & (wstep < max_depth))
+            return st, acc + contrib, sidx, wstep, it + 1, it0, steps
+
+        st, acc, sidx, wstep, it = carry
+        init = (st, acc, sidx, wstep, it, it, jnp.int32(0))
+        st, acc, sidx, wstep, it, _, steps = jax.lax.while_loop(
+            cond, body, init)
+        remaining = jnp.any(st.active) | jnp.any(sidx < spp)
+        return (st, acc, sidx, wstep, it), remaining, steps
+
+    return jax.jit(chunk)
+
+
+def compute_step0(scene: Scene, eval_points, mask, *, eps: float,
+                  d_stack: int = 48, n_stack: int = 48):
+    """Evaluate the (deterministic) first-step separation once per pixel.
+
+    Returns (rd0, in_shell0, contrib0): every sample of a pixel starts at
+    the same eval point, so its step-0 closest-point query — and, for
+    in-shell pixels, the ENTIRE sample (the boundary contribution with
+    throughput 1) — is identical across samples.  The reference recomputes
+    this per sample per pixel (generateEvaluationPoints +
+    separateEvaluationPoint each spp, uniform/integrator.cu:550-563); here
+    in-shell pixels are resolved analytically and never enter the walk.
+    """
+    state = init_walk_state(eval_points, mask)
+    in_shell, R_B, pid_d, uv_d, side_d, R_D = _separate(
+        scene, state, eps, d_stack, shrink=True)
+    in_shell &= mask
+    if scene.dirichlet is not None:
+        contrib0 = _boundary_term(scene, state, in_shell, pid_d, uv_d,
+                                  side_d)
+    else:
+        contrib0 = jnp.zeros((eval_points.shape[0], 3), jnp.float32)
+    return R_D, in_shell, contrib0
+
+
+def persistent_carry_from_step0(eval_points, mask, spp: int, in_shell0,
+                                contrib0):
+    """Initial carry with in-shell pixels fully pre-resolved."""
+    n = eval_points.shape[0]
+    state = init_walk_state(eval_points, jnp.zeros((n,), bool))
+    resolved = in_shell0 | ~mask
+    return (state,
+            jnp.where(in_shell0[:, None], spp * contrib0, 0.0),
+            jnp.where(resolved, spp, 0).astype(jnp.int32),
+            jnp.zeros((n,), jnp.int32),
+            jnp.int32(0))
+
+
+def persistent_carry_init(eval_points, mask, spp: int):
+    n = eval_points.shape[0]
+    state = init_walk_state(eval_points, jnp.zeros((n,), bool))
+    return (state,
+            jnp.zeros((n, 3), jnp.float32),
+            jnp.where(mask, 0, spp).astype(jnp.int32),
+            jnp.zeros((n,), jnp.int32),
+            jnp.int32(0))
 
 
 def run_one_sample(scene: Scene, eval_points, mask, key, *, eps: float,

@@ -107,6 +107,46 @@ def test_mixed_dirichlet_neumann_linear():
     np.testing.assert_allclose(u[:, 0], expected, atol=0.07)
 
 
+def test_persistent_lanes_match_analytic():
+    """The persistent-lane solve (lanes restart samples back-to-back) is
+    the same estimator as the per-sample sweep: validate against the mixed
+    Dirichlet/Neumann analytic solution."""
+    from elaina_tpu.solver.wost import (compute_step0, make_persistent_chunk,
+                                        persistent_carry_from_step0)
+
+    d_verts, d_indices = _square_boundary(n_per_side=6, sides=(1, 3))
+    d_gs, _ = make_geom_set(d_verts, d_indices)
+    d_colors = _colors_from_fn(d_verts, lambda v: (v[0] + 1.0) / 2.0)
+    n_verts, n_indices = _square_boundary(n_per_side=6, sides=(0, 2))
+    n_gs, _ = make_geom_set(n_verts, n_indices)
+    scene = _scene(
+        dirichlet=Boundary(gs=d_gs, colors=jnp.asarray(d_colors)),
+        neumann=Boundary(gs=n_gs, colors=jnp.zeros((len(n_verts), 2, 3))),
+    )
+    pts = jnp.asarray([[0.0, 0.0], [0.5, 0.8], [-0.5, -0.8]], jnp.float32)
+    mask = jnp.ones((3,), bool)
+    spp = 256
+    rd0, in_shell0, contrib0 = compute_step0(scene, pts, mask, eps=0.02)
+    assert not bool(jnp.any(in_shell0))
+    chunk = make_persistent_chunk(eps=0.02, max_depth=64, spp=spp,
+                                  iter_chunk=128)
+    carry = persistent_carry_from_step0(pts, mask, spp, in_shell0, contrib0)
+    key = jax.random.PRNGKey(7)
+    total_steps = 0
+    for _ in range(200):
+        carry, remaining, steps = chunk(scene, pts, mask, rd0, key, carry)
+        total_steps += int(steps)
+        if not bool(remaining):
+            break
+    assert not bool(remaining)
+    # every lane ran exactly spp samples
+    np.testing.assert_array_equal(np.asarray(carry[2]), spp)
+    u = np.asarray(carry[1]) / spp
+    expected = (np.asarray(pts)[:, 0] + 1.0) / 2.0
+    np.testing.assert_allclose(u[:, 0], expected, atol=0.07)
+    assert total_steps > spp * 3  # counted real executed steps
+
+
 def test_source_term_disk():
     """Poisson check: -Laplacian u = 1 on the unit disk, u=0 on the
     boundary -> u(r) = (1 - r^2) / 4 (2D)."""
