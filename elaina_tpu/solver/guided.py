@@ -148,17 +148,21 @@ def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
                       state: WalkState, records: WalkRecords, key, depth,
                       guiding_on, training_on, uniform_fraction,
                       max_guided_depth, *, eps: float, d_stack: int,
-                      n_stack: int):
+                      n_stack: int, step0=None):
     """One guided depth iteration (solveImpl inner loop,
     guided/integrator.cu:1004-1042).  ``guiding_on``/``training_on``/
     ``uniform_fraction``/``max_guided_depth`` are traced scalars so one
-    compilation serves both the training and guiding phases."""
+    compilation serves both the training and guiding phases.
+
+    ``records=None`` statically removes the walk-record machinery (the
+    guiding phase trains nothing); ``depth`` may be a per-lane array
+    (persistent-lane mode) or a scalar (per-sample scan)."""
     dim = scene.dim
     k_sel, k_src, k_neu, k_uni, k_gui, k_walk = jax.random.split(key, 6)
 
     # logic stage (no 0.99 shrink: guided/integrator.cu:238-239)
     in_shell, R_B, pid_d, uv_d, side_d, _ = _separate(
-        scene, state, eps, d_stack, shrink=False)
+        scene, state, eps, d_stack, shrink=False, step0=step0)
     in_shell &= state.active
 
     n = state.pos.shape[0]
@@ -166,7 +170,8 @@ def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
     if scene.dirichlet is not None:
         cb = _boundary_term(scene, state, in_shell, pid_d, uv_d, side_d)
         contrib += cb
-        records = _backfill(records, cb, inclusive=False)
+        if records is not None:
+            records = _backfill(records, cb, inclusive=False)
 
     live = state.active & (~in_shell) & jnp.isfinite(R_B)
 
@@ -174,11 +179,13 @@ def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
     if scene.source is not None:
         cs = _source_term(scene, state, live, R_B, k_src, eps, n_stack)
         contrib += cs
-        records = _backfill(records, cs, inclusive=True)
+        if records is not None:
+            records = _backfill(records, cs, inclusive=True)
     if scene.neumann is not None:
         cn = _neumann_term(scene, state, live, R_B, k_neu, eps, n_stack)
         contrib += cn
-        records = _backfill(records, cn, inclusive=True)
+        if records is not None:
+            records = _backfill(records, cn, inclusive=True)
 
     # guiding inference on the dense lane batch (inferenceStepImpl)
     x_norm = normalize_coord(state.pos, scene.aabb_lo, scene.aabb_hi)
@@ -219,13 +226,73 @@ def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
     pdf = jnp.where(choose_guided, pdf_gui, pdf_uni)
 
     # walk records for training (incrementDepth before the state update)
-    train_mask = training_on & (depth < TRAIN_DEPTH_CAP) & live
-    records = _increment(records, state, direction, pdf, train_mask)
+    if records is not None:
+        train_mask = training_on & (depth < TRAIN_DEPTH_CAP) & live
+        records = _increment(records, state, direction, pdf, train_mask)
 
     state = _walk(scene, state, live, R_B, k_walk, eps, n_stack,
                   direction=direction, pdf=pdf, alpha=alpha)
     state = state._replace(active=live)
     return state, records, contrib
+
+
+def make_guided_persistent_chunk(spec: NetworkSpec, *, eps: float,
+                                 max_depth: int, spp: int, iter_chunk: int,
+                                 d_stack: int = 48, n_stack: int = 48):
+    """Persistent-lane GUIDING-phase solve chunk (no training, no records).
+
+    Same persistent-threads design as wost.make_persistent_chunk: each lane
+    runs its pixel's remaining samples back-to-back, restarting the moment
+    a walk dies, with the cached step-0 separation.  Per-lane walk depth
+    drives the guided/uniform routing (depth < maxGuidedDepth,
+    guided/integrator.cu:1015).
+
+    Returns a jitted
+        chunk(scene, infer_params, eval_points, mask, rd0,
+              uniform_fraction, max_guided_depth, key, carry)
+            -> (carry', remaining, steps)
+    with carry = (state, acc, sample_idx, walk_step, it)
+    (wost.persistent_carry_* builders apply).
+    """
+
+    def chunk(scene, infer_params, eval_points, mask, rd0,
+              uniform_fraction, max_guided_depth, key, carry):
+        def cond(c):
+            st, acc, sidx, wstep, it, it0, steps = c
+            return ((it - it0) < iter_chunk) & (
+                jnp.any(st.active) | jnp.any(sidx < spp))
+
+        def body(c):
+            st, acc, sidx, wstep, it, it0, steps = c
+            restart = (~st.active) & (sidx < spp) & mask
+            st = WalkState(
+                pos=jnp.where(restart[:, None], eval_points, st.pos),
+                thp=jnp.where(restart[:, None], 1.0, st.thp),
+                active=st.active | restart,
+                on_neumann=jnp.where(restart, False, st.on_neumann),
+                n_normal=jnp.where(restart[:, None], 0.0, st.n_normal),
+            )
+            sidx = sidx + restart.astype(jnp.int32)
+            wstep = jnp.where(restart, 0, wstep)
+            steps = steps + jnp.sum(st.active.astype(jnp.int32))
+            k = jax.random.fold_in(key, it)
+            st, _, contrib = guided_depth_step(
+                scene, spec, infer_params, st, None, k, wstep,
+                jnp.bool_(True), jnp.bool_(False), uniform_fraction,
+                max_guided_depth, eps=eps, d_stack=d_stack, n_stack=n_stack,
+                step0=(restart, rd0))
+            wstep = wstep + st.active.astype(jnp.int32)
+            st = st._replace(active=st.active & (wstep < max_depth))
+            return st, acc + contrib, sidx, wstep, it + 1, it0, steps
+
+        st, acc, sidx, wstep, it = carry
+        init = (st, acc, sidx, wstep, it, it, jnp.int32(0))
+        st, acc, sidx, wstep, it, _, steps = jax.lax.while_loop(
+            cond, body, init)
+        remaining = jnp.any(st.active) | jnp.any(sidx < spp)
+        return (st, acc, sidx, wstep, it), remaining, steps
+
+    return jax.jit(chunk)
 
 
 def run_one_guided_sample(scene: Scene, spec: NetworkSpec, infer_params,
@@ -443,6 +510,14 @@ class GuidedIntegrator(BaseIntegrator):
 
         spp = spp0
         while spp < s.samplesPerPixel:
+            if (spp >= s.trainSppCount and not metrics_on
+                    and not (checkpoint_path and checkpoint_every > 0)):
+                # guiding phase: no training, no records — run the
+                # persistent-lane solver (lanes restart samples
+                # back-to-back; see wost.make_persistent_chunk)
+                total, spp = self._guiding_persistent(
+                    scene, total, spp, start, time_budget_s)
+                break
             uniform_fraction, max_guided_depth, training = self._phase(spp)
             # do not straddle the train->guide phase switch within one chunk
             limit = (s.trainSppCount if spp < s.trainSppCount
@@ -484,6 +559,55 @@ class GuidedIntegrator(BaseIntegrator):
         film.reset()
         film.put_frame(np.asarray(total) / max(spp, 1))
         return duration_ms
+
+    def _guiding_persistent(self, scene, total, spp0, start,
+                            time_budget_s) -> tuple:
+        """Run the remaining (guiding-phase) samples with persistent lanes.
+
+        Returns (total', spp').  On a time-budget interrupt, each pixel's
+        partial sum is rescaled by its completed-sample count (per-lane
+        progress differs mid-flight).
+        """
+        from .wost import compute_step0, persistent_carry_from_step0
+
+        s = self.settings
+        remaining = int(s.samplesPerPixel) - spp0
+        iter_chunk = 256
+
+        step0 = jax.jit(lambda sc, p, m: compute_step0(
+            sc, p, m, eps=float(s.epsilonShell),
+            d_stack=self.problem.d_stack, n_stack=self.problem.n_stack))
+        rd0, in_shell0, contrib0 = step0(scene, self.eval_points, self.mask)
+
+        chunk = make_guided_persistent_chunk(
+            self.spec, eps=float(s.epsilonShell),
+            max_depth=int(s.maxWalkingDepth), spp=remaining,
+            iter_chunk=iter_chunk, d_stack=self.problem.d_stack,
+            n_stack=self.problem.n_stack)
+        carry = persistent_carry_from_step0(
+            self.eval_points, self.mask, remaining, in_shell0, contrib0)
+        uf = jnp.float32(s.uniformFractionInGuidingPhase)
+        mgd = jnp.int32(s.maxGuidedDepthInGuidingPhase)
+        key = jax.random.PRNGKey(1)
+
+        max_chunks = -(-remaining * int(s.maxWalkingDepth) // iter_chunk) + 2
+        interrupted = False
+        for _ in range(max_chunks):
+            carry, rem_flag, steps = chunk(
+                scene, self.trainer.ema_params, self.eval_points, self.mask,
+                rd0, uf, mgd, key, carry)
+            self.total_walk_steps += int(steps)
+            if not bool(rem_flag):
+                break
+            if time_budget_s and (time.time() - start) > time_budget_s:
+                interrupted = True
+                break
+        acc = carry[1]
+        sidx = carry[2]
+        if interrupted:
+            scale = remaining / jnp.maximum(sidx, 1).astype(jnp.float32)
+            acc = acc * scale[:, None]
+        return total + acc, int(s.samplesPerPixel)
 
     def query_network(self, p):
         """queryNetworkImpl (guided/integrator.cu:565-615): print the VMM at
