@@ -20,6 +20,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent compiled-program cache (jax is pre-imported in this
+# environment, so the env var alone would be read too late)
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".cache", "jaxcache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
 BASELINE_WALK_STEPS = 1e7
 
 

@@ -60,7 +60,10 @@ def small_gather(arr, idx):
         return arr[idx]
     oh = (idx[..., None] == jnp.arange(P, dtype=idx.dtype))
     flat = arr.reshape(P, -1).astype(jnp.float32)
-    out = jnp.matmul(oh.astype(jnp.float32), flat)
+    # HIGHEST: the TPU MXU's default f32 precision is bf16-rounded inputs,
+    # which would corrupt gathered coordinates by ~1e-3 relative
+    out = jnp.matmul(oh.astype(jnp.float32), flat,
+                     precision=jax.lax.Precision.HIGHEST)
     out = out.reshape(idx.shape + arr.shape[1:])
     return out.astype(arr.dtype)
 
