@@ -408,13 +408,56 @@ def coords_from_cand(cand: np.ndarray, verts: np.ndarray,
     return out.reshape(C, n_rows, 128)
 
 
+@partial(jax.jit, donate_argnums=(), static_argnames=("chunks",))
+def _device_coords_from_cand(cand, verts, indices, chunks: int = 8):
+    """coords_from_cand computed on device (same layout, same padding).
+
+    The host version downloads the (R, K) candidate table, fills a ~4x
+    larger f32 table in numpy, and uploads it — ~280 s through this
+    environment's tunneled TPU at production sizes.  On device it's a
+    handful of gathers feeding HBM directly.  Chunked over rows to bound
+    the intermediate (R, K) gather footprints.
+    """
+    C, K = cand.shape
+    dim = indices.shape[1]
+    D = verts.shape[1]
+    Kp = -(-K // 128) * 128
+    rpp = Kp // 128
+    n_rows = -(-dim * D * rpp // 8) * 8
+
+    c_pad = -(-C // chunks) * chunks
+    cand_p = jnp.full((c_pad, K), -1, jnp.int32).at[:C].set(cand)
+
+    def one(c_chunk):
+        safe = jnp.maximum(c_chunk, 0)
+        valid = c_chunk >= 0
+        planes = []
+        for k in range(dim):
+            vi = indices[:, k][safe]                     # (c, K)
+            for d in range(D):
+                p = jnp.where(valid, verts[:, d][vi], PAD_COORD)
+                if Kp != K:
+                    p = jnp.pad(p, ((0, 0), (0, Kp - K)),
+                                constant_values=PAD_COORD)
+                planes.append(p.reshape(-1, rpp, 128))
+        out = jnp.concatenate(planes, axis=1)            # (c, dim*D*rpp, 128)
+        if out.shape[1] != n_rows:
+            out = jnp.pad(out, ((0, 0), (0, n_rows - out.shape[1]), (0, 0)),
+                          constant_values=PAD_COORD)
+        return out
+
+    out = jax.lax.map(one, cand_p.reshape(chunks, c_pad // chunks, K))
+    return out.reshape(c_pad, n_rows, 128)[:C]
+
+
 def attach_coords(grid: CandidateGrid, verts: np.ndarray,
                   indices: np.ndarray) -> CandidateGrid:
     """Return a copy of the grid with the Pallas coordinate table attached."""
     if grid.coords is not None:
         return grid
-    coords = coords_from_cand(np.asarray(grid.cand), verts, indices)
-    return replace(grid, coords=jnp.asarray(coords))
+    coords = _device_coords_from_cand(grid.cand, jnp.asarray(verts),
+                                      jnp.asarray(indices))
+    return replace(grid, coords=coords)
 
 
 # --------------------------------------------------------------------------- #

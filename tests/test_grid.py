@@ -69,6 +69,24 @@ def test_grid_pallas_dma_path_interpret():
     np.testing.assert_allclose(d_sel, np.asarray(db), rtol=1e-5, atol=1e-5)
 
 
+def test_device_coords_match_host_build():
+    """_device_coords_from_cand (the TPU-side table build) reproduces the
+    numpy coords_from_cand layout bit-for-bit, including -1 padding and
+    row padding."""
+    from elaina_tpu.geometry.grid import (_device_coords_from_cand,
+                                          coords_from_cand)
+
+    rng = np.random.default_rng(3)
+    verts = rng.uniform(-4, 4, (37, 2)).astype(np.float32)
+    idx = rng.integers(0, 37, (29, 2)).astype(np.int32)
+    cand = rng.integers(-1, 29, (19, 40)).astype(np.int32)
+    host = coords_from_cand(cand, verts, idx)
+    dev = _device_coords_from_cand(jnp.asarray(cand), jnp.asarray(verts),
+                                   jnp.asarray(idx), chunks=4)
+    assert host.shape == dev.shape
+    np.testing.assert_array_equal(host, np.asarray(dev))
+
+
 def test_masked_dirichlet_distance():
     """dirichlet_distance_masked: exact where need, valid lower bound > eps
     elsewhere (so never falsely in-shell), on the interpret Pallas path."""
