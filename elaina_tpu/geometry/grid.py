@@ -49,8 +49,67 @@ PAD_COORD = 1.0e9  # far-away coordinate for padded candidate slots
 
 
 @partial(jax.tree_util.register_dataclass,
+         data_fields=["packed", "origin", "inv_cell", "r0"],
+         meta_fields=["res", "s", "eps"])
+@dataclass
+class FinePack:
+    """Dense finest-level lookup: ONE gather resolves row + need + bound.
+
+    Every XLA TPU gather costs ~77ns per element regardless of table size,
+    so the multi-level meta descent (6 gathers) + row_lbound + row_diag
+    (2 more) dominated the whole depth step.  ``packed`` collapses all of
+    it into one int32 per finest-level cell:
+
+        bit  31      need flag (epsilon-shell / exactness test, baked with
+                     the solve's eps) — entry < 0  <=>  need
+        bits 30..20  quantized lower-bound bucket b (11 bits):
+                     bound(0) = 0; bound(b) = r0 * 2^((b-1)/s)  <= true rl
+        bits 19..0   candidate-table row id (requires R < 2^20)
+
+    The bound quantizes DOWN (star radii shrink by < 2^(1/s)-1, ~1.1% at
+    s=64 — still provably valid).  Sized res0 * 2^(levels-1) per axis; all
+    leaf cells of every refinement depth are replicated to the finest
+    level, so a query is pure arithmetic + one gather.
+    """
+
+    packed: jnp.ndarray      # (prod(res),) int32
+    origin: jnp.ndarray      # (D,)
+    inv_cell: jnp.ndarray    # (D,) finest cells per world unit
+    r0: jnp.ndarray          # () f32 quantization base
+    res: tuple               # finest resolution per axis (static)
+    s: float                 # buckets per octave (static)
+    eps: float = 0.0         # epsilon the need bit was baked with (static)
+
+
+FINE_BUCKETS = 2047
+FINE_ROW_MASK = (1 << 20) - 1
+
+
+def fine_decode(fp: FinePack, q):
+    """(row, need, rl, outside) for query points q (N, D) — one gather."""
+    res = jnp.asarray([r for r in fp.res], jnp.float32)
+    rel = (q - fp.origin) * fp.inv_cell
+    outside = jnp.any((rel < 0.0) | (rel >= res), axis=-1)
+    idx = jnp.clip(rel.astype(jnp.int32), 0,
+                   jnp.asarray([r - 1 for r in fp.res], jnp.int32))
+    lin = idx[..., 0]
+    for d in range(1, len(fp.res)):
+        lin = lin * fp.res[d] + idx[..., d]
+    p = fp.packed[lin]
+    need = p < 0
+    pu = p & 0x7FFFFFFF
+    row = pu & FINE_ROW_MASK
+    b = pu >> 20
+    # (1 - 2^-19) guards the f32 rounding of exp2 so bound <= true rl holds
+    rl = jnp.where(b == 0, 0.0,
+                   fp.r0 * jnp.exp2((b.astype(jnp.float32) - 1.0) / fp.s)
+                   * (1.0 - 1.9e-6))
+    return row, need, rl, outside
+
+
+@partial(jax.tree_util.register_dataclass,
          data_fields=["origin", "inv_cell", "cand", "meta", "coverage",
-                      "lbound", "row_lbound", "row_diag", "coords"],
+                      "lbound", "row_lbound", "row_diag", "coords", "fine"],
          meta_fields=["res"])
 @dataclass
 class CandidateGrid:
@@ -68,6 +127,7 @@ class CandidateGrid:
     # coords: (R, n_rows, 128) f32 — candidate corner coordinates,
     # planes at row-aligned offsets (2D: [ax | ay | bx | by]); padded slots
     # hold PAD_COORD.  Built by attach_coords for the Pallas DMA sweep.
+    fine: FinePack | None = None   # attach_fine: single-gather row resolve
     res: tuple = ()          # static level-0 cell counts per axis
 
 
@@ -458,6 +518,155 @@ def attach_coords(grid: CandidateGrid, verts: np.ndarray,
     coords = _device_coords_from_cand(grid.cand, jnp.asarray(verts),
                                       jnp.asarray(indices))
     return replace(grid, coords=coords)
+
+
+# --------------------------------------------------------------------------- #
+# dense finest-level packed table (FinePack)
+# --------------------------------------------------------------------------- #
+
+_PTR_BUCKET = FINE_BUCKETS            # bucket 2047 marks a pointer entry
+_GE_CELL_CAP = 20_000_000             # gather-expansion size cap
+
+
+def _meta_coords_np(metas: list[np.ndarray], res0) -> list[np.ndarray]:
+    """Per-level integer cell coords (n_l, D) of every meta entry (host).
+
+    Level 0 coords are the dense grid; a level-(l+1) entry e descends from
+    the level-l entry holding pointer ordinal e//4, with child offset bits
+    (sub & 1, sub >> 1) matching grid_row_index's fraction test.
+    """
+    dim = len(res0)
+    coords = [np.stack(np.meshgrid(*[np.arange(r) for r in res0],
+                                   indexing="ij"),
+                       -1).reshape(-1, dim).astype(np.int64)]
+    for lvl in range(1, len(metas)):
+        prev = metas[lvl - 1]
+        neg = np.flatnonzero(prev < 0)
+        parent_of_ord = np.empty(neg.shape[0], np.int64)
+        parent_of_ord[-prev[neg] - 1] = neg
+        e = np.arange(metas[lvl].shape[0], dtype=np.int64)
+        parent = coords[lvl - 1][parent_of_ord[e >> dim]]
+        sub = e & (2 ** dim - 1)
+        off = np.stack([(sub >> d) & 1 for d in range(dim)], -1)
+        coords.append(parent * 2 + off)
+    return coords
+
+
+def build_fine_pack(grid: CandidateGrid, eps: float,
+                    s: float = 64.0) -> FinePack | None:
+    """Expand the refinement chain into the dense finest-level packed table.
+
+    Device plan (all sizes for ladybug, res0 512^2, 6 levels, fine 16384^2):
+      1. rewrite meta leaves to packed values, pointers to bucket-2047
+         entries (1M-element gathers),
+      2. gather-expand levels while the dense grid stays under ~20M cells
+         (~21M gathered elements, ~2s),
+      3. broadcast-repeat to the finest resolution (pure layout, no gather),
+      4. scatter the deeper levels' leaf blocks at host-derived coords
+         (~200k scattered values).
+    """
+    dim = len(grid.res)
+    if dim != 2 or grid.cand.shape[0] > FINE_ROW_MASK:
+        return None
+    L = len(grid.meta)
+    res0 = grid.res
+
+    # 1) per-row packed leaf values
+    rl = grid.row_lbound
+    need = rl < eps + grid.row_diag
+    rl_pos = jnp.where(rl > 0, rl, jnp.inf)
+    r0 = jnp.maximum(jnp.min(jnp.where(jnp.isfinite(rl_pos), rl_pos, 1.0)),
+                     1e-12)
+    b = jnp.where(
+        rl <= r0, 0,
+        jnp.floor(jnp.log2(jnp.maximum(rl, r0) / r0) * s).astype(jnp.int32)
+        + 1)
+    b = jnp.where(jnp.isfinite(rl), jnp.clip(b, 0, _PTR_BUCKET - 1),
+                  _PTR_BUCKET - 1)
+    rows = jnp.arange(rl.shape[0], dtype=jnp.int32)
+    packed0 = rows | (b << 20) | jnp.where(need, jnp.int32(-2**31), 0)
+
+    def rewrite(m):
+        leaf = packed0[jnp.maximum(m, 0)]
+        ptr = (jnp.int32(_PTR_BUCKET) << 20) | (-m - 1)
+        return jnp.where(m >= 0, leaf, ptr)
+
+    metp = [jax.jit(rewrite)(m) for m in grid.meta]
+
+    def is_ptr(v):
+        return ((v >> 20) & 0x7FF) == _PTR_BUCKET
+
+    # 2) gather-expansion of the top levels
+    ge = 0
+    cells = res0[0] * res0[1]
+    while ge + 1 < L and cells * 4 <= _GE_CELL_CAP:
+        ge += 1
+        cells *= 4
+
+    @jax.jit
+    def expand(metp):
+        cur = metp[0].reshape(res0)
+        for lvl in range(1, ge + 1):
+            nxt = metp[lvl]
+            ptr = jnp.where(is_ptr(cur), cur & FINE_ROW_MASK, 0)
+            kids = [jnp.where(is_ptr(cur), nxt[ptr * 4 + sub], cur)
+                    for sub in range(4)]
+            cur = jnp.stack(
+                [jnp.stack([kids[0], kids[2]], -1),     # a0=0: a1 in {0,1}
+                 jnp.stack([kids[1], kids[3]], -1)], 1  # a0=1
+            ).reshape(cur.shape[0] * 2, cur.shape[1] * 2)
+        # 3) broadcast-repeat to the finest level.  Only ever repeat along
+        # axis 0 (an (A, rep, B) intermediate pads rep to 8 sublanes — a
+        # bounded 2x); repeating the LAST axis would pad rep to 128 lanes,
+        # a 32x HBM blowup that OOMs at production sizes.
+        rep = 1 << (L - 1 - ge)
+        if rep > 1:
+            def rep0(a):
+                return jnp.broadcast_to(
+                    a[:, None, :], (a.shape[0], rep, a.shape[1])
+                ).reshape(a.shape[0] * rep, a.shape[1])
+
+            cur = rep0(rep0(cur.T).T)
+        return cur.reshape(-1)
+
+    fine = expand(metp)
+    fine_res = (res0[0] << (L - 1), res0[1] << (L - 1))
+
+    # 4) scatter deep levels (host coords, device values)
+    if ge + 1 < L:
+        metas_np = [np.asarray(m) for m in grid.meta]
+        coords = _meta_coords_np(metas_np, res0)
+
+        @jax.jit
+        def scatter_level(fine, vals, lins):
+            return fine.at[lins].set(vals)
+
+        for lvl in range(ge + 1, L):
+            leaf_mask = metas_np[lvl] >= 0
+            if not leaf_mask.any():
+                continue
+            idx = np.flatnonzero(leaf_mask)
+            c = coords[lvl][idx]
+            blk = 1 << (L - 1 - lvl)
+            vals = metp[lvl][jnp.asarray(idx)]
+            for oi in range(blk):
+                for oj in range(blk):
+                    lin = ((c[:, 0] * blk + oi) * fine_res[1]
+                           + c[:, 1] * blk + oj)
+                    fine = scatter_level(fine, vals,
+                                         jnp.asarray(lin, jnp.int32))
+
+    inv_cell_fine = grid.inv_cell * float(1 << (L - 1))
+    return FinePack(packed=fine, origin=grid.origin, inv_cell=inv_cell_fine,
+                    r0=r0, res=fine_res, s=float(s), eps=float(eps))
+
+
+def attach_fine(grid: CandidateGrid, eps: float) -> CandidateGrid:
+    """Return a copy of the grid with the FinePack attached (2D only)."""
+    if grid.fine is not None and grid.fine.eps == float(eps):
+        return grid
+    fp = build_fine_pack(grid, eps)
+    return grid if fp is None else replace(grid, fine=fp)
 
 
 # --------------------------------------------------------------------------- #

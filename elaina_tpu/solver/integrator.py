@@ -48,6 +48,19 @@ class BaseIntegrator:
         self.base_path = base_path
         self.films = {c: Film(settings.frameSize) for c in CHANNELS}
 
+        # bake the epsilon-shell need bit into the dense finest-level
+        # lookup (grid.FinePack) — the integrator is the first place eps
+        # is known.  Gated on the Pallas coords table (TPU fast path).
+        scene = problem.scene
+        if (scene is not None and scene.d_grid is not None
+                and scene.d_grid.coords is not None):
+            import dataclasses
+
+            from ..geometry.grid import attach_fine
+            g2 = attach_fine(scene.d_grid, float(settings.epsilonShell))
+            if g2 is not scene.d_grid:
+                problem.scene = dataclasses.replace(scene, d_grid=g2)
+
         w, h = settings.frameSize
         self.n_pixels = w * h
         probe: EvaluationGrid = problem.probe

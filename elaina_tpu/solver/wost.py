@@ -130,15 +130,21 @@ def dirichlet_distance_masked(scene: Scene, q, active, eps, stack_size: int,
             fresh, rd0 = step0
             need &= ~fresh
         return d, pid, pv, need
-    row = grid_row_index(g, q)
-    rl = g.row_lbound[row]
-    diam = g.row_diag[row]
-    # out-of-grid lanes clamp to a border cell whose lower bound is not
-    # valid for them: always compute those exactly
-    res = jnp.asarray([r for r in g.res], jnp.float32)
-    rel = (q - g.origin) * g.inv_cell
-    outside = jnp.any((rel < 0.0) | (rel >= res), axis=-1)
-    need = active & ((rl < eps + diam) | outside)
+    if g.fine is not None:
+        # dense finest-level packed table: one gather gives row + need + rl
+        from ..geometry.grid import fine_decode
+        row, need_f, rl, outside = fine_decode(g.fine, q)
+        need = active & (need_f | outside)
+    else:
+        row = grid_row_index(g, q)
+        rl = g.row_lbound[row]
+        diam = g.row_diag[row]
+        # out-of-grid lanes clamp to a border cell whose lower bound is not
+        # valid for them: always compute those exactly
+        res = jnp.asarray([r for r in g.res], jnp.float32)
+        rel = (q - g.origin) * g.inv_cell
+        outside = jnp.any((rel < 0.0) | (rel >= res), axis=-1)
+        need = active & ((rl < eps + diam) | outside)
     if step0 is not None:
         fresh, rd0 = step0
         need &= ~fresh

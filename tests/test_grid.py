@@ -137,6 +137,70 @@ def test_masked_dirichlet_distance():
     assert np.all(~(act & (d_true < eps)) | need)
 
 
+def test_fine_pack_matches_meta_chain():
+    """FinePack (dense finest-level packed table): row ids match the meta
+    descent, the need bit matches the rl/diam test, and the quantized bound
+    is a valid lower bound within one bucket of the leaf-cell bound."""
+    t = np.linspace(0, 2 * math.pi, 300, endpoint=False)
+    r = 3 + np.sin(7 * t)
+    verts = np.stack([r * np.cos(t), r * np.sin(t)], -1).astype(np.float32)
+    idx = np.stack([np.arange(300), (np.arange(300) + 1) % 300],
+                   -1).astype(np.int32)
+    lo, hi = np.array([-5, -5], np.float32), np.array([5, 5], np.float32)
+    grid = build_candidate_grid(verts, idx, lo, hi, K=12, max_res=512)
+    assert len(grid.meta) > 2   # exercise several refinement levels
+
+    from elaina_tpu.geometry.grid import (attach_fine, fine_decode,
+                                          grid_row_index)
+
+    eps = 0.35
+    grid_f = attach_fine(grid, eps)
+    assert grid_f.fine is not None
+    assert grid_f.fine.res == tuple(
+        rr << (len(grid.meta) - 1) for rr in grid.res)
+
+    q = jnp.asarray(np.random.default_rng(7).uniform(-4.99, 4.99, (4000, 2)),
+                    jnp.float32)
+    row_ref = np.asarray(grid_row_index(grid, q))
+    row_f, need_f, rl_f, outside = (np.asarray(a)
+                                    for a in fine_decode(grid_f.fine, q))
+    assert not outside.any()
+    np.testing.assert_array_equal(row_f, row_ref)
+
+    rl_ref = np.asarray(grid.row_lbound)[row_ref]
+    diam_ref = np.asarray(grid.row_diag)[row_ref]
+    np.testing.assert_array_equal(need_f, rl_ref < eps + diam_ref)
+    # quantized bound: valid and within one bucket of the leaf bound
+    assert np.all(rl_f <= rl_ref + 1e-6)
+    s = grid_f.fine.s
+    tight = rl_ref > float(grid_f.fine.r0)   # bucket 0 (<= r0) maps to 0
+    assert np.all(rl_f[tight] >= rl_ref[tight] * 2 ** (-2.0 / s) - 1e-5)
+
+    # end-to-end masked query agrees with the chain path where exactness
+    # is required
+    from elaina_tpu.core.problem import Boundary, Scene
+    from elaina_tpu.geometry.geomset import make_geom_set
+    from elaina_tpu.solver.wost import dirichlet_distance_masked
+
+    gs, _ = make_geom_set(verts, idx)
+    scene = Scene(
+        dirichlet=Boundary(gs=gs, colors=jnp.zeros((300, 2, 3))),
+        neumann=None, d_grid=grid_f, source=None,
+        aabb_lo=lo, aabb_hi=hi, dim=2, source_intensity=1.0,
+        dirichlet_intensity=1.0, neumann_intensity=1.0)
+    active = jnp.ones((4000,), bool)
+    d, pid, pv, need = dirichlet_distance_masked(scene, q, active, eps, 32)
+    a, b = verts[idx[:, 0]][None], verts[idx[:, 1]][None]
+    d_true = np.asarray(jnp.min(
+        seg_closest_point(np.asarray(q)[:, None, :], a, b)[0], axis=1))
+    d = np.asarray(d)
+    need = np.asarray(need)
+    np.testing.assert_allclose(d[need], d_true[need], rtol=1e-5, atol=1e-5)
+    assert np.all(d[~need] <= d_true[~need] + 1e-5)
+    assert np.all(d[~need] >= eps)
+    assert np.all(~(d_true < eps) | need)
+
+
 def test_grid_lbound_is_lower_bound():
     """The per-cell L grid lower-bounds the true distance everywhere."""
     t = np.linspace(0, 2 * math.pi, 200, endpoint=False)
