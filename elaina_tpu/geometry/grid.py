@@ -86,7 +86,13 @@ FINE_ROW_MASK = (1 << 20) - 1
 
 
 def fine_decode(fp: FinePack, q):
-    """(row, need, rl, outside) for query points q (N, D) — one gather."""
+    """(row, need, rl, outside) for query points q (N, D) — one gather.
+
+    In isolation a 128-cell row gather + one-hot select measures ~20%
+    faster than this plain 1-D gather (tools/tpu_gather_lab.py), but inside
+    the fused depth step it REGRESSES by ~2ms — XLA fuses the scalar
+    gather into the surrounding program better.  Keep the 1-D form.
+    """
     res = jnp.asarray([r for r in fp.res], jnp.float32)
     rel = (q - fp.origin) * fp.inv_cell
     outside = jnp.any((rel < 0.0) | (rel >= res), axis=-1)
@@ -571,54 +577,84 @@ def build_fine_pack(grid: CandidateGrid, eps: float,
     L = len(grid.meta)
     res0 = grid.res
 
-    # 1) per-row packed leaf values
-    rl = grid.row_lbound
-    need = rl < eps + grid.row_diag
-    rl_pos = jnp.where(rl > 0, rl, jnp.inf)
-    r0 = jnp.maximum(jnp.min(jnp.where(jnp.isfinite(rl_pos), rl_pos, 1.0)),
-                     1e-12)
-    b = jnp.where(
-        rl <= r0, 0,
-        jnp.floor(jnp.log2(jnp.maximum(rl, r0) / r0) * s).astype(jnp.int32)
-        + 1)
-    b = jnp.where(jnp.isfinite(rl), jnp.clip(b, 0, _PTR_BUCKET - 1),
-                  _PTR_BUCKET - 1)
-    rows = jnp.arange(rl.shape[0], dtype=jnp.int32)
-    packed0 = rows | (b << 20) | jnp.where(need, jnp.int32(-2**31), 0)
-
-    def rewrite(m):
-        leaf = packed0[jnp.maximum(m, 0)]
-        ptr = (jnp.int32(_PTR_BUCKET) << 20) | (-m - 1)
-        return jnp.where(m >= 0, leaf, ptr)
-
-    metp = [jax.jit(rewrite)(m) for m in grid.meta]
-
-    def is_ptr(v):
-        return ((v >> 20) & 0x7FF) == _PTR_BUCKET
-
-    # 2) gather-expansion of the top levels
     ge = 0
     cells = res0[0] * res0[1]
     while ge + 1 < L and cells * 4 <= _GE_CELL_CAP:
         ge += 1
         cells *= 4
+    fine_res = (res0[0] << (L - 1), res0[1] << (L - 1))
 
-    @jax.jit
-    def expand(metp):
+    # host-side: fine-grid scatter targets of the deep levels' leaf blocks
+    deep_lin, deep_src = [], []
+    if ge + 1 < L:
+        metas_np = [np.asarray(m) for m in grid.meta]
+        coords = _meta_coords_np(metas_np, res0)
+        for lvl in range(ge + 1, L):
+            idx = np.flatnonzero(metas_np[lvl] >= 0)
+            if idx.size == 0:
+                continue
+            c = coords[lvl][idx]
+            blk = 1 << (L - 1 - lvl)
+            for oi in range(blk):
+                for oj in range(blk):
+                    deep_lin.append((c[:, 0] * blk + oi) * fine_res[1]
+                                    + c[:, 1] * blk + oj)
+                    deep_src.append(metas_np[lvl][idx])  # row ids (>= 0)
+    if deep_lin:
+        deep_lin = jnp.asarray(np.concatenate(deep_lin), jnp.int32)
+        deep_src = jnp.asarray(np.concatenate(deep_src), jnp.int32)
+    else:
+        deep_lin = jnp.zeros((0,), jnp.int32)
+        deep_src = jnp.zeros((0,), jnp.int32)
+
+    def is_ptr(v):
+        return ((v >> 20) & 0x7FF) == _PTR_BUCKET
+
+    # ONE jitted program for the whole device build: each eager op costs a
+    # ~0.5-1s dispatch round-trip through the tunneled chip, and the naive
+    # stack-based 2x2 interleave pads its minor dim 2 -> 128 lanes (a 64x
+    # relayout that alone took ~70s).
+    @partial(jax.jit, static_argnames=())
+    def build(row_lbound, row_diag, meta, eps, deep_lin, deep_src):
+        rl = row_lbound
+        need = rl < eps + row_diag
+        rl_pos = jnp.where(rl > 0, rl, jnp.inf)
+        r0 = jnp.maximum(
+            jnp.min(jnp.where(jnp.isfinite(rl_pos), rl_pos, 1.0)), 1e-12)
+        b = jnp.where(
+            rl <= r0, 0,
+            jnp.floor(jnp.log2(jnp.maximum(rl, r0) / r0) * s).astype(
+                jnp.int32) + 1)
+        b = jnp.where(jnp.isfinite(rl), jnp.clip(b, 0, _PTR_BUCKET - 1),
+                      _PTR_BUCKET - 1)
+        rows = jnp.arange(rl.shape[0], dtype=jnp.int32)
+        packed0 = rows | (b << 20) | jnp.where(need, jnp.int32(-2**31), 0)
+
+        def rewrite(m):
+            leaf = packed0[jnp.maximum(m, 0)]
+            ptr = (jnp.int32(_PTR_BUCKET) << 20) | (-m - 1)
+            return jnp.where(m >= 0, leaf, ptr)
+
+        metp = [rewrite(m) for m in meta]
+
+        # tiling-safe 2x interleaves: only ever stack along axis 1 of a
+        # rank-2 array ((A, 2, B) pads 2 -> 8 sublanes, a bounded 4x);
+        # stacking a trailing axis would pad 2 -> 128 lanes
+        def rowileave(a, bb):
+            return jnp.stack([a, bb], 1).reshape(a.shape[0] * 2, a.shape[1])
+
+        def colileave(a, bb):
+            return rowileave(a.T, bb.T).T
+
         cur = metp[0].reshape(res0)
         for lvl in range(1, ge + 1):
             nxt = metp[lvl]
             ptr = jnp.where(is_ptr(cur), cur & FINE_ROW_MASK, 0)
             kids = [jnp.where(is_ptr(cur), nxt[ptr * 4 + sub], cur)
                     for sub in range(4)]
-            cur = jnp.stack(
-                [jnp.stack([kids[0], kids[2]], -1),     # a0=0: a1 in {0,1}
-                 jnp.stack([kids[1], kids[3]], -1)], 1  # a0=1
-            ).reshape(cur.shape[0] * 2, cur.shape[1] * 2)
-        # 3) broadcast-repeat to the finest level.  Only ever repeat along
-        # axis 0 (an (A, rep, B) intermediate pads rep to 8 sublanes — a
-        # bounded 2x); repeating the LAST axis would pad rep to 128 lanes,
-        # a 32x HBM blowup that OOMs at production sizes.
+            cur = rowileave(colileave(kids[0], kids[2]),
+                            colileave(kids[1], kids[3]))
+
         rep = 1 << (L - 1 - ge)
         if rep > 1:
             def rep0(a):
@@ -627,34 +663,13 @@ def build_fine_pack(grid: CandidateGrid, eps: float,
                 ).reshape(a.shape[0] * rep, a.shape[1])
 
             cur = rep0(rep0(cur.T).T)
-        return cur.reshape(-1)
+        fine = cur.reshape(-1)
+        if deep_src.shape[0]:
+            fine = fine.at[deep_lin].set(packed0[deep_src])
+        return fine, r0
 
-    fine = expand(metp)
-    fine_res = (res0[0] << (L - 1), res0[1] << (L - 1))
-
-    # 4) scatter deep levels (host coords, device values)
-    if ge + 1 < L:
-        metas_np = [np.asarray(m) for m in grid.meta]
-        coords = _meta_coords_np(metas_np, res0)
-
-        @jax.jit
-        def scatter_level(fine, vals, lins):
-            return fine.at[lins].set(vals)
-
-        for lvl in range(ge + 1, L):
-            leaf_mask = metas_np[lvl] >= 0
-            if not leaf_mask.any():
-                continue
-            idx = np.flatnonzero(leaf_mask)
-            c = coords[lvl][idx]
-            blk = 1 << (L - 1 - lvl)
-            vals = metp[lvl][jnp.asarray(idx)]
-            for oi in range(blk):
-                for oj in range(blk):
-                    lin = ((c[:, 0] * blk + oi) * fine_res[1]
-                           + c[:, 1] * blk + oj)
-                    fine = scatter_level(fine, vals,
-                                         jnp.asarray(lin, jnp.int32))
+    fine, r0 = build(grid.row_lbound, grid.row_diag, list(grid.meta),
+                     jnp.float32(eps), deep_lin, deep_src)
 
     inv_cell_fine = grid.inv_cell * float(1 << (L - 1))
     return FinePack(packed=fine, origin=grid.origin, inv_cell=inv_cell_fine,

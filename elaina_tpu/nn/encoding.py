@@ -76,7 +76,59 @@ def init_grid_params(key, spec: GridEncodingSpec, scale: float = 1e-4):
 
 
 def grid_encode(spec: GridEncodingSpec, table: jnp.ndarray, x: jnp.ndarray):
-    """x: (N, dim) normalized coords in [0, 1] -> (N, n_levels * n_features)."""
+    """x: (N, dim) normalized coords in [0, 1] -> (N, n_levels * n_features).
+
+    2D dense grids use the separable MXU formulation (see
+    _grid_encode_2d_separable); hashed or 3D levels use per-corner gathers.
+    """
+    if spec.dim == 2 and not any(spec.hashed):
+        return _grid_encode_2d_separable(spec, table, x)
+    return _grid_encode_gather(spec, table, x)
+
+
+def _grid_encode_2d_separable(spec: GridEncodingSpec, table: jnp.ndarray,
+                              x: jnp.ndarray):
+    """Bilinear dense-grid interpolation as tent-weight matmuls.
+
+    XLA TPU gathers cost ~60ns PER ELEMENT, so the per-corner gather
+    formulation (n_levels * 4 gathers) costs ~100ms+ per inference at 65k
+    lanes — 10x the entire rest of the depth step.  Bilinear interpolation
+    is separable:
+
+        feat(n) = sum_ij  t_i(n) t_j(n) T[i, j]     with tent weights
+        t_v(n) = max(0, 1 - |pos(n) - v|)           (2 nonzeros per axis)
+
+    so each level is ONE (N, V) x (V, F*V) matmul plus an elementwise
+    tent-weighted reduction — pure MXU/VPU work, zero gathers, and the
+    backward pass (feature-table gradients) becomes matmuls instead of XLA
+    scatters.  V = res+1 <= ~90 for the reference configs, so the weight
+    matrices stay tiny.
+    """
+    N = x.shape[0]
+    F = spec.n_features
+    x = jnp.clip(x, 0.0, 1.0)
+    outs = []
+    for lvl in range(spec.n_levels):
+        res = spec.resolutions[lvl]
+        off = spec.offsets[lvl]
+        V = res + 1
+        pos = x * res                                   # (N, 2) in [0, res]
+        vs = jnp.arange(V, dtype=table.dtype)
+        ti = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, 0:1] - vs[None]))  # (N, V)
+        tj = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, 1:2] - vs[None]))  # (N, V)
+        # T (V, V, F) row-major (lin = i*V + j) -> (V, F*V) with feature f
+        # occupying columns [f*V, (f+1)*V)
+        Tl = table[off:off + V * V].reshape(V, V, F)
+        Tl = jnp.transpose(Tl, (0, 2, 1)).reshape(V, F * V)
+        tmp = jnp.dot(ti, Tl, preferred_element_type=jnp.float32)  # (N, F*V)
+        feat = [jnp.sum(tmp[:, f * V:(f + 1) * V] * tj, axis=-1)
+                for f in range(F)]
+        outs.append(jnp.stack(feat, axis=-1))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _grid_encode_gather(spec: GridEncodingSpec, table: jnp.ndarray,
+                        x: jnp.ndarray):
     dim = spec.dim
     x = jnp.clip(x, 0.0, 1.0)
     outs = []

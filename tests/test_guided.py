@@ -84,6 +84,30 @@ def test_grid_encoding_interpolates():
     np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-6)
 
 
+def test_grid_encoding_separable_matches_gather():
+    """The MXU tent-matmul path equals the per-corner gather path (values
+    AND table gradients)."""
+    from elaina_tpu.nn.encoding import (_grid_encode_2d_separable,
+                                        _grid_encode_gather,
+                                        init_grid_params)
+
+    spec = make_grid_encoding(2, {"base_resolution": 5, "n_levels": 4,
+                                  "n_features_per_level": 3,
+                                  "per_level_scale": 1.7})
+    table = init_grid_params(jax.random.PRNGKey(3), spec, scale=1.0)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (200, 2), minval=-0.1,
+                           maxval=1.1)   # includes out-of-range clamping
+    a = _grid_encode_2d_separable(spec, table, x)
+    b = _grid_encode_gather(spec, table, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+    ga = jax.grad(lambda t: jnp.sum(_grid_encode_2d_separable(spec, t, x)**2))(table)
+    gb = jax.grad(lambda t: jnp.sum(_grid_encode_gather(spec, t, x)**2))(table)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_network_output_shape_and_grads():
     spec = make_network(2, n_dim_output(2), {})
     trainer = init_trainer(jax.random.PRNGKey(0), spec)
