@@ -169,7 +169,8 @@ def main() -> int:
         "vs_baseline": value / BASELINE_WALK_STEPS,
         "detail": {"backend": backend, "scene": args.scene, "res": res,
                    "spp": spp, "train_spp": train_spp,
-                   "walk_steps": int(steps), "duration_ms": duration_ms},
+                   "walk_steps": int(steps), "duration_ms": duration_ms,
+                   "phases": getattr(integ, "phase_stats", None)},
     }))
     return 0
 

@@ -295,6 +295,110 @@ def make_guided_persistent_chunk(spec: NetworkSpec, *, eps: float,
     return jax.jit(chunk)
 
 
+def _records_where(mask, a: WalkRecords, b: WalkRecords) -> WalkRecords:
+    """Per-lane select between two record buffers (mask: (N,) bool)."""
+    def pick(x, y):
+        if x.ndim == 1:                      # cur: (N,)
+            return jnp.where(mask, x, y)
+        m = mask[None, :]
+        return jnp.where(m.reshape(m.shape + (1,) * (x.ndim - 2)), x, y)
+
+    return WalkRecords(*(pick(x, y) for x, y in zip(a, b)))
+
+
+def make_guided_train_persistent_chunk(spec: NetworkSpec,
+                                       adam_cfg: AdamConfig, *, eps: float,
+                                       max_depth: int, spp: int,
+                                       iter_chunk: int, batch_size: int,
+                                       n_batches: int, d_stack: int = 48,
+                                       n_stack: int = 48):
+    """Persistent-lane TRAINING-phase chunk: walk + record + train, one jit.
+
+    Same persistent-threads scheduling as the guiding chunk, with the walk
+    records kept per lane: when a lane's walk completes (in-shell death or
+    depth cap), its finished records are FLUSHED to a per-lane "ready"
+    buffer before the lane restarts on its next sample.  After
+    ``iter_chunk`` iterations the chunk runs one optimizer pass
+    (train_on_records) over the ready buffer — the persistent analogue of
+    the reference's per-spp trainStepImpl (guided/integrator.cu:1046),
+    sampling the most recent completed walk of every lane.  The fixed-
+    width depth scan it replaces idles ~72% of the machine (live fraction
+    of a 64-deep scan with ~9-step walks).
+
+    carry = (state, acc, sample_idx, walk_step, it, trainer,
+             live_records, ready_records); build with
+    ``train_persistent_carry_init``.  Returns
+    (carry', remaining, steps, metric).
+    """
+
+    def chunk(scene, eval_points, mask, rd0, uniform_fraction,
+              max_guided_depth, key, carry):
+        def cond(c):
+            st, acc, sidx, wstep, it, it0, steps, rec, ready = c
+            return ((it - it0) < iter_chunk) & (
+                jnp.any(st.active) | jnp.any(sidx < spp))
+
+        def body(c):
+            st, acc, sidx, wstep, it, it0, steps, rec, ready = c
+            # flush completed walks (died with >= 1 step recorded)
+            done = (~st.active) & (rec.cur > 0)
+            ready = _records_where(done, rec, ready)
+            restart = (~st.active) & (sidx < spp) & mask
+            rec = rec._replace(cur=jnp.where(restart, 0, rec.cur))
+            st = WalkState(
+                pos=jnp.where(restart[:, None], eval_points, st.pos),
+                thp=jnp.where(restart[:, None], 1.0, st.thp),
+                active=st.active | restart,
+                on_neumann=jnp.where(restart, False, st.on_neumann),
+                n_normal=jnp.where(restart[:, None], 0.0, st.n_normal),
+            )
+            sidx = sidx + restart.astype(jnp.int32)
+            wstep = jnp.where(restart, 0, wstep)
+            steps = steps + jnp.sum(st.active.astype(jnp.int32))
+            k = jax.random.fold_in(key, it)
+            st, rec, contrib = guided_depth_step(
+                scene, spec, tr.ema_params, st, rec, k, wstep,
+                jnp.bool_(True), jnp.bool_(True), uniform_fraction,
+                max_guided_depth, eps=eps, d_stack=d_stack, n_stack=n_stack,
+                step0=(restart, rd0))
+            wstep = wstep + st.active.astype(jnp.int32)
+            st = st._replace(active=st.active & (wstep < max_depth))
+            return st, acc + contrib, sidx, wstep, it + 1, it0, steps, rec, ready
+
+        st, acc, sidx, wstep, it, tr, rec, ready = carry
+        init = (st, acc, sidx, wstep, it, it, jnp.int32(0), rec, ready)
+        st, acc, sidx, wstep, it, _, steps, rec, ready = jax.lax.while_loop(
+            cond, body, init)
+        # final flush so the optimizer sees walks that died this chunk
+        done = (~st.active) & (rec.cur > 0)
+        ready = _records_where(done, rec, ready)
+        tr, metric = train_on_records(tr, spec, adam_cfg, scene, ready,
+                                      batch_size=batch_size,
+                                      n_batches=n_batches)
+        remaining = jnp.any(st.active) | jnp.any(sidx < spp)
+        return ((st, acc, sidx, wstep, it, tr, rec, ready), remaining,
+                steps, metric)
+
+    return jax.jit(chunk)
+
+
+def train_persistent_carry_init(eval_points, mask, spp: int, trainer,
+                                in_shell0, contrib0, dim: int):
+    """Initial carry for the persistent training chunk (in-shell pixels
+    pre-resolved, as in wost.persistent_carry_from_step0)."""
+    n = eval_points.shape[0]
+    state = init_walk_state(eval_points, jnp.zeros((n,), bool))
+    resolved = in_shell0 | ~mask
+    return (state,
+            jnp.where(in_shell0[:, None], spp * contrib0, 0.0),
+            jnp.where(resolved, spp, 0).astype(jnp.int32),
+            jnp.zeros((n,), jnp.int32),
+            jnp.int32(0),
+            trainer,
+            init_records(n, dim),
+            init_records(n, dim))
+
+
 def run_one_guided_sample(scene: Scene, spec: NetworkSpec, infer_params,
                           eval_points, mask, key, guiding_on, training_on,
                           uniform_fraction, max_guided_depth, *, eps: float,
@@ -459,7 +563,10 @@ class GuidedIntegrator(BaseIntegrator):
         metrics_on = (s.saveSppMetricsDuration > 0
                       or s.saveTimeMetricsDuration > 0)
         if spp_chunk is None:
-            spp_chunk = 1 if metrics_on else min(4, s.samplesPerPixel)
+            # chunk=1: a 4-sample chunk saves only ~25ms of dispatch per
+            # sample but makes the training program ~4x bigger to compile
+            # (minutes through the remote-compile tunnel)
+            spp_chunk = 1
         spp_chunk = max(1, spp_chunk)
 
         spec, adam_cfg = self.spec, self.adam_cfg  # static (python) configs
@@ -500,6 +607,8 @@ class GuidedIntegrator(BaseIntegrator):
         start = time.time()
         total = jnp.zeros((n, 3), jnp.float32)
         self.total_walk_steps = 0
+        self.phase_stats = {"train_s": 0.0, "train_steps": 0,
+                            "guide_s": 0.0, "guide_steps": 0}
         spp0 = 0
         if checkpoint_path and os.path.exists(checkpoint_path):
             from ..core.checkpoint import load_solve_state, load_trainer
@@ -510,6 +619,15 @@ class GuidedIntegrator(BaseIntegrator):
 
         spp = spp0
         while spp < s.samplesPerPixel:
+            if (spp < s.trainSppCount and not metrics_on
+                    and not (checkpoint_path and checkpoint_every > 0)):
+                # training phase, persistent lanes: walk + record + train
+                # in one jitted chunk (see make_guided_train_persistent_chunk)
+                total, spp, interrupted = self._training_persistent(
+                    scene, total, spp, start, time_budget_s)
+                if interrupted:
+                    break
+                continue
             if (spp >= s.trainSppCount and not metrics_on
                     and not (checkpoint_path and checkpoint_every > 0)):
                 # guiding phase: no training, no records — run the
@@ -525,11 +643,15 @@ class GuidedIntegrator(BaseIntegrator):
             c = min(spp_chunk, limit - spp, s.samplesPerPixel - spp)
             keys = jnp.stack([jax.random.fold_in(key, spp + i)
                               for i in range(c)])
+            t_c = time.time()
             self.trainer, contrib, steps, metrics = run_chunk(c)(
                 self.trainer, keys, jnp.bool_(training), uniform_fraction,
                 max_guided_depth)
             total = total + contrib
             self.total_walk_steps += int(steps)
+            ph = "train" if training else "guide"
+            self.phase_stats[ph + "_s"] += time.time() - t_c
+            self.phase_stats[ph + "_steps"] += int(steps)
             if training:
                 self.loss_history.extend(np.asarray(metrics).tolist())
             spp += c
@@ -560,6 +682,67 @@ class GuidedIntegrator(BaseIntegrator):
         film.put_frame(np.asarray(total) / max(spp, 1))
         return duration_ms
 
+    def _step0(self, scene):
+        """Memoized step-0 separation (shared by both persistent phases)."""
+        if getattr(self, "_step0_cache", None) is None:
+            from .wost import compute_step0
+
+            s = self.settings
+            f = jax.jit(lambda sc, p, m: compute_step0(
+                sc, p, m, eps=float(s.epsilonShell),
+                d_stack=self.problem.d_stack, n_stack=self.problem.n_stack))
+            self._step0_cache = f(scene, self.eval_points, self.mask)
+        return self._step0_cache
+
+    def _training_persistent(self, scene, total, spp0, start,
+                             time_budget_s) -> tuple:
+        """Persistent-lane training phase.  Returns (total', spp',
+        interrupted)."""
+        s = self.settings
+        n = self.n_pixels
+        remaining = int(s.trainSppCount) - spp0
+        iter_chunk = 16   # ~1-2 samples/lane between optimizer passes
+
+        rd0, in_shell0, contrib0 = self._step0(scene)
+
+        batch_size = min(65_536 * 8, max(1024, MAX_TRAIN_DEPTH * n))
+        n_batches = min(5, max(1, -(-(MAX_TRAIN_DEPTH * n) // batch_size)))
+        chunk = make_guided_train_persistent_chunk(
+            self.spec, self.adam_cfg, eps=float(s.epsilonShell),
+            max_depth=int(s.maxWalkingDepth), spp=remaining,
+            iter_chunk=iter_chunk, batch_size=batch_size,
+            n_batches=n_batches, d_stack=self.problem.d_stack,
+            n_stack=self.problem.n_stack)
+        carry = train_persistent_carry_init(
+            self.eval_points, self.mask, remaining, self.trainer,
+            in_shell0, contrib0, self.problem.dim)
+        uf = jnp.float32(s.uniformFractionInTrainingPhase)
+        mgd = jnp.int32(s.maxGuidedDepthInTrainingPhase)
+        key = jax.random.PRNGKey(2)
+
+        max_chunks = -(-remaining * int(s.maxWalkingDepth) // iter_chunk) + 2
+        interrupted = False
+        t_t = time.time()
+        for _ in range(max_chunks):
+            carry, rem_flag, steps, metric = chunk(
+                scene, self.eval_points, self.mask, rd0, uf, mgd, key, carry)
+            self.total_walk_steps += int(steps)
+            self.phase_stats["train_steps"] += int(steps)
+            self.loss_history.append(float(metric))
+            if not bool(rem_flag):
+                break
+            if time_budget_s and (time.time() - start) > time_budget_s:
+                interrupted = True
+                break
+        self.phase_stats["train_s"] += time.time() - t_t
+        acc = carry[1]
+        sidx = carry[2]
+        self.trainer = carry[5]
+        if interrupted:
+            scale = remaining / jnp.maximum(sidx, 1).astype(jnp.float32)
+            acc = acc * scale[:, None]
+        return total + acc, spp0 + remaining, interrupted
+
     def _guiding_persistent(self, scene, total, spp0, start,
                             time_budget_s) -> tuple:
         """Run the remaining (guiding-phase) samples with persistent lanes.
@@ -568,16 +751,13 @@ class GuidedIntegrator(BaseIntegrator):
         partial sum is rescaled by its completed-sample count (per-lane
         progress differs mid-flight).
         """
-        from .wost import compute_step0, persistent_carry_from_step0
+        from .wost import persistent_carry_from_step0
 
         s = self.settings
         remaining = int(s.samplesPerPixel) - spp0
         iter_chunk = 256
 
-        step0 = jax.jit(lambda sc, p, m: compute_step0(
-            sc, p, m, eps=float(s.epsilonShell),
-            d_stack=self.problem.d_stack, n_stack=self.problem.n_stack))
-        rd0, in_shell0, contrib0 = step0(scene, self.eval_points, self.mask)
+        rd0, in_shell0, contrib0 = self._step0(scene)
 
         chunk = make_guided_persistent_chunk(
             self.spec, eps=float(s.epsilonShell),
@@ -592,16 +772,21 @@ class GuidedIntegrator(BaseIntegrator):
 
         max_chunks = -(-remaining * int(s.maxWalkingDepth) // iter_chunk) + 2
         interrupted = False
+        t_g = time.time()
         for _ in range(max_chunks):
             carry, rem_flag, steps = chunk(
                 scene, self.trainer.ema_params, self.eval_points, self.mask,
                 rd0, uf, mgd, key, carry)
             self.total_walk_steps += int(steps)
+            if hasattr(self, "phase_stats"):
+                self.phase_stats["guide_steps"] += int(steps)
             if not bool(rem_flag):
                 break
             if time_budget_s and (time.time() - start) > time_budget_s:
                 interrupted = True
                 break
+        if hasattr(self, "phase_stats"):
+            self.phase_stats["guide_s"] += time.time() - t_g
         acc = carry[1]
         sidx = carry[2]
         if interrupted:

@@ -35,6 +35,12 @@ def timed(label, compiled, *args, reps=2):
 def main():
     res = 256
     problem = _build_ladybug_problem(res, "grid")
+    if problem.scene.d_grid is not None:
+        import dataclasses
+
+        from elaina_tpu.geometry.grid import attach_fine
+        problem.scene = dataclasses.replace(
+            problem.scene, d_grid=attach_fine(problem.scene.d_grid, 1.0))
     scene = problem.scene
     n = res * res
     pts = problem.probe.points(jnp.arange(n), (res, res))

@@ -29,6 +29,14 @@ def main():
     args = ap.parse_args()
 
     problem = _build_ladybug_problem(args.res, "grid")
+    if problem.scene.d_grid is not None:
+        import dataclasses
+
+        from elaina_tpu.geometry.grid import attach_fine
+        t0 = time.time()
+        g2 = attach_fine(problem.scene.d_grid, 1.0)
+        problem.scene = dataclasses.replace(problem.scene, d_grid=g2)
+        print(f"fine pack {time.time()-t0:.1f}s", flush=True)
     scene = problem.scene
     n = args.res * args.res
     pts = problem.probe.points(jnp.arange(n), (args.res, args.res))
