@@ -63,11 +63,18 @@ def init_params(key, spec: NetworkSpec) -> dict:
 
 
 def apply_network(spec: NetworkSpec, params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """x: (N, dim) normalized positions -> raw outputs (N, n_out)."""
+    """x: (N, dim) normalized positions -> raw outputs (N, n_out).
+
+    Hidden activations flow in bf16 (halves the HBM traffic that dominates
+    at production lane counts; the reference's tcnn MLP computes in fp16,
+    util/network.h:11-13) with f32 accumulation and f32 raw outputs.
+    """
     h = grid_encode(spec.encoding, params["table"], x)
     n_layers = spec.n_hidden + 2
     for i in range(n_layers):
-        h = jnp.dot(h, params[f"w{i}"], preferred_element_type=jnp.float32)
+        h = jnp.dot(h.astype(jnp.bfloat16),
+                    params[f"w{i}"].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
         h = h + params[f"b{i}"]
         if i < n_layers - 1:
             h = jax.nn.relu(h)

@@ -207,23 +207,21 @@ def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
     fold = state.on_neumann & (jnp.sum(state.n_normal * d_gui_raw, -1) <= 0)
     d_gui = jnp.where(fold[:, None], refl_gui, d_gui_raw)
 
-    def eff_pdf(direction):
-        p = vmm_pdf(vmm, direction, dim)
-        p_r = vmm_pdf(vmm, reflect(direction, state.n_normal), dim)
-        return jnp.where(state.on_neumann, p + p_r, p)
-
-    guided_pdf_gui = vmm_pdf(vmm, d_gui_raw, dim) + jnp.where(
-        state.on_neumann, vmm_pdf(vmm, refl_gui, dim), 0.0)
-    guided_pdf_uni = eff_pdf(d_uni)
-
-    pdf_gui = sp * guided_pdf_gui + (1.0 - sp) * pdf_uni_base
-    mis_uni = guide_depth_ok & in_aabb
-    pdf_uni = jnp.where(mis_uni,
-                        sp * guided_pdf_uni + (1.0 - sp) * pdf_uni_base,
-                        pdf_uni_base)
-
+    # One-sample MIS: both branches blend pdf = sp*guided + (1-sp)*uniform
+    # whenever guidance is active, so the guided-mixture pdf only needs
+    # evaluating at the CHOSEN direction — two vmm_pdf sweeps (direction +
+    # its Neumann reflection) instead of four.  Note the guided branch's
+    # effective density at a folded d_gui equals pdf(d_gui)+pdf(refl)
+    # = pdf(d_gui_raw)+pdf(refl_gui): reflection is an involution, so the
+    # pair {direction, reflect(direction)} is the same either way.
+    mis_on = guide_depth_ok & in_aabb
     direction = jnp.where(choose_guided[:, None], d_gui, d_uni)
-    pdf = jnp.where(choose_guided, pdf_gui, pdf_uni)
+    p = vmm_pdf(vmm, direction, dim)
+    p_r = vmm_pdf(vmm, reflect(direction, state.n_normal), dim)
+    guided_pdf = jnp.where(state.on_neumann, p + p_r, p)
+    pdf = jnp.where(mis_on,
+                    sp * guided_pdf + (1.0 - sp) * pdf_uni_base,
+                    pdf_uni_base)
 
     # walk records for training (incrementDepth before the state update)
     if records is not None:
