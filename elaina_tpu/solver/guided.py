@@ -110,25 +110,27 @@ def _backfill(records: WalkRecords, contrib, inclusive: bool) -> WalkRecords:
 def _increment(records: WalkRecords, state: WalkState, direction, pdf,
                write_mask) -> WalkRecords:
     """Append a walk vertex for training lanes (incrementDepth,
-    guided.h:25-46)."""
-    w = write_mask & (records.cur < MAX_TRAIN_DEPTH)
-    idx = jnp.minimum(records.cur, MAX_TRAIN_DEPTH - 1)
-    lanes = jnp.arange(records.cur.shape[0])
+    guided.h:25-46).
 
-    # scatter with per-lane mask: blend new/old at the target slot, then set
-    def scatter(arr, val):
-        old = arr[idx, lanes]
-        pick = jnp.where(w.reshape(w.shape + (1,) * (val.ndim - 1)), val, old)
-        return arr.at[idx, lanes].set(pick)
+    The record-axis R is a tiny static constant, so the per-lane slot write
+    is a dense masked select over (R, N) — XLA scatters cost tens of ns per
+    element on TPU and dominated the training-phase step."""
+    w = write_mask & (records.cur < MAX_TRAIN_DEPTH)
+    r_idx = jnp.arange(MAX_TRAIN_DEPTH)[:, None]          # (R, 1)
+    sel = w[None, :] & (records.cur[None, :] == r_idx)    # (R, N)
+
+    def put(arr, val):
+        m = sel.reshape(sel.shape + (1,) * (arr.ndim - 2))
+        return jnp.where(m, val[None], arr)
 
     return WalkRecords(
-        pos=scatter(records.pos, state.pos),
-        dir=scatter(records.dir, direction),
-        dir_pdf=scatter(records.dir_pdf, pdf),
-        thp=scatter(records.thp, state.thp),
-        sol=scatter(records.sol, jnp.zeros_like(state.thp)),
-        on_neumann=scatter(records.on_neumann, state.on_neumann),
-        normal=scatter(records.normal, state.n_normal),
+        pos=put(records.pos, state.pos),
+        dir=put(records.dir, direction),
+        dir_pdf=put(records.dir_pdf, pdf),
+        thp=put(records.thp, state.thp),
+        sol=put(records.sol, jnp.zeros_like(state.thp)),
+        on_neumann=put(records.on_neumann, state.on_neumann),
+        normal=put(records.normal, state.n_normal),
         cur=records.cur + w.astype(jnp.int32),
     )
 
