@@ -751,47 +751,39 @@ class GuidedIntegrator(BaseIntegrator):
         partial sum is rescaled by its completed-sample count (per-lane
         progress differs mid-flight).
         """
-        from .wost import persistent_carry_from_step0
+        from .wost import balanced_solve
 
         s = self.settings
+        spec = self.spec
         remaining = int(s.samplesPerPixel) - spp0
-        iter_chunk = 256
+        eps = float(s.epsilonShell)
+        d_stack, n_stack = self.problem.d_stack, self.problem.n_stack
 
         rd0, in_shell0, contrib0 = self._step0(scene)
 
-        chunk = make_guided_persistent_chunk(
-            self.spec, eps=float(s.epsilonShell),
-            max_depth=int(s.maxWalkingDepth), spp=remaining,
-            iter_chunk=iter_chunk, d_stack=self.problem.d_stack,
-            n_stack=self.problem.n_stack)
-        carry = persistent_carry_from_step0(
-            self.eval_points, self.mask, remaining, in_shell0, contrib0)
-        uf = jnp.float32(s.uniformFractionInGuidingPhase)
-        mgd = jnp.int32(s.maxGuidedDepthInGuidingPhase)
-        key = jax.random.PRNGKey(1)
+        def g_step(sc, extra, st, k, wstep, step0):
+            params, uf, mgd = extra
+            st, _, contrib = guided_depth_step(
+                sc, spec, params, st, None, k, wstep, jnp.bool_(True),
+                jnp.bool_(False), uf, mgd, eps=eps, d_stack=d_stack,
+                n_stack=n_stack, step0=step0)
+            return st, contrib
 
-        max_chunks = -(-remaining * int(s.maxWalkingDepth) // iter_chunk) + 2
-        interrupted = False
+        extra = (self.trainer.ema_params,
+                 jnp.float32(s.uniformFractionInGuidingPhase),
+                 jnp.int32(s.maxGuidedDepthInGuidingPhase))
         t_g = time.time()
-        for _ in range(max_chunks):
-            carry, rem_flag, steps = chunk(
-                scene, self.trainer.ema_params, self.eval_points, self.mask,
-                rd0, uf, mgd, key, carry)
-            self.total_walk_steps += int(steps)
-            if hasattr(self, "phase_stats"):
-                self.phase_stats["guide_steps"] += int(steps)
-            if not bool(rem_flag):
-                break
-            if time_budget_s and (time.time() - start) > time_budget_s:
-                interrupted = True
-                break
+        acc, steps = balanced_solve(
+            scene, extra, np.asarray(self.eval_points), np.asarray(rd0),
+            np.asarray(in_shell0 | ~self.mask), contrib0, in_shell0,
+            spp=remaining, eps=eps, max_depth=int(s.maxWalkingDepth),
+            d_stack=d_stack, n_stack=n_stack, step_fn=g_step,
+            key=jax.random.PRNGKey(1), time_budget_s=time_budget_s,
+            start_time=start)
+        self.total_walk_steps += steps
         if hasattr(self, "phase_stats"):
+            self.phase_stats["guide_steps"] += steps
             self.phase_stats["guide_s"] += time.time() - t_g
-        acc = carry[1]
-        sidx = carry[2]
-        if interrupted:
-            scale = remaining / jnp.maximum(sidx, 1).astype(jnp.float32)
-            acc = acc * scale[:, None]
         return total + acc, int(s.samplesPerPixel)
 
     def query_network(self, p):

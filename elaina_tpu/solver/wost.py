@@ -22,10 +22,12 @@ equivalent, reproducible, and free of cross-lane state.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.problem import Scene
 from ..geometry import queries as Q
@@ -431,6 +433,263 @@ def make_persistent_chunk(*, eps: float, max_depth: int,
         return (st, acc, sidx, wstep, it), remaining, steps
 
     return jax.jit(chunk)
+
+
+N_PIECES = 4   # worklist slots per lane in the balanced chunk
+
+
+def build_balanced_pieces(rem: np.ndarray, cost: np.ndarray,
+                          n_lanes: int, s: int = N_PIECES):
+    """Cost-balanced contiguous partition of remaining samples into per-lane
+    worklists (host-side, numpy).
+
+    rem: (P,) remaining samples per pixel; cost: (P,) estimated steps per
+    sample (measured walk depth).  Every lane receives up to ``s``
+    contiguous (pixel, quota) pieces whose total estimated cost is ~W/M;
+    heavy pixels are split across consecutive lanes.  Returns
+    (piece_pix (s, M) int32, piece_quota (s, M) int32) with quota 0 padding.
+
+    Why: with lane == pixel, per-pixel mean walk depth varies ~2-3x across
+    the image, so shallow-pixel lanes idle while deep-pixel lanes straggle
+    — measured 45% occupancy over a full solve vs 95% in steady state.
+    """
+    rem = rem.astype(np.int64)
+    active = np.flatnonzero(rem > 0)
+    piece_pix = np.zeros((s, n_lanes), np.int32)
+    piece_quota = np.zeros((s, n_lanes), np.int32)
+    if active.size == 0:
+        return piece_pix, piece_quota
+    ra = rem[active]
+    c = np.maximum(cost[active].astype(np.float64), 1.0)
+    w = c * ra
+    cum = np.concatenate([[0.0], np.cumsum(w)])
+    W = cum[-1]
+    bounds = np.arange(n_lanes + 1) * (W / n_lanes)
+    bi = np.clip(np.searchsorted(cum, bounds, side="right") - 1, 0,
+                 ra.size - 1)
+    frac = np.clip((bounds - cum[bi]) / np.maximum(w[bi], 1e-30), 0.0, 1.0)
+    off = np.minimum((frac * ra[bi]).astype(np.int64), ra[bi])
+    bi[-1], off[-1] = ra.size - 1, ra[-1]
+
+    # lane j's piece k is active pixel bi[j] + k, clipped to lane j+1's
+    # start; pieces past ``s`` stay in rem for the next repartition
+    p0 = bi[:-1]          # (M,)
+    p1 = bi[1:]
+    o0 = off[:-1]
+    o1 = off[1:]
+    for k in range(s):
+        p = p0 + k                                       # (M,)
+        inside = p <= p1
+        ps = np.minimum(p, ra.size - 1)
+        b = np.where(p == p1, o1, ra[ps])
+        a = np.where(k == 0, o0, 0)
+        q = np.where(inside, np.maximum(b - a, 0), 0)
+        piece_pix[k] = active[ps]
+        piece_quota[k] = q
+    return piece_pix, piece_quota
+
+
+def make_balanced_chunk(step_fn=None, *, eps: float, max_depth: int,
+                        d_stack: int = 48, n_stack: int = 48):
+    """Balanced persistent solve chunk: per-lane worklists of (pixel, quota)
+    pieces, run to completion (while_loop exits when every lane drained its
+    worklist and all walks died; ``iter_cap`` is a safety bound).
+
+    chunk(scene, extra, piece_px, piece_py, piece_rd0, piece_quota, key,
+          iter_cap) -> (acc_slots (S, 3, N), done (S, N), lane_steps (N,),
+          steps, iters)
+    piece_* are (S, N) planar arrays ((N, S) would pad S -> 128 lanes);
+    piece_rd0 is the cached step-0 Dirichlet distance of the piece's pixel.
+    The caller scatters acc_slots into the image by the host-known piece
+    pixel ids (one segment_sum per chunk).
+
+    ``step_fn(scene, extra, state, key, wstep, step0) -> (state', contrib)``
+    customizes the walk step (the guided integrator passes its inference
+    step); default is the uniform wost_depth_step.  ``extra`` is an
+    arbitrary pytree threaded to step_fn (e.g. network params).
+    """
+    S = N_PIECES
+
+    if step_fn is None:
+        def step_fn(scene, extra, st, k, wstep, step0):
+            return wost_depth_step(scene, st, k, eps, d_stack, n_stack,
+                                   step0=step0)
+
+    def sel(slot, arr):
+        """arr (S, N) -> per-lane value at the lane's current slot (dense
+        S-way select; no gathers)."""
+        out = jnp.zeros_like(arr[0])
+        for k in range(S):
+            out = jnp.where(slot == k, arr[k], out)
+        return out
+
+    def chunk(scene, extra, piece_px, piece_py, piece_rd0, piece_quota, key,
+              iter_cap):
+        n = piece_px.shape[1]
+
+        def cond(c):
+            st, acc, slot, sidx, wstep, it, steps, lsteps = c
+            quota = sel(slot, piece_quota)
+            return (it < iter_cap) & (jnp.any(st.active)
+                                      | jnp.any((slot < S) & (sidx < quota)))
+
+        def body(c):
+            st, acc, slot, sidx, wstep, it, steps, lsteps = c
+            # advance exhausted pieces (quota 0 pads the worklist tail)
+            quota = sel(slot, piece_quota)
+            adv = (~st.active) & (sidx >= quota) & (slot < S)
+            slot = jnp.where(adv, slot + 1, slot)
+            sidx = jnp.where(adv, 0, sidx)
+            quota = sel(slot, piece_quota)
+
+            restart = (~st.active) & (sidx < quota) & (slot < S)
+            px = sel(slot, piece_px)
+            py = sel(slot, piece_py)
+            pos0 = jnp.stack([px, py], -1)
+            rd0 = sel(slot, piece_rd0)
+            st = WalkState(
+                pos=jnp.where(restart[:, None], pos0, st.pos),
+                thp=jnp.where(restart[:, None], 1.0, st.thp),
+                active=st.active | restart,
+                on_neumann=jnp.where(restart, False, st.on_neumann),
+                n_normal=jnp.where(restart[:, None], 0.0, st.n_normal),
+            )
+            sidx = sidx + restart.astype(jnp.int32)
+            live = st.active.astype(jnp.int32)
+            steps = steps + jnp.sum(live)
+            lsteps = lsteps + live
+            wstep = jnp.where(restart, 0, wstep)
+            k = jax.random.fold_in(key, it)
+            st, contrib = step_fn(scene, extra, st, k, wstep,
+                                  (restart, rd0))
+            # accumulate into the lane's current slot.  acc is (S, 3, N):
+            # an (S, N, 3) layout would pad the trailing 3 to 128 lanes
+            ct = contrib.T                               # (3, N)
+            for kk in range(S):
+                acc = acc.at[kk].add(
+                    jnp.where((slot == kk)[None, :], ct, 0.0))
+            wstep = wstep + st.active.astype(jnp.int32)
+            st = st._replace(active=st.active & (wstep < max_depth))
+            return st, acc, slot, sidx, wstep, it + 1, steps, lsteps
+
+        st0 = init_walk_state(jnp.stack([piece_px[0], piece_py[0]], -1),
+                              jnp.zeros((n,), bool))
+        init = (st0, jnp.zeros((S, 3, n), jnp.float32),
+                jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32),
+                jnp.zeros((n,), jnp.int32), jnp.int32(0), jnp.int32(0),
+                jnp.zeros((n,), jnp.int32))
+        st, acc, slot, sidx, wstep, it, steps, lsteps = jax.lax.while_loop(
+            cond, body, init)
+        # completed samples per piece (fully drained pieces hit their quota;
+        # iter_cap interrupts leave partial counts)
+        done = jnp.stack(
+            [jnp.where(slot > k, piece_quota[k],
+                       jnp.where(slot == k, sidx, 0)) for k in range(S)])
+        return acc, done, lsteps, steps, it
+
+    return jax.jit(chunk)
+
+
+def flush_balanced(image, acc, done, piece_pix, n_pixels: int):
+    """Scatter a balanced chunk's per-piece sums into the pixel image and
+    return (image', done_per_pixel).  piece_pix: (S, N) host int32."""
+    seg = jnp.asarray(piece_pix.reshape(-1))
+    chans = [jax.ops.segment_sum(acc[:, ch, :].reshape(-1), seg,
+                                 num_segments=n_pixels) for ch in range(3)]
+    image = image + jnp.stack(chans, -1)
+    done_pix = jax.ops.segment_sum(done.reshape(-1), seg,
+                                   num_segments=n_pixels)
+    return image, done_pix
+
+
+@partial(jax.jit, static_argnames=("n_pixels",))
+def _flush_jit(image, acc, done, piece_pix, n_pixels: int):
+    return flush_balanced(image, acc, done, piece_pix, n_pixels)
+
+
+def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
+                   in_shell0, *, spp: int, eps: float, max_depth: int,
+                   d_stack: int = 48, n_stack: int = 48, step_fn=None,
+                   key=None, time_budget_s=None, start_time=None,
+                   progress=None, max_rounds: int = 64):
+    """Round-based balanced persistent solve (see make_balanced_chunk).
+
+    Round 0 runs an identity partition for a few samples to measure
+    per-pixel walk cost; later rounds repartition the remaining samples
+    into cost-balanced worklists until every pixel reaches ``spp``.
+    Resolved pixels (in-shell / masked) are baked analytically.  Returns
+    (image (N, 3) device [pre-normalization sum], total_steps).  On a time
+    -budget interrupt the partial sums are rescaled per pixel by their
+    completed-sample counts.
+    """
+    import time as _time
+
+    n = pts_np.shape[0]
+    S = N_PIECES
+    chunk = make_balanced_chunk(step_fn, eps=eps, max_depth=max_depth,
+                                d_stack=d_stack, n_stack=n_stack)
+    image = jnp.where(jnp.asarray(in_shell0)[:, None], spp * contrib0, 0.0)
+    rem = np.where(resolved_np, 0, spp).astype(np.int64)
+    cost = np.ones(n)
+    key = jax.random.PRNGKey(3) if key is None else key
+    total_steps = 0
+    start_time = start_time or _time.time()
+
+    spp_w = int(min(8, spp))
+    piece_pix = np.zeros((S, n), np.int32)
+    piece_pix[0] = np.arange(n)
+    piece_quota = np.zeros((S, n), np.int32)
+    piece_quota[0] = np.where(resolved_np, 0, spp_w)
+
+    interrupted = False
+    for round_i in range(max_rounds):
+        if rem.sum() == 0:
+            break
+        if round_i > 0:
+            piece_pix, piece_quota = build_balanced_pieces(rem, cost, n, S)
+        px = jnp.asarray(pts_np[piece_pix, 0])
+        py = jnp.asarray(pts_np[piece_pix, 1])
+        prd = jnp.asarray(rd0_np[piece_pix])
+        # TIGHT per-round caps: a round run to completion idles every
+        # finished lane while estimate-error stragglers drain (measured
+        # ~40% occupancy); cutting at ~1.35x the balanced ideal keeps each
+        # round ~90% occupied and the next repartition SPLITS straggler
+        # work across many lanes.
+        if round_i == 0:
+            cap = 64
+        else:
+            ideal = int(np.ceil(float((rem * cost).sum()) / max(n, 1)))
+            cap = int(1.35 * ideal) + 24
+        acc, done, lsteps, steps, iters = chunk(
+            scene, extra, px, py, prd, jnp.asarray(piece_quota),
+            jax.random.fold_in(key, round_i), jnp.int32(cap))
+        image, done_pix = _flush_jit(image, acc, done,
+                                     jnp.asarray(piece_pix), n)
+        total_steps += int(steps)
+        done_np = np.asarray(done_pix).astype(np.int64)
+        rem = np.maximum(rem - done_np, 0)
+        if round_i == 0:
+            per_lane = np.asarray(lsteps).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = per_lane / np.maximum(done_np, 1)
+            have = done_np > 0
+            fallback = float(c[have].mean()) if have.any() else 8.0
+            cost = np.where(have, np.maximum(c, 1.0), max(fallback, 1.0))
+        if progress is not None:
+            frac_done = 1.0 - rem.sum() / max(
+                float(np.sum(~resolved_np)) * spp, 1.0)
+            progress(int(frac_done * 100), 100)
+        if (time_budget_s is not None
+                and _time.time() - start_time > time_budget_s
+                and rem.sum() > 0):
+            interrupted = True
+            break
+
+    if interrupted or rem.sum() > 0:
+        done_total = np.where(resolved_np, spp, spp - rem)
+        scale = spp / np.maximum(done_total, 1)
+        image = image * jnp.asarray(scale, jnp.float32)[:, None]
+    return image, total_steps
 
 
 def compute_step0(scene: Scene, eval_points, mask, *, eps: float,

@@ -147,6 +147,52 @@ def test_persistent_lanes_match_analytic():
     assert total_steps > spp * 3  # counted real executed steps
 
 
+def test_balanced_solve_matches_analytic():
+    """The cost-balanced worklist solve (warmup + repartitioned rounds,
+    wost.balanced_solve) delivers exactly spp samples per pixel and matches
+    the analytic solution."""
+    from elaina_tpu.solver.wost import (balanced_solve,
+                                        build_balanced_pieces, compute_step0)
+
+    # piece construction invariants on a synthetic remainder
+    rng = np.random.default_rng(11)
+    rem = rng.integers(0, 33, 200).astype(np.int64)
+    cost = rng.uniform(1, 20, 200)
+    pix, quota = build_balanced_pieces(rem, cost, n_lanes=64, s=4)
+    assigned = np.zeros(200, np.int64)
+    np.add.at(assigned, pix.reshape(-1), quota.reshape(-1))
+    assert np.all(assigned <= rem)            # never over-assign
+    assert assigned.sum() >= 0.8 * rem.sum()  # dropped pieces are rare
+    # per-lane cost balance within a reasonable factor
+    lane_cost = (quota * cost[pix]).sum(0)
+    target = (rem * cost).sum() / 64
+    assert lane_cost.max() <= 3.5 * target + cost.max() * 33
+
+    d_verts, d_indices = _square_boundary(n_per_side=6, sides=(1, 3))
+    d_gs, _ = make_geom_set(d_verts, d_indices)
+    d_colors = _colors_from_fn(d_verts, lambda v: (v[0] + 1.0) / 2.0)
+    n_verts, n_indices = _square_boundary(n_per_side=6, sides=(0, 2))
+    n_gs, _ = make_geom_set(n_verts, n_indices)
+    scene = _scene(
+        dirichlet=Boundary(gs=d_gs, colors=jnp.asarray(d_colors)),
+        neumann=Boundary(gs=n_gs, colors=jnp.zeros((len(n_verts), 2, 3))),
+    )
+    pts = jnp.asarray([[0.0, 0.0], [0.5, 0.8], [-0.5, -0.8],
+                       [0.2, -0.1], [-0.7, 0.3], [0.9, 0.0]], jnp.float32)
+    n = pts.shape[0]
+    mask = jnp.ones((n,), bool)
+    spp = 256
+    rd0, in_shell0, contrib0 = compute_step0(scene, pts, mask, eps=0.02)
+    image, steps = balanced_solve(
+        scene, None, np.asarray(pts), np.asarray(rd0),
+        np.asarray(in_shell0 | ~mask), contrib0, in_shell0,
+        spp=spp, eps=0.02, max_depth=64)
+    u = np.asarray(image) / spp
+    expected = (np.asarray(pts)[:, 0] + 1.0) / 2.0
+    np.testing.assert_allclose(u[:, 0], expected, atol=0.07)
+    assert steps > spp * n
+
+
 def test_source_term_disk():
     """Poisson check: -Laplacian u = 1 on the unit disk, u=0 on the
     boundary -> u(r) = (1 - r^2) / 4 (2D)."""
