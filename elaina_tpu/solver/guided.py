@@ -382,6 +382,103 @@ def make_guided_train_persistent_chunk(spec: NetworkSpec,
     return jax.jit(chunk)
 
 
+def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
+                              eps: float, max_depth: int,
+                              batch_size: int, n_batches: int,
+                              d_stack: int = 48, n_stack: int = 48):
+    """Cost-balanced TRAINING-phase chunk (see wost.make_balanced_chunk for
+    the worklist scheme, make_guided_train_persistent_chunk for the record
+    flush-on-restart).  One optimizer pass over the ready records runs
+    after the walk loop, so the driver's round cadence sets the training
+    cadence.
+
+    chunk(scene, trainer, uf, mgd, piece_px, piece_py, piece_rd0,
+          piece_quota, key, iter_cap)
+      -> (acc (S,3,N), done (S,N), lane_steps, steps, iters, trainer',
+          metric)
+    """
+    from .wost import N_PIECES as S
+
+    def sel(slot, arr):
+        out = jnp.zeros_like(arr[0])
+        for k in range(S):
+            out = jnp.where(slot == k, arr[k], out)
+        return out
+
+    def chunk(scene, trainer, uf, mgd, piece_px, piece_py, piece_rd0,
+              piece_quota, key, iter_cap):
+        n = piece_px.shape[1]
+
+        def cond(c):
+            st, acc, slot, sidx, wstep, it, steps, lsteps, rec, ready = c
+            quota = sel(slot, piece_quota)
+            return (it < iter_cap) & (jnp.any(st.active)
+                                      | jnp.any((slot < S) & (sidx < quota)))
+
+        def body(c):
+            st, acc, slot, sidx, wstep, it, steps, lsteps, rec, ready = c
+            done_walk = (~st.active) & (rec.cur > 0)
+            ready = _records_where(done_walk, rec, ready)
+
+            quota = sel(slot, piece_quota)
+            adv = (~st.active) & (sidx >= quota) & (slot < S)
+            slot = jnp.where(adv, slot + 1, slot)
+            sidx = jnp.where(adv, 0, sidx)
+            quota = sel(slot, piece_quota)
+
+            restart = (~st.active) & (sidx < quota) & (slot < S)
+            rec = rec._replace(cur=jnp.where(restart, 0, rec.cur))
+            pos0 = jnp.stack([sel(slot, piece_px), sel(slot, piece_py)], -1)
+            rd0 = sel(slot, piece_rd0)
+            st = WalkState(
+                pos=jnp.where(restart[:, None], pos0, st.pos),
+                thp=jnp.where(restart[:, None], 1.0, st.thp),
+                active=st.active | restart,
+                on_neumann=jnp.where(restart, False, st.on_neumann),
+                n_normal=jnp.where(restart[:, None], 0.0, st.n_normal),
+            )
+            sidx = sidx + restart.astype(jnp.int32)
+            live = st.active.astype(jnp.int32)
+            steps = steps + jnp.sum(live)
+            lsteps = lsteps + live
+            wstep = jnp.where(restart, 0, wstep)
+            k = jax.random.fold_in(key, it)
+            st, rec, contrib = guided_depth_step(
+                scene, spec, trainer.ema_params, st, rec, k, wstep,
+                jnp.bool_(True), jnp.bool_(True), uf, mgd, eps=eps,
+                d_stack=d_stack, n_stack=n_stack, step0=(restart, rd0))
+            ct = contrib.T
+            for kk in range(S):
+                acc = acc.at[kk].add(
+                    jnp.where((slot == kk)[None, :], ct, 0.0))
+            wstep = wstep + st.active.astype(jnp.int32)
+            st = st._replace(active=st.active & (wstep < max_depth))
+            return (st, acc, slot, sidx, wstep, it + 1, steps, lsteps, rec,
+                    ready)
+
+        st0 = init_walk_state(jnp.stack([piece_px[0], piece_py[0]], -1),
+                              jnp.zeros((n,), bool))
+        dim = 2
+        init = (st0, jnp.zeros((S, 3, n), jnp.float32),
+                jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32),
+                jnp.zeros((n,), jnp.int32), jnp.int32(0), jnp.int32(0),
+                jnp.zeros((n,), jnp.int32), init_records(n, dim),
+                init_records(n, dim))
+        (st, acc, slot, sidx, wstep, it, steps, lsteps, rec,
+         ready) = jax.lax.while_loop(cond, body, init)
+        done_walk = (~st.active) & (rec.cur > 0)
+        ready = _records_where(done_walk, rec, ready)
+        trainer, metric = train_on_records(trainer, spec, adam_cfg, scene,
+                                           ready, batch_size=batch_size,
+                                           n_batches=n_batches)
+        done = jnp.stack(
+            [jnp.where(slot > k, piece_quota[k],
+                       jnp.where(slot == k, sidx, 0)) for k in range(S)])
+        return acc, done, lsteps, steps, it, trainer, metric
+
+    return jax.jit(chunk)
+
+
 def train_persistent_carry_init(eval_points, mask, spp: int, trainer,
                                 in_shell0, contrib0, dim: int):
     """Initial carry for the persistent training chunk (in-shell pixels
@@ -696,52 +793,89 @@ class GuidedIntegrator(BaseIntegrator):
 
     def _training_persistent(self, scene, total, spp0, start,
                              time_budget_s) -> tuple:
-        """Persistent-lane training phase.  Returns (total', spp',
-        interrupted)."""
+        """Cost-balanced persistent training phase (rounds of the balanced
+        worklist chunk; one optimizer pass per round).  Returns
+        (total', spp', interrupted)."""
+        from .wost import N_PIECES, build_balanced_pieces, flush_balanced
+
         s = self.settings
         n = self.n_pixels
         remaining = int(s.trainSppCount) - spp0
-        iter_chunk = 16   # ~1-2 samples/lane between optimizer passes
 
         rd0, in_shell0, contrib0 = self._step0(scene)
+        resolved = np.asarray(in_shell0 | ~self.mask)
+        pts_np = np.asarray(self.eval_points)
+        rd0_np = np.asarray(rd0)
 
         batch_size = min(65_536 * 8, max(1024, MAX_TRAIN_DEPTH * n))
         n_batches = min(5, max(1, -(-(MAX_TRAIN_DEPTH * n) // batch_size)))
-        chunk = make_guided_train_persistent_chunk(
+        chunk = make_balanced_train_chunk(
             self.spec, self.adam_cfg, eps=float(s.epsilonShell),
-            max_depth=int(s.maxWalkingDepth), spp=remaining,
-            iter_chunk=iter_chunk, batch_size=batch_size,
+            max_depth=int(s.maxWalkingDepth), batch_size=batch_size,
             n_batches=n_batches, d_stack=self.problem.d_stack,
             n_stack=self.problem.n_stack)
-        carry = train_persistent_carry_init(
-            self.eval_points, self.mask, remaining, self.trainer,
-            in_shell0, contrib0, self.problem.dim)
+        flush = jax.jit(flush_balanced, static_argnums=(4,))
+
+        image = jnp.where(in_shell0[:, None], remaining * contrib0, 0.0)
+        rem = np.where(resolved, 0, remaining).astype(np.int64)
+        cost = np.ones(n)
+        trainer = self.trainer
         uf = jnp.float32(s.uniformFractionInTrainingPhase)
         mgd = jnp.int32(s.maxGuidedDepthInTrainingPhase)
         key = jax.random.PRNGKey(2)
+        S = N_PIECES
 
-        max_chunks = -(-remaining * int(s.maxWalkingDepth) // iter_chunk) + 2
+        spp_w = int(min(8, remaining))
+        piece_pix = np.zeros((S, n), np.int32)
+        piece_pix[0] = np.arange(n)
+        piece_quota = np.zeros((S, n), np.int32)
+        piece_quota[0] = np.where(resolved, 0, spp_w)
+
         interrupted = False
         t_t = time.time()
-        for _ in range(max_chunks):
-            carry, rem_flag, steps, metric = chunk(
-                scene, self.eval_points, self.mask, rd0, uf, mgd, key, carry)
+        for round_i in range(64):
+            if rem.sum() == 0:
+                break
+            if round_i > 0:
+                piece_pix, piece_quota = build_balanced_pieces(rem, cost, n, S)
+            px = jnp.asarray(pts_np[piece_pix, 0])
+            py = jnp.asarray(pts_np[piece_pix, 1])
+            prd = jnp.asarray(rd0_np[piece_pix])
+            if round_i == 0:
+                cap = 64
+            else:
+                ideal = int(np.ceil(float((rem * cost).sum()) / max(n, 1)))
+                # shorter rounds than the uniform solve: each round ends
+                # with an optimizer pass, and training cadence matters
+                cap = max(24, min(int(1.35 * ideal) + 24, 72))
+            acc, done, lsteps, steps, iters, trainer, metric = chunk(
+                scene, trainer, uf, mgd, px, py, prd,
+                jnp.asarray(piece_quota), jax.random.fold_in(key, round_i),
+                jnp.int32(cap))
+            image, done_pix = flush(image, acc, done,
+                                    jnp.asarray(piece_pix), n)
             self.total_walk_steps += int(steps)
             self.phase_stats["train_steps"] += int(steps)
             self.loss_history.append(float(metric))
-            if not bool(rem_flag):
-                break
-            if time_budget_s and (time.time() - start) > time_budget_s:
+            done_np = np.asarray(done_pix).astype(np.int64)
+            rem = np.maximum(rem - done_np, 0)
+            if round_i == 0:
+                per_lane = np.asarray(lsteps).astype(np.float64)
+                c = per_lane / np.maximum(done_np, 1)
+                have = done_np > 0
+                fb = float(c[have].mean()) if have.any() else 8.0
+                cost = np.where(have, np.maximum(c, 1.0), max(fb, 1.0))
+            if (time_budget_s and (time.time() - start) > time_budget_s
+                    and rem.sum() > 0):
                 interrupted = True
                 break
         self.phase_stats["train_s"] += time.time() - t_t
-        acc = carry[1]
-        sidx = carry[2]
-        self.trainer = carry[5]
-        if interrupted:
-            scale = remaining / jnp.maximum(sidx, 1).astype(jnp.float32)
-            acc = acc * scale[:, None]
-        return total + acc, spp0 + remaining, interrupted
+        self.trainer = trainer
+        if interrupted or rem.sum() > 0:
+            done_total = np.where(resolved, remaining, remaining - rem)
+            scale = remaining / np.maximum(done_total, 1)
+            image = image * jnp.asarray(scale, jnp.float32)[:, None]
+        return total + image, spp0 + remaining, interrupted
 
     def _guiding_persistent(self, scene, total, spp0, start,
                             time_budget_s) -> tuple:
