@@ -113,10 +113,12 @@ def main() -> int:
 
     signal.signal(signal.SIGALRM, _die)
 
-    # pre-flight: a tiny computation must complete quickly or the device is
-    # wedged (this environment's tunneled TPU can hang after killed jobs)
+    # pre-flight: a tiny computation must complete or the device is wedged.
+    # Generous deadline: the tunneled chip takes up to ~4 minutes to come
+    # back after a previous heavy process exits (observed 210s for a
+    # trivial matmul during that window).
     import jax.numpy as jnp
-    signal.alarm(240)
+    signal.alarm(600)
     _ = float(jnp.ones((8, 8)).sum())
     signal.alarm(int(args.time_budget * 2 + 600))
 
