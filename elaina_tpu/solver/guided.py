@@ -236,65 +236,6 @@ def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
     return state, records, contrib
 
 
-def make_guided_persistent_chunk(spec: NetworkSpec, *, eps: float,
-                                 max_depth: int, spp: int, iter_chunk: int,
-                                 d_stack: int = 48, n_stack: int = 48):
-    """Persistent-lane GUIDING-phase solve chunk (no training, no records).
-
-    Same persistent-threads design as wost.make_persistent_chunk: each lane
-    runs its pixel's remaining samples back-to-back, restarting the moment
-    a walk dies, with the cached step-0 separation.  Per-lane walk depth
-    drives the guided/uniform routing (depth < maxGuidedDepth,
-    guided/integrator.cu:1015).
-
-    Returns a jitted
-        chunk(scene, infer_params, eval_points, mask, rd0,
-              uniform_fraction, max_guided_depth, key, carry)
-            -> (carry', remaining, steps)
-    with carry = (state, acc, sample_idx, walk_step, it)
-    (wost.persistent_carry_* builders apply).
-    """
-
-    def chunk(scene, infer_params, eval_points, mask, rd0,
-              uniform_fraction, max_guided_depth, key, carry):
-        def cond(c):
-            st, acc, sidx, wstep, it, it0, steps = c
-            return ((it - it0) < iter_chunk) & (
-                jnp.any(st.active) | jnp.any(sidx < spp))
-
-        def body(c):
-            st, acc, sidx, wstep, it, it0, steps = c
-            restart = (~st.active) & (sidx < spp) & mask
-            st = WalkState(
-                pos=jnp.where(restart[:, None], eval_points, st.pos),
-                thp=jnp.where(restart[:, None], 1.0, st.thp),
-                active=st.active | restart,
-                on_neumann=jnp.where(restart, False, st.on_neumann),
-                n_normal=jnp.where(restart[:, None], 0.0, st.n_normal),
-            )
-            sidx = sidx + restart.astype(jnp.int32)
-            wstep = jnp.where(restart, 0, wstep)
-            steps = steps + jnp.sum(st.active.astype(jnp.int32))
-            k = jax.random.fold_in(key, it)
-            st, _, contrib = guided_depth_step(
-                scene, spec, infer_params, st, None, k, wstep,
-                jnp.bool_(True), jnp.bool_(False), uniform_fraction,
-                max_guided_depth, eps=eps, d_stack=d_stack, n_stack=n_stack,
-                step0=(restart, rd0))
-            wstep = wstep + st.active.astype(jnp.int32)
-            st = st._replace(active=st.active & (wstep < max_depth))
-            return st, acc + contrib, sidx, wstep, it + 1, it0, steps
-
-        st, acc, sidx, wstep, it = carry
-        init = (st, acc, sidx, wstep, it, it, jnp.int32(0))
-        st, acc, sidx, wstep, it, _, steps = jax.lax.while_loop(
-            cond, body, init)
-        remaining = jnp.any(st.active) | jnp.any(sidx < spp)
-        return (st, acc, sidx, wstep, it), remaining, steps
-
-    return jax.jit(chunk)
-
-
 def _records_where(mask, a: WalkRecords, b: WalkRecords) -> WalkRecords:
     """Per-lane select between two record buffers (mask: (N,) bool)."""
     def pick(x, y):
@@ -306,89 +247,14 @@ def _records_where(mask, a: WalkRecords, b: WalkRecords) -> WalkRecords:
     return WalkRecords(*(pick(x, y) for x, y in zip(a, b)))
 
 
-def make_guided_train_persistent_chunk(spec: NetworkSpec,
-                                       adam_cfg: AdamConfig, *, eps: float,
-                                       max_depth: int, spp: int,
-                                       iter_chunk: int, batch_size: int,
-                                       n_batches: int, d_stack: int = 48,
-                                       n_stack: int = 48):
-    """Persistent-lane TRAINING-phase chunk: walk + record + train, one jit.
-
-    Same persistent-threads scheduling as the guiding chunk, with the walk
-    records kept per lane: when a lane's walk completes (in-shell death or
-    depth cap), its finished records are FLUSHED to a per-lane "ready"
-    buffer before the lane restarts on its next sample.  After
-    ``iter_chunk`` iterations the chunk runs one optimizer pass
-    (train_on_records) over the ready buffer — the persistent analogue of
-    the reference's per-spp trainStepImpl (guided/integrator.cu:1046),
-    sampling the most recent completed walk of every lane.  The fixed-
-    width depth scan it replaces idles ~72% of the machine (live fraction
-    of a 64-deep scan with ~9-step walks).
-
-    carry = (state, acc, sample_idx, walk_step, it, trainer,
-             live_records, ready_records); build with
-    ``train_persistent_carry_init``.  Returns
-    (carry', remaining, steps, metric).
-    """
-
-    def chunk(scene, eval_points, mask, rd0, uniform_fraction,
-              max_guided_depth, key, carry):
-        def cond(c):
-            st, acc, sidx, wstep, it, it0, steps, rec, ready = c
-            return ((it - it0) < iter_chunk) & (
-                jnp.any(st.active) | jnp.any(sidx < spp))
-
-        def body(c):
-            st, acc, sidx, wstep, it, it0, steps, rec, ready = c
-            # flush completed walks (died with >= 1 step recorded)
-            done = (~st.active) & (rec.cur > 0)
-            ready = _records_where(done, rec, ready)
-            restart = (~st.active) & (sidx < spp) & mask
-            rec = rec._replace(cur=jnp.where(restart, 0, rec.cur))
-            st = WalkState(
-                pos=jnp.where(restart[:, None], eval_points, st.pos),
-                thp=jnp.where(restart[:, None], 1.0, st.thp),
-                active=st.active | restart,
-                on_neumann=jnp.where(restart, False, st.on_neumann),
-                n_normal=jnp.where(restart[:, None], 0.0, st.n_normal),
-            )
-            sidx = sidx + restart.astype(jnp.int32)
-            wstep = jnp.where(restart, 0, wstep)
-            steps = steps + jnp.sum(st.active.astype(jnp.int32))
-            k = jax.random.fold_in(key, it)
-            st, rec, contrib = guided_depth_step(
-                scene, spec, tr.ema_params, st, rec, k, wstep,
-                jnp.bool_(True), jnp.bool_(True), uniform_fraction,
-                max_guided_depth, eps=eps, d_stack=d_stack, n_stack=n_stack,
-                step0=(restart, rd0))
-            wstep = wstep + st.active.astype(jnp.int32)
-            st = st._replace(active=st.active & (wstep < max_depth))
-            return st, acc + contrib, sidx, wstep, it + 1, it0, steps, rec, ready
-
-        st, acc, sidx, wstep, it, tr, rec, ready = carry
-        init = (st, acc, sidx, wstep, it, it, jnp.int32(0), rec, ready)
-        st, acc, sidx, wstep, it, _, steps, rec, ready = jax.lax.while_loop(
-            cond, body, init)
-        # final flush so the optimizer sees walks that died this chunk
-        done = (~st.active) & (rec.cur > 0)
-        ready = _records_where(done, rec, ready)
-        tr, metric = train_on_records(tr, spec, adam_cfg, scene, ready,
-                                      batch_size=batch_size,
-                                      n_batches=n_batches)
-        remaining = jnp.any(st.active) | jnp.any(sidx < spp)
-        return ((st, acc, sidx, wstep, it, tr, rec, ready), remaining,
-                steps, metric)
-
-    return jax.jit(chunk)
-
-
 def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
                               eps: float, max_depth: int,
                               batch_size: int, n_batches: int,
                               d_stack: int = 48, n_stack: int = 48):
     """Cost-balanced TRAINING-phase chunk (see wost.make_balanced_chunk for
-    the worklist scheme, make_guided_train_persistent_chunk for the record
-    flush-on-restart).  One optimizer pass over the ready records runs
+    the worklist scheme; completed walks' records flush per lane to the
+    ready buffer on restart).  One optimizer pass
+    over the ready records runs
     after the walk loop, so the driver's round cadence sets the training
     cadence.
 
@@ -477,23 +343,6 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
         return acc, done, lsteps, steps, it, trainer, metric
 
     return jax.jit(chunk)
-
-
-def train_persistent_carry_init(eval_points, mask, spp: int, trainer,
-                                in_shell0, contrib0, dim: int):
-    """Initial carry for the persistent training chunk (in-shell pixels
-    pre-resolved, as in wost.persistent_carry_from_step0)."""
-    n = eval_points.shape[0]
-    state = init_walk_state(eval_points, jnp.zeros((n,), bool))
-    resolved = in_shell0 | ~mask
-    return (state,
-            jnp.where(in_shell0[:, None], spp * contrib0, 0.0),
-            jnp.where(resolved, spp, 0).astype(jnp.int32),
-            jnp.zeros((n,), jnp.int32),
-            jnp.int32(0),
-            trainer,
-            init_records(n, dim),
-            init_records(n, dim))
 
 
 def run_one_guided_sample(scene: Scene, spec: NetworkSpec, infer_params,
@@ -718,8 +567,8 @@ class GuidedIntegrator(BaseIntegrator):
         while spp < s.samplesPerPixel:
             if (spp < s.trainSppCount and not metrics_on
                     and not (checkpoint_path and checkpoint_every > 0)):
-                # training phase, persistent lanes: walk + record + train
-                # in one jitted chunk (see make_guided_train_persistent_chunk)
+                # training phase: balanced worklists + in-chunk records
+                # + per-round optimizer passes (make_balanced_train_chunk)
                 total, spp, interrupted = self._training_persistent(
                     scene, total, spp, start, time_budget_s)
                 if interrupted:
@@ -727,9 +576,8 @@ class GuidedIntegrator(BaseIntegrator):
                 continue
             if (spp >= s.trainSppCount and not metrics_on
                     and not (checkpoint_path and checkpoint_every > 0)):
-                # guiding phase: no training, no records — run the
-                # persistent-lane solver (lanes restart samples
-                # back-to-back; see wost.make_persistent_chunk)
+                # guiding phase: no training, no records — balanced
+                # persistent worklists (wost.balanced_solve)
                 total, spp = self._guiding_persistent(
                     scene, total, spp, start, time_budget_s)
                 break
