@@ -681,7 +681,8 @@ class GuidedIntegrator(BaseIntegrator):
 
         interrupted = False
         t_t = time.time()
-        for round_i in range(64):
+        max_rounds = 16 + 4 * (1 + remaining * int(s.maxWalkingDepth) // 48)
+        for round_i in range(max_rounds):
             if rem.sum() == 0:
                 break
             if round_i > 0:

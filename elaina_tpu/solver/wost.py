@@ -436,6 +436,8 @@ def make_persistent_chunk(*, eps: float, max_depth: int,
 
 
 N_PIECES = 4   # worklist slots per lane in the balanced chunk
+ITER_DISPATCH_BUDGET = 1024  # max while-loop iterations per dispatch (the
+#   tunneled TPU watchdog kills minute-long dispatches; ~1000 iters ~ 10-35s)
 
 
 def build_balanced_pieces(rem: np.ndarray, cost: np.ndarray,
@@ -611,7 +613,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                    in_shell0, *, spp: int, eps: float, max_depth: int,
                    d_stack: int = 48, n_stack: int = 48, step_fn=None,
                    key=None, time_budget_s=None, start_time=None,
-                   progress=None, max_rounds: int = 64):
+                   progress=None, max_rounds: int | None = None):
     """Round-based balanced persistent solve (see make_balanced_chunk).
 
     Round 0 runs an identity partition for a few samples to measure
@@ -635,6 +637,10 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
     total_steps = 0
     start_time = start_time or _time.time()
 
+    if max_rounds is None:
+        # enough rounds to drain spp even when every round is cut at the
+        # dispatch budget
+        max_rounds = 8 + 4 * (1 + spp * max_depth // ITER_DISPATCH_BUDGET)
     spp_w = int(min(8, spp))
     piece_pix = np.zeros((S, n), np.int32)
     piece_pix[0] = np.arange(n)
@@ -654,12 +660,14 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         # finished lane while estimate-error stragglers drain (measured
         # ~40% occupancy); cutting at ~1.35x the balanced ideal keeps each
         # round ~90% occupied and the next repartition SPLITS straggler
-        # work across many lanes.
+        # work across many lanes.  Also bound the single-dispatch length:
+        # the tunneled TPU's runtime watchdog kills (and crashes the
+        # worker of) dispatches running for minutes.
         if round_i == 0:
             cap = 64
         else:
             ideal = int(np.ceil(float((rem * cost).sum()) / max(n, 1)))
-            cap = int(1.35 * ideal) + 24
+            cap = min(int(1.35 * ideal) + 24, ITER_DISPATCH_BUDGET)
         acc, done, lsteps, steps, iters = chunk(
             scene, extra, px, py, prd, jnp.asarray(piece_quota),
             jax.random.fold_in(key, round_i), jnp.int32(cap))
