@@ -250,13 +250,19 @@ def _records_where(mask, a: WalkRecords, b: WalkRecords) -> WalkRecords:
 def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
                               eps: float, max_depth: int,
                               batch_size: int, n_batches: int,
+                              train_every: int = 10,
                               d_stack: int = 48, n_stack: int = 48):
     """Cost-balanced TRAINING-phase chunk (see wost.make_balanced_chunk for
     the worklist scheme; completed walks' records flush per lane to the
-    ready buffer on restart).  One optimizer pass
-    over the ready records runs
-    after the walk loop, so the driver's round cadence sets the training
-    cadence.
+    ready buffer on restart).
+
+    Training runs INSIDE the walk loop every ``train_every`` iterations
+    (~ one sample per lane, the reference's per-spp trainStepImpl cadence,
+    guided/integrator.cu:1046) — the previous once-per-round cadence gave
+    ~10 optimizer updates over the whole phase vs the reference's
+    trainSppCount x batchPerFrame (~hundreds), leaving the guide
+    undertrained (guided equal-spp RMSE was WORSE than uniform).  Walk
+    inference reads the freshest EMA params from the loop carry.
 
     chunk(scene, trainer, uf, mgd, piece_px, piece_py, piece_rd0,
           piece_quota, key, iter_cap)
@@ -276,13 +282,14 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
         n = piece_px.shape[1]
 
         def cond(c):
-            st, acc, slot, sidx, wstep, it, steps, lsteps, rec, ready = c
+            st, acc, slot, sidx, wstep, it, steps, lsteps, rec, ready, tr, m = c
             quota = sel(slot, piece_quota)
             return (it < iter_cap) & (jnp.any(st.active)
                                       | jnp.any((slot < S) & (sidx < quota)))
 
         def body(c):
-            st, acc, slot, sidx, wstep, it, steps, lsteps, rec, ready = c
+            (st, acc, slot, sidx, wstep, it, steps, lsteps, rec, ready,
+             tr, metric) = c
             done_walk = (~st.active) & (rec.cur > 0)
             ready = _records_where(done_walk, rec, ready)
 
@@ -310,7 +317,7 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
             wstep = jnp.where(restart, 0, wstep)
             k = jax.random.fold_in(key, it)
             st, rec, contrib = guided_depth_step(
-                scene, spec, trainer.ema_params, st, rec, k, wstep,
+                scene, spec, tr.ema_params, st, rec, k, wstep,
                 jnp.bool_(True), jnp.bool_(True), uf, mgd, eps=eps,
                 d_stack=d_stack, n_stack=n_stack, step0=(restart, rd0))
             ct = contrib.T
@@ -319,8 +326,18 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
                     jnp.where((slot == kk)[None, :], ct, 0.0))
             wstep = wstep + st.active.astype(jnp.int32)
             st = st._replace(active=st.active & (wstep < max_depth))
+
+            def do_train(args):
+                tr, ready = args
+                return train_on_records(tr, spec, adam_cfg, scene, ready,
+                                        batch_size=batch_size,
+                                        n_batches=n_batches)
+
+            tr, metric = jax.lax.cond(
+                (it + 1) % train_every == 0, do_train,
+                lambda args: (args[0], metric), (tr, ready))
             return (st, acc, slot, sidx, wstep, it + 1, steps, lsteps, rec,
-                    ready)
+                    ready, tr, metric)
 
         st0 = init_walk_state(jnp.stack([piece_px[0], piece_py[0]], -1),
                               jnp.zeros((n,), bool))
@@ -329,14 +346,9 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
                 jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32),
                 jnp.zeros((n,), jnp.int32), jnp.int32(0), jnp.int32(0),
                 jnp.zeros((n,), jnp.int32), init_records(n, dim),
-                init_records(n, dim))
-        (st, acc, slot, sidx, wstep, it, steps, lsteps, rec,
-         ready) = jax.lax.while_loop(cond, body, init)
-        done_walk = (~st.active) & (rec.cur > 0)
-        ready = _records_where(done_walk, rec, ready)
-        trainer, metric = train_on_records(trainer, spec, adam_cfg, scene,
-                                           ready, batch_size=batch_size,
-                                           n_batches=n_batches)
+                init_records(n, dim), trainer, jnp.float32(0.0))
+        (st, acc, slot, sidx, wstep, it, steps, lsteps, rec, ready,
+         trainer, metric) = jax.lax.while_loop(cond, body, init)
         done = jnp.stack(
             [jnp.where(slot > k, piece_quota[k],
                        jnp.where(slot == k, sidx, 0)) for k in range(S)])
@@ -436,7 +448,9 @@ def train_on_records(trainer: TrainerState, spec: NetworkSpec,
 
     def body(i, carry):
         tr, metric_sum = carry
-        start = i * batch_size
+        # cycle through the buffer: batches beyond its end wrap to fresh
+        # offsets instead of re-reading the clamped last slice
+        start = (i * slice_size) % max(total - slice_size + 1, 1)
 
         def sl(a):
             return jax.lax.dynamic_slice_in_dim(a, start, slice_size, 0)
@@ -655,8 +669,10 @@ class GuidedIntegrator(BaseIntegrator):
         pts_np = np.asarray(self.eval_points)
         rd0_np = np.asarray(rd0)
 
+        # reference trainStepImpl: batchPerFrame (5) batches of up to 512k
+        # records per spp (guided/integrator.cu:643-662)
         batch_size = min(65_536 * 8, max(1024, MAX_TRAIN_DEPTH * n))
-        n_batches = min(5, max(1, -(-(MAX_TRAIN_DEPTH * n) // batch_size)))
+        n_batches = 5
         chunk = make_balanced_train_chunk(
             self.spec, self.adam_cfg, eps=float(s.epsilonShell),
             max_depth=int(s.maxWalkingDepth), batch_size=batch_size,
@@ -694,9 +710,10 @@ class GuidedIntegrator(BaseIntegrator):
                 cap = 64
             else:
                 ideal = int(np.ceil(float((rem * cost).sum()) / max(n, 1)))
-                # shorter rounds than the uniform solve: each round ends
-                # with an optimizer pass, and training cadence matters
-                cap = max(24, min(int(1.35 * ideal) + 24, 72))
+                # training runs in-loop (train_every), so rounds only serve
+                # rebalancing; half the uniform dispatch budget because the
+                # in-loop optimizer passes lengthen each iteration
+                cap = min(int(1.35 * ideal) + 24, 512)
             acc, done, lsteps, steps, iters, trainer, metric = chunk(
                 scene, trainer, uf, mgd, px, py, prd,
                 jnp.asarray(piece_quota), jax.random.fold_in(key, round_i),
