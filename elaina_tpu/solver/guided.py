@@ -731,6 +731,7 @@ class GuidedIntegrator(BaseIntegrator):
                 have = done_np > 0
                 fb = float(c[have].mean()) if have.any() else 8.0
                 cost = np.where(have, np.maximum(c, 1.0), max(fb, 1.0))
+                self._pixel_cost = cost   # reused by the guiding phase
             if (time_budget_s and (time.time() - start) > time_budget_s
                     and rem.sum() > 0):
                 interrupted = True
@@ -779,7 +780,7 @@ class GuidedIntegrator(BaseIntegrator):
             spp=remaining, eps=eps, max_depth=int(s.maxWalkingDepth),
             d_stack=d_stack, n_stack=n_stack, step_fn=g_step,
             key=jax.random.PRNGKey(1), time_budget_s=time_budget_s,
-            start_time=start)
+            start_time=start, cost0=getattr(self, "_pixel_cost", None))
         self.total_walk_steps += steps
         if hasattr(self, "phase_stats"):
             self.phase_stats["guide_steps"] += steps

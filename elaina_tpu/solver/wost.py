@@ -613,11 +613,13 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                    in_shell0, *, spp: int, eps: float, max_depth: int,
                    d_stack: int = 48, n_stack: int = 48, step_fn=None,
                    key=None, time_budget_s=None, start_time=None,
-                   progress=None, max_rounds: int | None = None):
+                   progress=None, max_rounds: int | None = None,
+                   cost0=None):
     """Round-based balanced persistent solve (see make_balanced_chunk).
 
     Round 0 runs an identity partition for a few samples to measure
-    per-pixel walk cost; later rounds repartition the remaining samples
+    per-pixel walk cost (skipped when ``cost0`` provides estimates from an
+    earlier phase); later rounds repartition the remaining samples
     into cost-balanced worklists until every pixel reaches ``spp``.
     Resolved pixels (in-shell / masked) are baked analytically.  Returns
     (image (N, 3) device [pre-normalization sum], total_steps).  On a time
@@ -642,10 +644,15 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         # dispatch budget
         max_rounds = 8 + 4 * (1 + spp * max_depth // ITER_DISPATCH_BUDGET)
     spp_w = int(min(8, spp))
-    piece_pix = np.zeros((S, n), np.int32)
-    piece_pix[0] = np.arange(n)
-    piece_quota = np.zeros((S, n), np.int32)
-    piece_quota[0] = np.where(resolved_np, 0, spp_w)
+    have_cost0 = cost0 is not None
+    if have_cost0:
+        cost = np.maximum(np.asarray(cost0, np.float64), 1.0)
+        piece_pix, piece_quota = build_balanced_pieces(rem, cost, n, S)
+    else:
+        piece_pix = np.zeros((S, n), np.int32)
+        piece_pix[0] = np.arange(n)
+        piece_quota = np.zeros((S, n), np.int32)
+        piece_quota[0] = np.where(resolved_np, 0, spp_w)
 
     interrupted = False
     for round_i in range(max_rounds):
@@ -663,7 +670,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         # work across many lanes.  Also bound the single-dispatch length:
         # the tunneled TPU's runtime watchdog kills (and crashes the
         # worker of) dispatches running for minutes.
-        if round_i == 0:
+        if round_i == 0 and not have_cost0:
             cap = 64
         else:
             ideal = int(np.ceil(float((rem * cost).sum()) / max(n, 1)))
@@ -676,7 +683,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         total_steps += int(steps)
         done_np = np.asarray(done_pix).astype(np.int64)
         rem = np.maximum(rem - done_np, 0)
-        if round_i == 0:
+        if round_i == 0 and not have_cost0:
             per_lane = np.asarray(lsteps).astype(np.float64)
             with np.errstate(divide="ignore", invalid="ignore"):
                 c = per_lane / np.maximum(done_np, 1)
