@@ -114,11 +114,10 @@ def main() -> int:
     signal.signal(signal.SIGALRM, _die)
 
     # pre-flight: a tiny computation must complete or the device is wedged.
-    # Generous deadline: the tunneled chip takes up to ~4 minutes to come
-    # back after a previous heavy process exits (observed 210s for a
-    # trivial matmul during that window).
+    # Generous deadline: the tunneled chip takes minutes (sometimes >10)
+    # to come back after a previous heavy process was killed mid-dispatch.
     import jax.numpy as jnp
-    signal.alarm(600)
+    signal.alarm(900)
     _ = float(jnp.ones((8, 8)).sum())
     signal.alarm(int(args.time_budget * 2 + 600))
 
