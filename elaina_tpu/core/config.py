@@ -10,7 +10,7 @@ shipped ``data/*/{u,n,gt}.json`` configs run verbatim.
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 

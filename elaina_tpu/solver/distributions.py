@@ -27,7 +27,6 @@ import jax.numpy as jnp
 from ..utils.mathops import (
     frame_from_normal_3d,
     frame_from_tangent_2d,
-    normalize,
     reflect,
     to_world_2d,
     to_world_3d,

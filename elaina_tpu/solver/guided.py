@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -34,13 +34,11 @@ from ..geometry import queries as Q
 from ..geometry.grid import (grid_closest_point, grid_closest_point_detail,
                              grid_row_index)
 from ..geometry.primitives import (
-    prim_measure,
-    prim_normal,
     prim_project,
     prim_sample_point,
     prim_side,
 )
-from ..utils.mathops import frame_from_normal, geometric_interpolate, normalize, to_world
+from ..utils.mathops import frame_from_normal, geometric_interpolate, to_world
 from .green import green_eval, green_norm, green_sample_radius
 from .sampling import (
     sphere_measure,

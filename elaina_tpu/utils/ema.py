@@ -7,7 +7,6 @@ guided/integrator.cu:42).
 
 from __future__ import annotations
 
-import math
 import time
 
 
