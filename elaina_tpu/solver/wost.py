@@ -22,6 +22,7 @@ equivalent, reproducible, and free of cross-lane state.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -679,6 +680,14 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         image, done_pix = _flush_jit(image, acc, done,
                                      jnp.asarray(piece_pix), n)
         total_steps += int(steps)
+        if os.environ.get("ELAINA_BALANCE_DEBUG") == "1":
+            import sys as _sys
+            it_n = int(iters)
+            _sys.stderr.write(
+                f"[balance] round {round_i}: cap={cap} iters={it_n} "
+                f"steps={int(steps)} occ="
+                f"{int(steps)/max(it_n*n,1)*100:.0f}% "
+                f"rem={int(rem.sum())}\n")
         done_np = np.asarray(done_pix).astype(np.int64)
         rem = np.maximum(rem - done_np, 0)
         if round_i == 0 and not have_cost0:
