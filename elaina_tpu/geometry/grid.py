@@ -574,6 +574,11 @@ def build_fine_pack(grid: CandidateGrid, eps: float,
     dim = len(grid.res)
     if dim != 2 or grid.cand.shape[0] > FINE_ROW_MASK:
         return None
+    # pointer ordinals share the 20-bit row field: a gather-expanded level
+    # with more pointer entries than it can address would silently corrupt
+    # the bucket-2047 marker — fall back to the meta-descent path instead
+    if any(int((np.asarray(m) < 0).sum()) > FINE_ROW_MASK for m in grid.meta):
+        return None
     L = len(grid.meta)
     res0 = grid.res
 

@@ -276,26 +276,43 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
             out = jnp.where(slot == k, arr[k], out)
         return out
 
+    def commit_dead(st, acc, pend, scnt, sidx, slot):
+        """See wost.make_balanced_chunk.commit_dead: walks commit their
+        pending contribution sum only on termination, so iter_cap
+        interrupts drop (and re-run) in-flight walks instead of keeping a
+        biased truncation."""
+        died = (~st.active) & (scnt < sidx)
+        for kk in range(S):
+            acc = acc.at[kk].add(
+                jnp.where((died & (slot == kk))[None, :], pend, 0.0))
+        scnt = scnt + died.astype(jnp.int32)
+        pend = jnp.where(died[None, :], 0.0, pend)
+        return acc, pend, scnt
+
     def chunk(scene, trainer, uf, mgd, piece_px, piece_py, piece_rd0,
               piece_quota, key, iter_cap):
         n = piece_px.shape[1]
 
         def cond(c):
-            st, acc, slot, sidx, wstep, it, steps, lsteps, rec, ready, tr, m = c
+            (st, acc, pend, scnt, slot, sidx, wstep, it, steps, lsteps, rec,
+             ready, tr, m) = c
             quota = sel(slot, piece_quota)
             return (it < iter_cap) & (jnp.any(st.active)
                                       | jnp.any((slot < S) & (sidx < quota)))
 
         def body(c):
-            (st, acc, slot, sidx, wstep, it, steps, lsteps, rec, ready,
-             tr, metric) = c
+            (st, acc, pend, scnt, slot, sidx, wstep, it, steps, lsteps, rec,
+             ready, tr, metric) = c
+            acc, pend, scnt = commit_dead(st, acc, pend, scnt, sidx, slot)
             done_walk = (~st.active) & (rec.cur > 0)
             ready = _records_where(done_walk, rec, ready)
+            rec = rec._replace(cur=jnp.where(done_walk, 0, rec.cur))
 
             quota = sel(slot, piece_quota)
             adv = (~st.active) & (sidx >= quota) & (slot < S)
             slot = jnp.where(adv, slot + 1, slot)
             sidx = jnp.where(adv, 0, sidx)
+            scnt = jnp.where(adv, 0, scnt)
             quota = sel(slot, piece_quota)
 
             restart = (~st.active) & (sidx < quota) & (slot < S)
@@ -319,38 +336,51 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
                 scene, spec, tr.ema_params, st, rec, k, wstep,
                 jnp.bool_(True), jnp.bool_(True), uf, mgd, eps=eps,
                 d_stack=d_stack, n_stack=n_stack, step0=(restart, rd0))
-            ct = contrib.T
-            for kk in range(S):
-                acc = acc.at[kk].add(
-                    jnp.where((slot == kk)[None, :], ct, 0.0))
+            pend = pend + contrib.T
             wstep = wstep + st.active.astype(jnp.int32)
             st = st._replace(active=st.active & (wstep < max_depth))
 
             def do_train(args):
                 tr, ready = args
-                return train_on_records(tr, spec, adam_cfg, scene, ready,
-                                        batch_size=batch_size,
-                                        n_batches=n_batches)
+                tr, metric = train_on_records(tr, spec, adam_cfg, scene,
+                                              ready, batch_size=batch_size,
+                                              n_batches=n_batches)
+                # consume the generation: zeroing cur invalidates the
+                # trained records so the next window only sees walks that
+                # completed since (the reference trains each record once —
+                # re-reading an unchanged snapshot over-weights stale
+                # samples)
+                ready = ready._replace(cur=jnp.zeros_like(ready.cur))
+                return tr, metric, ready
 
-            tr, metric = jax.lax.cond(
+            tr, metric, ready = jax.lax.cond(
                 (it + 1) % train_every == 0, do_train,
-                lambda args: (args[0], metric), (tr, ready))
-            return (st, acc, slot, sidx, wstep, it + 1, steps, lsteps, rec,
-                    ready, tr, metric)
+                lambda args: (args[0], metric, args[1]), (tr, ready))
+            return (st, acc, pend, scnt, slot, sidx, wstep, it + 1, steps,
+                    lsteps, rec, ready, tr, metric)
 
         st0 = init_walk_state(jnp.stack([piece_px[0], piece_py[0]], -1),
                               jnp.zeros((n,), bool))
         dim = 2
         init = (st0, jnp.zeros((S, 3, n), jnp.float32),
+                jnp.zeros((3, n), jnp.float32), jnp.zeros((n,), jnp.int32),
                 jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32),
                 jnp.zeros((n,), jnp.int32), jnp.int32(0), jnp.int32(0),
                 jnp.zeros((n,), jnp.int32), init_records(n, dim),
                 init_records(n, dim), trainer, jnp.float32(0.0))
-        (st, acc, slot, sidx, wstep, it, steps, lsteps, rec, ready,
-         trainer, metric) = jax.lax.while_loop(cond, body, init)
+        (st, acc, pend, scnt, slot, sidx, wstep, it, steps, lsteps, rec,
+         ready, trainer, metric) = jax.lax.while_loop(cond, body, init)
+        acc, pend, scnt = commit_dead(st, acc, pend, scnt, sidx, slot)
+        # final-iteration walks' records never reach the in-loop cadence:
+        # flush them and run one last optimizer pass (ADVICE r1 #4)
+        done_walk = (~st.active) & (rec.cur > 0)
+        ready = _records_where(done_walk, rec, ready)
+        trainer, metric2 = train_on_records(
+            trainer, spec, adam_cfg, scene, ready, batch_size=batch_size,
+            n_batches=1)
         done = jnp.stack(
             [jnp.where(slot > k, piece_quota[k],
-                       jnp.where(slot == k, sidx, 0)) for k in range(S)])
+                       jnp.where(slot == k, scnt, 0)) for k in range(S)])
         return acc, done, lsteps, steps, it, trainer, metric
 
     return jax.jit(chunk)
@@ -738,7 +768,12 @@ class GuidedIntegrator(BaseIntegrator):
         self.phase_stats["train_s"] += time.time() - t_t
         self.trainer = trainer
         if interrupted or rem.sum() > 0:
+            from ..core.logger import log_warning
             done_total = np.where(resolved, remaining, remaining - rem)
+            log_warning(
+                "training phase interrupted: %d samples remain; rescaling "
+                "partial pixel sums by completed-sample counts",
+                int(rem.sum()))
             scale = remaining / np.maximum(done_total, 1)
             image = image * jnp.asarray(scale, jnp.float32)[:, None]
         return total + image, spp0 + remaining, interrupted

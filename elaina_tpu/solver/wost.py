@@ -131,8 +131,10 @@ def dirichlet_distance_masked(scene: Scene, q, active, eps, stack_size: int,
             fresh, rd0 = step0
             need &= ~fresh
         return d, pid, pv, need
-    if g.fine is not None:
-        # dense finest-level packed table: one gather gives row + need + rl
+    if g.fine is not None and g.fine.eps == float(eps):
+        # dense finest-level packed table: one gather gives row + need + rl.
+        # The need bit is baked with the build eps — a caller passing a
+        # different eps falls through to the row_lbound path below.
         from ..geometry.grid import fine_decode
         row, need_f, rl, outside = fine_decode(g.fine, q)
         need = active & (need_f | outside)
@@ -524,23 +526,42 @@ def make_balanced_chunk(step_fn=None, *, eps: float, max_depth: int,
             out = jnp.where(slot == k, arr[k], out)
         return out
 
+    def commit_dead(st, acc, pend, scnt, sidx, slot):
+        """Commit terminated walks' pending sums into their slot.
+
+        A walk's contributions accumulate in the per-lane ``pend`` buffer
+        and only reach ``acc`` (and the completed count ``scnt``) when the
+        walk terminates — so an iter_cap interrupt discards in-flight
+        partial walks instead of committing a biased truncation (the sample
+        re-runs next round).  ``scnt < sidx`` identifies in-flight lanes
+        (started but uncommitted samples in the current slot)."""
+        died = (~st.active) & (scnt < sidx)
+        for kk in range(S):
+            acc = acc.at[kk].add(
+                jnp.where((died & (slot == kk))[None, :], pend, 0.0))
+        scnt = scnt + died.astype(jnp.int32)
+        pend = jnp.where(died[None, :], 0.0, pend)
+        return acc, pend, scnt
+
     def chunk(scene, extra, piece_px, piece_py, piece_rd0, piece_quota, key,
               iter_cap):
         n = piece_px.shape[1]
 
         def cond(c):
-            st, acc, slot, sidx, wstep, it, steps, lsteps = c
+            st, acc, pend, scnt, slot, sidx, wstep, it, steps, lsteps = c
             quota = sel(slot, piece_quota)
             return (it < iter_cap) & (jnp.any(st.active)
                                       | jnp.any((slot < S) & (sidx < quota)))
 
         def body(c):
-            st, acc, slot, sidx, wstep, it, steps, lsteps = c
+            st, acc, pend, scnt, slot, sidx, wstep, it, steps, lsteps = c
+            acc, pend, scnt = commit_dead(st, acc, pend, scnt, sidx, slot)
             # advance exhausted pieces (quota 0 pads the worklist tail)
             quota = sel(slot, piece_quota)
             adv = (~st.active) & (sidx >= quota) & (slot < S)
             slot = jnp.where(adv, slot + 1, slot)
             sidx = jnp.where(adv, 0, sidx)
+            scnt = jnp.where(adv, 0, scnt)
             quota = sel(slot, piece_quota)
 
             restart = (~st.active) & (sidx < quota) & (slot < S)
@@ -563,29 +584,29 @@ def make_balanced_chunk(step_fn=None, *, eps: float, max_depth: int,
             k = jax.random.fold_in(key, it)
             st, contrib = step_fn(scene, extra, st, k, wstep,
                                   (restart, rd0))
-            # accumulate into the lane's current slot.  acc is (S, 3, N):
-            # an (S, N, 3) layout would pad the trailing 3 to 128 lanes
-            ct = contrib.T                               # (3, N)
-            for kk in range(S):
-                acc = acc.at[kk].add(
-                    jnp.where((slot == kk)[None, :], ct, 0.0))
+            # pend is (3, N) — an (N, 3) layout would pad 3 -> 128 lanes
+            pend = pend + contrib.T
             wstep = wstep + st.active.astype(jnp.int32)
             st = st._replace(active=st.active & (wstep < max_depth))
-            return st, acc, slot, sidx, wstep, it + 1, steps, lsteps
+            return st, acc, pend, scnt, slot, sidx, wstep, it + 1, steps, lsteps
 
         st0 = init_walk_state(jnp.stack([piece_px[0], piece_py[0]], -1),
                               jnp.zeros((n,), bool))
         init = (st0, jnp.zeros((S, 3, n), jnp.float32),
+                jnp.zeros((3, n), jnp.float32),
                 jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32),
+                jnp.zeros((n,), jnp.int32),
                 jnp.zeros((n,), jnp.int32), jnp.int32(0), jnp.int32(0),
                 jnp.zeros((n,), jnp.int32))
-        st, acc, slot, sidx, wstep, it, steps, lsteps = jax.lax.while_loop(
-            cond, body, init)
-        # completed samples per piece (fully drained pieces hit their quota;
-        # iter_cap interrupts leave partial counts)
+        (st, acc, pend, scnt, slot, sidx, wstep, it, steps,
+         lsteps) = jax.lax.while_loop(cond, body, init)
+        # walks that died on the final iteration commit here; walks still
+        # in flight at iter_cap are dropped (scnt stays behind sidx, so
+        # their sample re-runs next round)
+        acc, pend, scnt = commit_dead(st, acc, pend, scnt, sidx, slot)
         done = jnp.stack(
             [jnp.where(slot > k, piece_quota[k],
-                       jnp.where(slot == k, sidx, 0)) for k in range(S)])
+                       jnp.where(slot == k, scnt, 0)) for k in range(S)])
         return acc, done, lsteps, steps, it
 
     return jax.jit(chunk)
@@ -708,7 +729,13 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             break
 
     if interrupted or rem.sum() > 0:
+        from ..core.logger import log_warning
         done_total = np.where(resolved_np, spp, spp - rem)
+        log_warning(
+            "balanced_solve interrupted: %d/%d samples remain; rescaling "
+            "partial pixel sums by completed-sample counts (unbiased in "
+            "expectation, but per-pixel variance is no longer uniform)",
+            int(rem.sum()), int(np.sum(~resolved_np)) * spp)
         scale = spp / np.maximum(done_total, 1)
         image = image * jnp.asarray(scale, jnp.float32)[:, None]
     return image, total_steps
