@@ -140,10 +140,71 @@ def _load_source(path: str, dim: int) -> SourceGrid:
             origin=jnp.asarray(origin),
             inv_voxel=jnp.asarray(1.0 / voxel),
         )
+    if path.endswith(".nvdb"):
+        # direct NanoVDB ingestion (problem.cu:135-149): decode the sparse
+        # tree to a dense array; the kernels sample it trilinearly exactly
+        # like SampleFromVoxels<.,1> (uniform/integrator.cu:302-312)
+        from .nanovdb import read_nvdb
+        g = read_nvdb(path)
+        data = g.values
+        if data.shape[-1] == 1:
+            data = np.repeat(data, 3, axis=-1)
+        voxel3 = g.voxel_size.astype(np.float32)
+        origin3 = (g.world_offset + g.origin * g.voxel_size).astype(np.float32)
+        if dim == 2:
+            # the reference samples 2D problems at world z = 0
+            # (uniform/integrator.cu:300-309): bake the z interpolation
+            zf = float((0.0 - g.world_offset[2]) / g.voxel_size[2]
+                       - g.origin[2])
+            z0 = int(np.clip(np.floor(zf), 0, data.shape[2] - 1))
+            z1 = int(np.clip(z0 + 1, 0, data.shape[2] - 1))
+            fz = np.float32(np.clip(zf - z0, 0.0, 1.0))
+            data = (1.0 - fz) * data[:, :, z0] + fz * data[:, :, z1]
+            return SourceGrid(
+                data=jnp.asarray(data.astype(np.float32)),
+                origin=jnp.asarray(origin3[:2]),
+                inv_voxel=jnp.asarray(1.0 / voxel3[:2]),
+            )
+        return SourceGrid(
+            data=jnp.asarray(data.astype(np.float32)),
+            origin=jnp.asarray(origin3),
+            inv_voxel=jnp.asarray(1.0 / voxel3),
+        )
+    if path.endswith(".vdb"):
+        try:
+            import pyopenvdb  # noqa: F401  (not in the base image)
+        except ImportError:
+            raise NotImplementedError(
+                f"{path!r}: OpenVDB .vdb needs pyopenvdb (not installed); "
+                "convert to .nvdb (tools/make_source_grid.py --nvdb) or a "
+                "dense .npz") from None
+        return _load_source_pyopenvdb(path, dim)
     raise NotImplementedError(
-        f"source grid format not supported: {path!r} (use .npy/.npz dense "
-        "grids with keys data/origin/voxel_size; VDB conversion is an "
-        "offline step)")
+        f"source grid format not supported: {path!r} (use .nvdb, or "
+        ".npy/.npz dense grids with keys data/origin/voxel_size)")
+
+
+def _load_source_pyopenvdb(path: str, dim: int) -> SourceGrid:
+    import pyopenvdb
+
+    grids = pyopenvdb.readAllGridMetadata(path)
+    grid = pyopenvdb.read(path, grids[0].name)
+    bbox = grid.evalActiveVoxelBoundingBox()
+    lo, hi = np.asarray(bbox[0]), np.asarray(bbox[1])
+    shape = tuple((hi - lo + 1).tolist())
+    n_ch = 3 if "Vec" in grid.valueTypeName else 1
+    data = np.zeros(shape + ((n_ch,) if n_ch > 1 else ()), np.float32)
+    grid.copyToArray(data, ijk=tuple(lo.tolist()))
+    if n_ch == 1:
+        data = np.repeat(data[..., None], 3, axis=-1)
+    voxel = np.asarray(grid.transform.voxelSize(), np.float32)
+    origin = np.asarray(grid.transform.indexToWorld(tuple(lo.tolist())),
+                        np.float32)
+    if dim == 2:
+        data = data[:, :, data.shape[2] // 2]
+        voxel, origin = voxel[:2], origin[:2]
+    return SourceGrid(data=jnp.asarray(data), origin=jnp.asarray(origin),
+                      inv_voxel=jnp.asarray(1.0 / voxel))
 
 
 class Problem:

@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""Create dense volumetric source grids (.npz) for the solver.
+"""Create volumetric source grids (.npz or .nvdb) for the solver.
 
 The reference loads NanoVDB Vec3f grids (problem.cu:135-149); this build
-consumes dense ``.npz`` grids with keys {data, origin, voxel_size}
-(core/problem.py::SourceGrid).  VDB conversion is an offline step (run
-`vdb_print`/OpenVDB tooling elsewhere and export a dense array); this tool
-generates procedural grids for experiments and tests.
+ingests `.nvdb` directly (core/nanovdb.py) as well as dense ``.npz`` grids
+with keys {data, origin, voxel_size} (core/problem.py::SourceGrid).  This
+tool generates procedural grids for experiments and tests in either
+format (picked by the output extension).
 
 Examples:
     python tools/make_source_grid.py gauss2d out.npz --res 256 \
@@ -50,8 +50,25 @@ def main():
         field = args.value * np.exp(-0.5 * r2 / args.sigma**2)
 
     data = field[..., None] * np.asarray(args.color, np.float32)
-    np.savez_compressed(args.out, data=data.astype(np.float32),
-                        origin=lo + 0.5 * voxel, voxel_size=voxel)
+    if args.out.endswith(".nvdb"):
+        import os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from elaina_tpu.core.nanovdb import write_nvdb
+        vals = data.astype(np.float32)
+        voxel3 = np.ones(3, np.float32)
+        off3 = np.zeros(3, np.float64)
+        voxel3[:dim] = voxel
+        # SourceGrid origin = voxel CENTER of index 0
+        off3[:dim] = lo + 0.5 * voxel
+        if dim == 2:
+            vals = vals[:, :, None]
+        from elaina_tpu.core.nanovdb import CODEC_ZIP
+        write_nvdb(args.out, vals, voxel_size=voxel3, world_offset=off3,
+                   codec=CODEC_ZIP)
+    else:
+        np.savez_compressed(args.out, data=data.astype(np.float32),
+                            origin=lo + 0.5 * voxel, voxel_size=voxel)
     print(f"wrote {args.out}: data{data.shape} origin={lo + 0.5 * voxel} "
           f"voxel={voxel}")
     return 0
