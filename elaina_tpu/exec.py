@@ -76,6 +76,16 @@ def run_expr(conf_path: str) -> dict:
         elif e.type == "energy":
             integrator.export_energy(e.channel, e.tone, e.file_name)
 
+    # observability: the reference collects a lossGraph it never writes out
+    # (guided/integrator.cu:38-42); export it, plus the per-phase time and
+    # walk-step breakdown the balanced solver tracks
+    loss_hist = getattr(integrator, "loss_history", None)
+    if loss_hist:
+        result["loss_history"] = [float(v) for v in loss_hist]
+    phase_stats = getattr(integrator, "phase_stats", None)
+    if phase_stats:
+        result["phase_stats"] = phase_stats
+
     result["timestamp"] = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
     with open(os.path.join(out_dir, "result.json"), "w") as f:
         json.dump(result, f, indent=4)

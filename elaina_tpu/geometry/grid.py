@@ -115,7 +115,8 @@ def fine_decode(fp: FinePack, q):
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["origin", "inv_cell", "cand", "meta", "coverage",
-                      "lbound", "row_lbound", "row_diag", "coords", "fine"],
+                      "lbound", "row_lbound", "row_diag", "coords", "fine",
+                      "cpack", "crows"],
          meta_fields=["res"])
 @dataclass
 class CandidateGrid:
@@ -131,9 +132,16 @@ class CandidateGrid:
     #                          true distance <= row_lbound + row_diag
     coords: jnp.ndarray | None = None
     # coords: (R, n_rows, 128) f32 — candidate corner coordinates,
-    # planes at row-aligned offsets (2D: [ax | ay | bx | by]); padded slots
-    # hold PAD_COORD.  Built by attach_coords for the Pallas DMA sweep.
+    # planes at row-aligned offsets (2D: [ax | ay | bx | by]); padded
+    # slots hold PAD_COORD.  Built by attach_coords for the Pallas sweep.
     fine: FinePack | None = None   # attach_fine: single-gather row resolve
+    cpack: jnp.ndarray | None = None
+    # cpack: (M, 8, 128) int32 candidate-id tiles, per-row stride
+    # kprime_for(K), -1 padded (attach_shading; pallas_resolve winner-pid
+    # extraction)
+    crows: jnp.ndarray | None = None
+    # crows: (2P_pad8, 128) f32 color rows [c0.rgb, 0, c1.rgb, 0, 0...]
+    # per (prim, side) (attach_shading; pallas_resolve color fetch)
     res: tuple = ()          # static level-0 cell counts per axis
 
 
@@ -526,6 +534,44 @@ def attach_coords(grid: CandidateGrid, verts: np.ndarray,
     return replace(grid, coords=coords)
 
 
+@partial(jax.jit, static_argnames=("kp",))
+def _pack_cand(cand, kp: int):
+    """(R, K) int32 -> (M, 8, 128) tiles with per-row stride kp, -1 pad."""
+    R, K = cand.shape
+    if kp != K:
+        cand = jnp.pad(cand, ((0, 0), (0, kp - K)), constant_values=-1)
+    flat = cand.reshape(-1)
+    total = -(-flat.shape[0] // 1024) * 1024
+    if total != flat.shape[0]:
+        flat = jnp.pad(flat, (0, total - flat.shape[0]), constant_values=-1)
+    return flat.reshape(-1, 8, 128)
+
+
+def attach_shading(grid: CandidateGrid, colors: np.ndarray,
+                   indices: np.ndarray) -> CandidateGrid:
+    """Attach the pallas_resolve fetch tables: candidate-id tiles
+    (winner-pid extraction in the sweep kernel) and per-(prim, side)
+    endpoint color rows [c0.rgb, 0, c1.rgb, 0, 0...] in a (2P_pad8, 128)
+    layout so one 8-row-aligned DMA covers any row
+    (computeSurfaceColor data, integrator/common.h:242-260)."""
+    from ..ops.pallas_resolve import kprime_for
+    if grid.crows is not None:
+        return grid
+    colors = np.asarray(colors, np.float32)
+    indices = np.asarray(indices)
+    P = indices.shape[0]
+    rows = -(-2 * P // 8) * 8
+    cr = np.zeros((rows, 128), np.float32)
+    v0, v1 = indices[:, 0], indices[:, 1]
+    for side in range(2):
+        cr[side:2 * P:2, 0:3] = colors[v0, side]
+        cr[side:2 * P:2, 4:7] = colors[v1, side]
+    return replace(grid,
+                   cpack=_pack_cand(grid.cand,
+                                    kprime_for(grid.cand.shape[1])),
+                   crows=jnp.asarray(cr))
+
+
 # --------------------------------------------------------------------------- #
 # dense finest-level packed table (FinePack)
 # --------------------------------------------------------------------------- #
@@ -622,7 +668,6 @@ def build_fine_pack(grid: CandidateGrid, eps: float,
     @partial(jax.jit, static_argnames=())
     def build(row_lbound, row_diag, meta, eps, deep_lin, deep_src):
         rl = row_lbound
-        need = rl < eps + row_diag
         rl_pos = jnp.where(rl > 0, rl, jnp.inf)
         r0 = jnp.maximum(
             jnp.min(jnp.where(jnp.isfinite(rl_pos), rl_pos, 1.0)), 1e-12)
@@ -632,6 +677,20 @@ def build_fine_pack(grid: CandidateGrid, eps: float,
                 jnp.int32) + 1)
         b = jnp.where(jnp.isfinite(rl), jnp.clip(b, 0, _PTR_BUCKET - 1),
                       _PTR_BUCKET - 1)
+        # rl is a LOWER bound on the true distance everywhere in the leaf
+        # cell, so a (decoded, quantized) bound >= eps proves the lane is
+        # out of the shell and the (near-exact at this resolution: diam
+        # ~6% of eps) bound is a valid star radius — no exact resolve
+        # required.  Baking `bound < eps` instead of round 1's
+        # `rl < eps + diam` shrinks the per-lane-DMA sweep set to the
+        # lanes that can actually terminate.  The decoded form (what
+        # fine_decode returns for non-need lanes) keeps the invariant
+        # that every returned non-exact bound is >= eps.
+        rl_dec = jnp.where(
+            b == 0, 0.0,
+            r0 * jnp.exp2((b.astype(jnp.float32) - 1.0) / s)
+            * (1.0 - 1.9e-6))
+        need = rl_dec < eps
         rows = jnp.arange(rl.shape[0], dtype=jnp.int32)
         packed0 = rows | (b << 20) | jnp.where(need, jnp.int32(-2**31), 0)
 

@@ -101,7 +101,8 @@ def _closest_point_dense(gs: GeomSet, q):
     pvb = tuple(v[None, :, :] for v in pv)
     d, _ = prim_closest_point(gs.dim, q[:, None, :], pvb)  # (N, P)
     i = jnp.argmin(d, axis=-1)
-    return jnp.take_along_axis(d, i[:, None], axis=-1)[:, 0], i.astype(jnp.int32)
+    # min == d[argmin]; take_along_axis would lower to a ~19 ns/lane gather
+    return jnp.min(d, axis=-1), i.astype(jnp.int32)
 
 
 def _closest_point_bvh_one(gs: GeomSet, q, stack_size: int):
@@ -170,7 +171,7 @@ def _closest_point_chunked(gs: GeomSet, q, chunk: int = BRUTE_FORCE_MAX):
                                   tuple(v[None] for v in pv))
         d = jnp.where(valid[None, :], d, jnp.inf)
         j = jnp.argmin(d, axis=-1)
-        d_c = jnp.take_along_axis(d, j[:, None], axis=-1)[:, 0]
+        d_c = jnp.min(d, axis=-1)
         better = d_c < best_d
         best_i = jnp.where(better, (start + j).astype(jnp.int32), best_i)
         return jnp.minimum(best_d, d_c), best_i
@@ -269,7 +270,7 @@ def _ray_dense(gs: GeomSet, o, d, tmax):
     hit, t = prim_ray_intersect(gs.dim, o[:, None, :], d[:, None, :], pvb,
                                 tmax[:, None])              # (N, P)
     i = jnp.argmin(t, axis=-1)
-    t_best = jnp.take_along_axis(t, i[:, None], axis=-1)[:, 0]
+    t_best = jnp.min(t, axis=-1)
     any_hit = jnp.any(hit, axis=-1)
     return any_hit, t_best, i.astype(jnp.int32)
 
@@ -350,7 +351,7 @@ def _ray_dense_chunked(gs: GeomSet, o, d, tmax, chunk: int = BRUTE_FORCE_MAX):
                                     tuple(v[None] for v in pv), tmax[:, None])
         t = jnp.where(hit & valid[None, :], t, jnp.inf)
         j = jnp.argmin(t, axis=-1)
-        t_c = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
+        t_c = jnp.min(t, axis=-1)
         better = t_c < best_t
         best_i = jnp.where(better, (start + j).astype(jnp.int32), best_i)
         return jnp.minimum(best_t, t_c), best_i
@@ -405,7 +406,8 @@ def sample_in_ball(gs: GeomSet, q, R, u):
         target = u * total
         idx = jnp.sum((target[:, None] >= cdf).astype(jnp.int32), axis=-1)
         idx = jnp.minimum(idx, gs.n_prims - 1)
-        w_sel = jnp.take_along_axis(w, idx[:, None], axis=-1)[:, 0]
+        slots = jnp.arange(w.shape[-1])[None, :]
+        w_sel = jnp.sum(jnp.where(slots == idx[:, None], w, 0.0), axis=-1)
         m_sel = small_gather(gs.prim_measure, idx)
         pdf_area = jnp.where(
             total > 0,
@@ -448,8 +450,9 @@ def _sample_in_ball_chunked(gs: GeomSet, q, R, u, chunk: int = BRUTE_FORCE_MAX):
         j = jnp.argmax(hits, axis=-1)
         found = jnp.any(hits, axis=-1) & (idx < 0)
         idx = jnp.where(found, (c * chunk + j).astype(jnp.int32), idx)
-        w_sel = jnp.where(found, jnp.take_along_axis(w, j[:, None], -1)[:, 0],
-                          w_sel)
+        slots = jnp.arange(w.shape[-1])[None, :]
+        w_j = jnp.sum(jnp.where(slots == j[:, None], w, 0.0), axis=-1)
+        w_sel = jnp.where(found, w_j, w_sel)
         return cum + jnp.sum(w, axis=-1), idx, w_sel
 
     init = (jnp.zeros(q.shape[:1]), jnp.full(q.shape[:1], -1, jnp.int32),

@@ -1,0 +1,390 @@
+"""Bitmask-predicated resolve kernels for the Dirichlet query hot path.
+
+Round-2 redesign, shaped by measurements on v5e (tools/tpu_newpath_lab.py,
+tools/tpu_mosaic_probe.py, tools/tpu_step_bisect2.py):
+
+* a 65k-lane XLA gather costs ~19 ns/lane NO MATTER the table size, so the
+  dense FinePack entry gather (fine_decode) stays in XLA — per-lane DMA
+  of a 4 B entry is Mosaic-illegal (1D HBM tables tile at 1024 elements)
+  and tile-sized workarounds cost more than the gather;
+* per-lane DMAs pay ~100-200 ns of scalar issue each, so they are only
+  ever issued for lanes that truly need them: ``sweep_resolve`` walks a
+  GROUP-bitmask and fetches the candidate-row coordinate block plus the
+  row's candidate-id tile ONLY where the FinePack need bit (or the
+  out-of-grid force) fired — a few % of lanes in steady state, vs the
+  round-1 kernel's always-on per-lane loop (~87 ns/lane floor);
+* fixed per-call and per-block costs dominate at low set-fractions, so a
+  single pallas_call covers all 65k lanes and every block's entire body
+  (bit scans, DMAs, dense winner-select) is skipped via a per-block
+  any-set flag — an all-empty invocation costs only the dispatch;
+* the winning candidate's prim id is extracted in-kernel from the DMA'd
+  id tile with a one-hot vector reduction (dynamic scalar VMEM reads do
+  not lower; tools/tpu_mosaic_probe.py probe A), so the downstream color
+  fetch needs no (19 ns/lane) cand gather;
+* ``fetch_colors`` resolves the side-selected vertex-color pair for the
+  (rarer still) in-shell lanes with one 8-row-aligned DMA from a
+  (2P, 128) color table (Mosaic allows (8,128) slices of 2D tables at
+  dynamic 8-aligned rows; probe B) and a one-hot row select.
+
+Reference counterpart: the closest-point query + computeSurfaceColor
+pipeline (uniform/integrator.cu:138-157, integrator/common.h:242-260).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 8          # lanes per bitmask word (small group -> sparse-friendly)
+RBL = 256          # lanes per block, sweep kernel (VMEM-scoped: 2 tile
+#                    buffers + dense-phase temporaries must fit ~16MB)
+CBL = 256          # lanes per block, color kernel
+LANE_CHUNK = 65536  # lanes per pallas_call (bounds SMEM scalar prefetch)
+
+
+def kprime_for(K: int) -> int:
+    """Per-row stride in the candidate-id pack: the smallest divisor of
+    1024 >= K, so a row's ids never straddle a (8, 128) int32 tile."""
+    for k in (128, 256, 512, 1024):
+        if K <= k:
+            return k
+    raise ValueError(f"K={K} too large for the packed candidate fetch")
+
+
+def pack_groups(mask):
+    """(N,) bool -> (N/GROUP,) int32 bitmask words (vector ops only)."""
+    n = mask.shape[0]
+    bits = mask.reshape(n // GROUP, GROUP).astype(jnp.int32)
+    w = bits[:, 0]
+    for i in range(1, GROUP):
+        w = w | (bits[:, i] << i)
+    return w
+
+
+def _block_any(mask_words, bl: int):
+    """(W,) int32 words -> (W*GROUP/bl,) int32 any-set flag per bl lanes."""
+    return jnp.any(mask_words.reshape(-1, bl // GROUP) != 0,
+                   axis=1).astype(jnp.int32)
+
+
+def _scan_bits(mask_ref, base_word, n_words, fn):
+    """Run fn(lane) for every set bit; empty GROUPs cost one scalar test.
+
+    Fully unrolled: round 1 measured ~10 ns/lane extra for rolled scalar
+    loops (tools/tpu_kernel_variants.py), and the whole point of the
+    bitmask is to make the not-set case nearly free."""
+
+    def grp(g, carry):
+        m = mask_ref[base_word + g]
+
+        @pl.when(m != 0)
+        def _():
+            def bit(i, c):
+                @pl.when(((m >> i) & 1) != 0)
+                def _():
+                    fn(g * GROUP + i)
+                return c
+
+            jax.lax.fori_loop(0, GROUP, bit, 0, unroll=GROUP)
+        return carry
+
+    jax.lax.fori_loop(0, n_words, grp, 0, unroll=n_words)
+
+
+def _onehot_pick(buf, flat):
+    """buf (B, 8, 128), flat (B,) int32 element index in [0, 1024) ->
+    (B,) value at [l, flat//128, flat%128], via vector ops only."""
+    sub = (flat // 128)[:, None]
+    col = (flat % 128)[:, None]
+    acc = jnp.zeros(buf.shape[:1] + (128,), buf.dtype)
+    for s in range(8):
+        acc = acc + buf[:, s, :] * (sub == s).astype(buf.dtype)
+    lanecol = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+    return jnp.sum(jnp.where(lanecol == col, acc, 0), axis=1)
+
+
+def _sweep_kernel(mask_ref, row_ref, cnt_ref, q_ref, rowv_ref, coords_ref,
+                  cpack_ref, dex_ref, t_ref, side_ref, pid_ref, cbuf, kbuf,
+                  sem_c, sem_k, *, rpp: int, kprime: int):
+    b = pl.program_id(0)
+
+    @pl.when(cnt_ref[b] != 0)
+    def _():
+        ngrp = RBL // GROUP
+        base_word = b * ngrp
+        rows_per_tile = 1024 // kprime
+
+        def issue(l):
+            r = row_ref[b * RBL + l]
+            pltpu.make_async_copy(coords_ref.at[r], cbuf.at[l],
+                                  sem_c).start()
+            pltpu.make_async_copy(cpack_ref.at[r // rows_per_tile],
+                                  kbuf.at[l], sem_k).start()
+
+        _scan_bits(mask_ref, base_word, ngrp, issue)
+
+        def wait(l):
+            r = row_ref[b * RBL + l]
+            pltpu.make_async_copy(coords_ref.at[r], cbuf.at[l],
+                                  sem_c).wait()
+            pltpu.make_async_copy(cpack_ref.at[r // rows_per_tile],
+                                  kbuf.at[l], sem_k).wait()
+
+        _scan_bits(mask_ref, base_word, ngrp, wait)
+
+        # dense closest-segment sweep over the fetched rows (garbage on
+        # unfetched lanes; callers mask on the request bits)
+        qx = q_ref[:, 0:1]
+        qy = q_ref[:, 1:2]
+        K = rpp * 128
+        best_d2 = jnp.full((RBL, 128), jnp.float32(jnp.inf))
+        best_flat = jnp.full((RBL, 128), K, jnp.int32)
+        best_t = jnp.zeros((RBL, 128), jnp.float32)
+        best_side = jnp.zeros((RBL, 128), jnp.float32)
+        lanecol = jax.lax.broadcasted_iota(jnp.int32, (RBL, 128), 1)
+        for r in range(rpp):
+            ax = cbuf[:, 0 * rpp + r, :]
+            ay = cbuf[:, 1 * rpp + r, :]
+            bx = cbuf[:, 2 * rpp + r, :]
+            by = cbuf[:, 3 * rpp + r, :]
+            ex = bx - ax
+            ey = by - ay
+            wx = qx - ax
+            wy = qy - ay
+            den = jnp.maximum(ex * ex + ey * ey, 1e-30)
+            t = jnp.clip((wx * ex + wy * ey) / den, 0.0, 1.0)
+            dx = wx - t * ex
+            dy = wy - t * ey
+            d2 = dx * dx + dy * dy
+            side = ex * wy - ey * wx
+            better = d2 < best_d2
+            best_d2 = jnp.where(better, d2, best_d2)
+            best_flat = jnp.where(better, r * 128 + lanecol, best_flat)
+            best_t = jnp.where(better, t, best_t)
+            best_side = jnp.where(better, side, best_side)
+        best = jnp.min(best_d2, axis=1)
+        hit = best_d2 <= best[:, None]
+        slot = jnp.min(jnp.where(hit, best_flat, K), axis=1)
+        slot = jnp.minimum(slot, K - 1)
+        wcol = slot - (slot // 128) * 128
+        sel = (lanecol == wcol[:, None]) & hit
+        t_win = jnp.sum(jnp.where(sel, best_t, 0.0), axis=1)
+        side_win = jnp.sum(jnp.where(sel, best_side, 0.0), axis=1)
+
+        # winner's prim id from the row's candidate-id tile
+        rowv = rowv_ref[:, 0]
+        flat = (rowv % rows_per_tile) * kprime + slot
+        pid = _onehot_pick(kbuf, flat)
+
+        dex_ref[pl.ds(b, 1), :] = jnp.sqrt(best)[None, :]
+        t_ref[pl.ds(b, 1), :] = t_win[None, :]
+        side_ref[pl.ds(b, 1), :] = side_win[None, :]
+        pid_ref[pl.ds(b, 1), :] = pid[None, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("rpp", "kprime", "interpret"))
+def sweep_resolve(mask_words, row, q, coords, cpack, *, rpp: int,
+                  kprime: int, interpret: bool = False):
+    """Exact Dirichlet closest-segment resolve for bit-masked lanes.
+
+    mask_words: (N/GROUP,) int32 from pack_groups (lanes whose FinePack
+    need bit or out-of-grid force fired); row: (N,) int32 candidate row;
+    q: (N, 2) f32; coords: (R, n_rows, 128) f32 coordinate planes
+    (attach_coords); cpack: (M, 8, 128) int32 candidate-id tiles with
+    per-row stride ``kprime`` (attach_shading).
+
+    Returns (d_exact, t, side, pid), each (N,) (garbage on unmasked
+    lanes): the exact distance, winning-segment parameter in [0, 1] (the
+    2D uv), sign of the winner's cross product (prim_side convention),
+    and the winning candidate's prim id.
+    """
+    n = row.shape[0]
+    n_rows = coords.shape[1]
+    LC = min(LANE_CHUNK, -(-n // RBL) * RBL)
+    n_pad = -(-n // LC) * LC
+    nw = n // GROUP
+
+    mask_p = jnp.zeros((n_pad // GROUP,), jnp.int32).at[:nw].set(mask_words)
+    row_p = jnp.zeros((n_pad,), jnp.int32).at[:n].set(row)
+    q_p = jnp.zeros((n_pad, 2), jnp.float32).at[:n].set(q)
+    G = LC // RBL
+
+    out_spec = pl.BlockSpec((G, RBL), lambda i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out_f32 = jax.ShapeDtypeStruct((G, RBL), jnp.float32)
+    out_i32 = jax.ShapeDtypeStruct((G, RBL), jnp.int32)
+    call = pl.pallas_call(
+        functools.partial(_sweep_kernel, rpp=rpp, kprime=kprime),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((RBL, 2), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((RBL, 1), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(out_spec,) * 4,
+            scratch_shapes=[
+                pltpu.VMEM((RBL, n_rows, 128), jnp.float32),
+                pltpu.VMEM((RBL, 8, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=(out_f32, out_f32, out_f32, out_i32),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * LC * rpp * 128,
+            bytes_accessed=LC * (n_rows * 128 // 8) * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+    def one(m_c, r_c, q_c):
+        cnt = _block_any(m_c, RBL)
+        return call(m_c, r_c, cnt, q_c, r_c.reshape(-1, 1), coords, cpack)
+
+    # optimization_barrier on the custom call's operands/results: XLA's
+    # TpuInstructionFusion CustomCallConsumerFusion analysis CHECK-fails
+    # when it merges surrounding slice fusions into the multi-output
+    # tpu_custom_call (observed on v5e, 2026-08); the barrier keeps the
+    # call an island.
+    if n_pad == LC:
+        mask_p, row_p, q_p = jax.lax.optimization_barrier(
+            (mask_p, row_p, q_p))
+        outs = jax.lax.optimization_barrier(one(mask_p, row_p, q_p))
+    else:
+        mask_r = mask_p.reshape(-1, LC // GROUP)
+        row_r = row_p.reshape(-1, LC)
+        q_r = q_p.reshape(-1, LC, 2)
+
+        def body(carry, xs):
+            m_c, r_c, q_c = jax.lax.optimization_barrier(xs)
+            return carry, jax.lax.optimization_barrier(one(m_c, r_c, q_c))
+
+        _, outs = jax.lax.scan(body, 0, (mask_r, row_r, q_r))
+    return tuple(o.reshape(-1)[:n] for o in outs)
+
+
+def _color_kernel(mask_ref, cfi_ref, cnt_ref, cfiv_ref, crows_ref, c0r_ref,
+                  c0g_ref, c0b_ref, c1r_ref, c1g_ref, c1b_ref, cbuf, sem):
+    """Per in-shell lane: one (8, 128) DMA of the 8-row-aligned block of
+    the (2P, 128) color table containing row cfi = 2*pid + side, then a
+    one-hot row select.  Row layout: [c0.rgb, pad, c1.rgb, pad, 0...]."""
+    b = pl.program_id(0)
+
+    @pl.when(cnt_ref[b] != 0)
+    def _():
+        ngrp = CBL // GROUP
+        base_word = b * ngrp
+
+        def issue(l):
+            base = (cfi_ref[b * CBL + l] // 8) * 8
+            base = pl.multiple_of(base, 8)
+            pltpu.make_async_copy(crows_ref.at[pl.ds(base, 8)], cbuf.at[l],
+                                  sem).start()
+
+        _scan_bits(mask_ref, base_word, ngrp, issue)
+
+        def wait(l):
+            base = (cfi_ref[b * CBL + l] // 8) * 8
+            base = pl.multiple_of(base, 8)
+            pltpu.make_async_copy(crows_ref.at[pl.ds(base, 8)], cbuf.at[l],
+                                  sem).wait()
+
+        _scan_bits(mask_ref, base_word, ngrp, wait)
+
+        sub = (cfiv_ref[:, 0] % 8)[:, None]
+        acc = jnp.zeros((CBL, 128), jnp.float32)
+        for s in range(8):
+            acc = acc + cbuf[:, s, :] * (sub == s).astype(jnp.float32)
+        # static integer indexing of the lane axis lowers to a gather
+        # Mosaic rejects; extract each column as a one-hot masked reduction
+        lanecol = jax.lax.broadcasted_iota(jnp.int32, (CBL, 128), 1)
+
+        def col(c):
+            return jnp.sum(jnp.where(lanecol == c, acc, 0.0),
+                           axis=1)[None, :]
+
+        c0r_ref[pl.ds(b, 1), :] = col(0)
+        c0g_ref[pl.ds(b, 1), :] = col(1)
+        c0b_ref[pl.ds(b, 1), :] = col(2)
+        c1r_ref[pl.ds(b, 1), :] = col(4)
+        c1g_ref[pl.ds(b, 1), :] = col(5)
+        c1b_ref[pl.ds(b, 1), :] = col(6)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fetch_colors(mask_words, cfi, color_rows, *, interpret: bool = False):
+    """Side-selected endpoint colors of the winning candidate primitive.
+
+    mask_words: (N/GROUP,) int32 (in-shell lanes); cfi: (N,) int32 color
+    row 2*pid + side; color_rows: (2P_pad8, 128) f32 rows
+    [c0.rgb, pad, c1.rgb, pad, 0...] per (prim, side).
+
+    Returns (c0, c1): (N, 3) endpoint colors (garbage on unmasked lanes).
+    """
+    n = cfi.shape[0]
+    LC = min(LANE_CHUNK, -(-n // CBL) * CBL)
+    n_pad = -(-n // LC) * LC
+    nw = n // GROUP
+
+    mask_p = jnp.zeros((n_pad // GROUP,), jnp.int32).at[:nw].set(mask_words)
+    cfi_p = jnp.zeros((n_pad,), jnp.int32).at[:n].set(cfi)
+    G = LC // CBL
+
+    out_f32 = jax.ShapeDtypeStruct((G, CBL), jnp.float32)
+    out_spec = pl.BlockSpec((G, CBL), lambda i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        _color_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((CBL, 1), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(out_spec,) * 6,
+            scratch_shapes=[
+                pltpu.VMEM((CBL, 8, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=(out_f32,) * 6,
+        cost_estimate=pl.CostEstimate(
+            flops=n, bytes_accessed=n * 40, transcendentals=0),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+    def one(m_c, f_c):
+        cnt = _block_any(m_c, CBL)
+        return call(m_c, f_c, cnt, f_c.reshape(-1, 1), color_rows)
+
+    if n_pad == LC:
+        mask_p, cfi_p = jax.lax.optimization_barrier((mask_p, cfi_p))
+        outs = jax.lax.optimization_barrier(one(mask_p, cfi_p))
+    else:
+        mask_r = mask_p.reshape(-1, LC // GROUP)
+        cfi_r = cfi_p.reshape(-1, LC)
+
+        def body(carry, xs):
+            m_c, f_c = jax.lax.optimization_barrier(xs)
+            return carry, jax.lax.optimization_barrier(one(m_c, f_c))
+
+        _, outs = jax.lax.scan(body, 0, (mask_r, cfi_r))
+    outs = [o.reshape(-1)[:n] for o in outs]
+    c0 = jnp.stack(outs[0:3], axis=-1)
+    c1 = jnp.stack(outs[3:6], axis=-1)
+    return c0, c1

@@ -162,14 +162,14 @@ def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
     k_sel, k_src, k_neu, k_uni, k_gui, k_walk = jax.random.split(key, 6)
 
     # logic stage (no 0.99 shrink: guided/integrator.cu:238-239)
-    in_shell, R_B, pid_d, uv_d, side_d, _ = _separate(
+    in_shell, R_B, bcolor, _ = _separate(
         scene, state, eps, d_stack, shrink=False, step0=step0)
     in_shell &= state.active
 
     n = state.pos.shape[0]
     contrib = jnp.zeros((n, 3), jnp.float32)
     if scene.dirichlet is not None:
-        cb = _boundary_term(scene, state, in_shell, pid_d, uv_d, side_d)
+        cb = _boundary_term(scene, state, in_shell, bcolor)
         contrib += cb
         if records is not None:
             records = _backfill(records, cb, inclusive=False)

@@ -162,11 +162,74 @@ def dirichlet_distance_masked(scene: Scene, q, active, eps, stack_size: int,
     return R_D, pid, pv, need
 
 
+def fast_dirichlet_available(scene: Scene, eps: float) -> bool:
+    """Static gate for the bitmask-kernel fast path (ops/pallas_resolve)."""
+    from ..geometry.grid import _pallas_interpret, _use_pallas
+    g = scene.d_grid
+    return (g is not None and g.fine is not None
+            and g.fine.eps == float(eps) and g.coords is not None
+            and g.crows is not None and g.cpack is not None
+            and len(g.res) == 2 and g.cand.shape[1] <= 1024
+            and (_use_pallas() or _pallas_interpret()))
+
+
+def _fast_dirichlet(scene: Scene, q, active, eps: float, step0=None):
+    """Bitmask-kernel Dirichlet resolve (the round-2 hot path).
+
+    One dense FinePack gather (fine_decode: ~19 ns/lane, the measured
+    XLA-gather floor) classifies every lane; the candidate-row sweep and
+    the surface-color fetch then run as per-lane-DMA Pallas kernels that
+    touch ONLY the lanes whose need bit / in-shell bit fired — replacing
+    the round-1 always-on DMA sweep (~2.6 ms/step) and the dense XLA
+    color-gather chain (~1.9 ms/step).  See ops/pallas_resolve.py for the
+    kernel design and the measurements motivating it.
+
+    Returns (R_D, in_shell, color (N, 3), need).
+    """
+    from ..geometry.grid import _pallas_interpret, fine_decode
+    from ..ops.pallas_resolve import (fetch_colors, kprime_for, pack_groups,
+                                      sweep_resolve)
+    g = scene.d_grid
+    fp = g.fine
+
+    row, need_f, rl, outside = fine_decode(fp, q)
+    need = active & (need_f | outside)
+    if step0 is not None:
+        fresh, rd0 = step0
+        need &= ~fresh
+    if os.environ.get("ELAINA_DEBUG_NO_FETCH") == "1":  # cost-profiling aid
+        need &= False
+
+    interp = _pallas_interpret()
+    K = g.cand.shape[1]
+    rpp = -(-K // 128)
+    d_exact, t, side, pid = sweep_resolve(
+        pack_groups(need), row, q, g.coords, g.cpack, rpp=rpp,
+        kprime=kprime_for(K), interpret=interp)
+
+    R_D = jnp.where(need, d_exact, rl)
+    if step0 is not None:
+        R_D = jnp.where(fresh, rd0, R_D)
+
+    interior = (t > 0.0) & (t < 1.0)
+    in_shell = need & (R_D < eps) & interior
+
+    cfi = 2 * jnp.maximum(pid, 0) + jnp.where(side < 0, 1, 0)
+    c0, c1 = fetch_colors(pack_groups(in_shell),
+                          jnp.where(in_shell, cfi, 0), g.crows,
+                          interpret=interp)
+    color = c0 * (1.0 - t[:, None]) + c1 * t[:, None]
+    color = jnp.where(in_shell[:, None], color, 0.0)
+    return R_D, in_shell, color, need
+
+
 def _separate(scene: Scene, state: WalkState, eps: float, stack_size: int,
               shrink: bool, step0=None):
     """Star-radius computation + epsilon-shell classification.
 
-    Returns (in_shell, R_B, pid_d, uv_d, side_d, R_D).
+    Returns (in_shell, R_B, bcolor, R_D) where ``bcolor`` is the
+    side-selected, interpolated boundary surface color (valid at least on
+    in-shell lanes; NOT yet scaled by intensity or throughput).
     ``shrink`` applies the 0.99 stability factor (uniform/integrator.cu:195;
     the guided variant omits it, guided/integrator.cu:239).
 
@@ -177,7 +240,15 @@ def _separate(scene: Scene, state: WalkState, eps: float, stack_size: int,
     """
     dim = scene.dim
     q = state.pos
-    if scene.dirichlet is not None:
+    n = q.shape[0]
+    if scene.dirichlet is None:
+        R_D = jnp.full((n,), jnp.inf)
+        in_shell = jnp.zeros((n,), bool)
+        bcolor = jnp.zeros((n, 3), jnp.float32)
+    elif fast_dirichlet_available(scene, eps):
+        R_D, in_shell, bcolor, _ = _fast_dirichlet(
+            scene, q, state.active, eps, step0=step0)
+    else:
         R_D, pid_d, pv, need = dirichlet_distance_masked(
             scene, q, state.active, eps, stack_size, step0=step0)
         uv = prim_project(dim, q, pv)
@@ -188,13 +259,8 @@ def _separate(scene: Scene, state: WalkState, eps: float, stack_size: int,
             interior = (uv[..., 0] > 0) & (uv[..., 1] > 0) & (
                 uv[..., 0] + uv[..., 1] < 1.0)
         in_shell = need & (R_D < eps) & interior
-    else:
-        n = q.shape[0]
-        R_D = jnp.full((n,), jnp.inf)
-        pid_d = jnp.zeros((n,), jnp.int32)
-        uv = jnp.zeros((n,) if dim == 2 else (n, 2))
-        side = jnp.zeros((n,))
-        in_shell = jnp.zeros((n,), bool)
+        bcolor = _surface_color(dim, scene.dirichlet.colors,
+                                scene.dirichlet.gs, pid_d, side, uv)
 
     if scene.neumann is not None:
         R_N = Q.closest_silhouette(scene.neumann.gs, q)
@@ -204,19 +270,15 @@ def _separate(scene: Scene, state: WalkState, eps: float, stack_size: int,
     R_B = jnp.maximum(1e-4, jnp.minimum(R_D, R_N))
     if shrink:
         R_B = R_B * 0.99
-    return in_shell, R_B, pid_d, uv, side, R_D
+    return in_shell, R_B, bcolor, R_D
 
 
-def _boundary_term(scene: Scene, state: WalkState, in_shell, pid_d, uv, side):
+def _boundary_term(scene: Scene, state: WalkState, in_shell, bcolor):
     """Dirichlet epsilon-shell contribution (integrator.cu:214-232)."""
     import os
-    dim = scene.dim
     if os.environ.get("ELAINA_DEBUG_NO_COLOR") == "1":  # cost-profiling aid
-        color = jnp.ones((state.pos.shape[0], 3), jnp.float32)
-    else:
-        color = _surface_color(dim, scene.dirichlet.colors,
-                               scene.dirichlet.gs, pid_d, side, uv)
-    contrib = color * scene.dirichlet_intensity * state.thp
+        bcolor = jnp.ones((state.pos.shape[0], 3), jnp.float32)
+    contrib = bcolor * scene.dirichlet_intensity * state.thp
     return jnp.where((state.active & in_shell)[:, None], contrib, 0.0)
 
 
@@ -344,13 +406,13 @@ def wost_depth_step(scene: Scene, state: WalkState, key, eps: float,
     """One fused depth iteration for every lane.  Returns (state', contrib)."""
     k_sep, k_src, k_neu, k_walk = jax.random.split(key, 4)
 
-    in_shell, R_B, pid_d, uv_d, side_d, _ = _separate(
+    in_shell, R_B, bcolor, _ = _separate(
         scene, state, eps, d_stack, shrink=True, step0=step0)
     in_shell &= state.active
 
     contrib = jnp.zeros((state.pos.shape[0], 3), jnp.float32)
     if scene.dirichlet is not None:
-        contrib += _boundary_term(scene, state, in_shell, pid_d, uv_d, side_d)
+        contrib += _boundary_term(scene, state, in_shell, bcolor)
 
     # lanes that terminated (in shell) or have an unbounded star die here
     live = state.active & (~in_shell) & jnp.isfinite(R_B)
@@ -754,12 +816,11 @@ def compute_step0(scene: Scene, eval_points, mask, *, eps: float,
     in-shell pixels are resolved analytically and never enter the walk.
     """
     state = init_walk_state(eval_points, mask)
-    in_shell, R_B, pid_d, uv_d, side_d, R_D = _separate(
+    in_shell, R_B, bcolor, R_D = _separate(
         scene, state, eps, d_stack, shrink=True)
     in_shell &= mask
     if scene.dirichlet is not None:
-        contrib0 = _boundary_term(scene, state, in_shell, pid_d, uv_d,
-                                  side_d)
+        contrib0 = _boundary_term(scene, state, in_shell, bcolor)
     else:
         contrib0 = jnp.zeros((eval_points.shape[0], 3), jnp.float32)
     return R_D, in_shell, contrib0

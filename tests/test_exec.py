@@ -99,6 +99,12 @@ def test_run_expr_end_to_end(tmp_path, integrator):
 
     rj = json.loads((out / "result.json").read_text())
     assert "duration" in rj and "timestamp" in rj
+    if integrator == "guided":
+        # observability exports (reference collects lossGraph but never
+        # writes it, guided/integrator.cu:38-42 — we export it)
+        assert "loss_history" in rj and len(rj["loss_history"]) > 0
+        assert all(np.isfinite(v) for v in rj["loss_history"])
+        assert "phase_stats" in rj and "train_steps" in rj["phase_stats"]
 
 
 def test_run_expr_with_mask(tmp_path):

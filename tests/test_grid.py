@@ -167,10 +167,11 @@ def test_fine_pack_matches_meta_chain():
     assert not outside.any()
     np.testing.assert_array_equal(row_f, row_ref)
 
-    rl_ref = np.asarray(grid.row_lbound)[row_ref]
-    diam_ref = np.asarray(grid.row_diag)[row_ref]
-    np.testing.assert_array_equal(need_f, rl_ref < eps + diam_ref)
+    # need bit == (decoded quantized bound < eps): rl_f is that decoded
+    # bound, so the bit must match it exactly
+    np.testing.assert_array_equal(need_f, rl_f < eps)
     # quantized bound: valid and within one bucket of the leaf bound
+    rl_ref = np.asarray(grid.row_lbound)[row_ref]
     assert np.all(rl_f <= rl_ref + 1e-6)
     s = grid_f.fine.s
     tight = rl_ref > float(grid_f.fine.r0)   # bucket 0 (<= r0) maps to 0
@@ -244,3 +245,95 @@ def test_grid_exact_3d():
         np.testing.assert_allclose(np.asarray(d), np.asarray(db), rtol=1e-5, atol=1e-5)
     else:  # band did not fit K at max_res: still expect near-exact results
         assert float(jnp.mean(jnp.abs(d - db) < 1e-4)) > 0.99
+
+
+def _fast_path_scene(eps, n_verts=300, K=64, colors_seed=11):
+    """Circle boundary scene with ALL round-2 fast-path attachments."""
+    from elaina_tpu.core.problem import Boundary, Scene
+    from elaina_tpu.geometry.geomset import make_geom_set
+    from elaina_tpu.geometry.grid import (attach_coords, attach_fine,
+                                          attach_shading)
+
+    t = np.linspace(0, 2 * math.pi, n_verts, endpoint=False)
+    r = 3 + np.sin(5 * t)
+    verts = np.stack([r * np.cos(t), r * np.sin(t)], -1).astype(np.float32)
+    idx = np.stack([np.arange(n_verts), (np.arange(n_verts) + 1) % n_verts],
+                   -1).astype(np.int32)
+    lo, hi = np.array([-5, -5], np.float32), np.array([5, 5], np.float32)
+    grid = build_candidate_grid(verts, idx, lo, hi, K=K, max_res=256)
+    colors = np.asarray(
+        np.random.default_rng(colors_seed).uniform(0, 1, (n_verts, 2, 3)),
+        np.float32)
+
+    g_fast = attach_shading(attach_fine(attach_coords(grid, verts, idx), eps),
+                            colors, idx)
+    assert (g_fast.fine is not None and g_fast.cpack is not None
+            and g_fast.crows is not None)
+
+    def scene_of(g):
+        return Scene(
+            dirichlet=Boundary(gs=make_geom_set(verts, idx)[0],
+                               colors=jnp.asarray(colors)),
+            neumann=None, d_grid=g, source=None,
+            aabb_lo=lo, aabb_hi=hi, dim=2, source_intensity=1.0,
+            dirichlet_intensity=1.0, neumann_intensity=1.0)
+
+    return scene_of(g_fast), scene_of(grid), verts, idx
+
+
+def test_fused_resolve_matches_chain_path():
+    """The round-2 fused bitmask resolve (_fast_dirichlet, interpret mode)
+    agrees with the chain path on in-shell classification, exact R_D on
+    resolved lanes, valid bounds elsewhere, and boundary colors."""
+    import os
+
+    from elaina_tpu.solver.wost import (_separate, fast_dirichlet_available,
+                                        init_walk_state)
+
+    eps = 0.35
+    scene_fast, scene_ref, verts, idx = _fast_path_scene(eps)
+
+    n = 4096
+    q = jnp.asarray(np.random.default_rng(17).uniform(-5, 5, (n, 2)),
+                    jnp.float32)
+    active = jnp.arange(n) % 7 != 0
+    state = init_walk_state(q, active)
+
+    assert fast_dirichlet_available(scene_fast, eps) is False  # no env flag
+    os.environ["ELAINA_PALLAS_INTERPRET"] = "1"
+    try:
+        assert fast_dirichlet_available(scene_fast, eps)
+        # eps mismatch must disable the fast path (baked need bits)
+        assert not fast_dirichlet_available(scene_fast, eps * 0.9)
+        in_f, RB_f, col_f, RD_f = _separate(scene_fast, state, eps, 32,
+                                            shrink=True)
+    finally:
+        os.environ["ELAINA_PALLAS_INTERPRET"] = "0"
+    in_r, RB_r, col_r, RD_r = _separate(scene_ref, state, eps, 32,
+                                        shrink=True)
+
+    a, b = verts[idx[:, 0]][None], verts[idx[:, 1]][None]
+    d_true = np.asarray(jnp.min(
+        seg_closest_point(np.asarray(q)[:, None, :], a, b)[0], axis=1))
+
+    in_f, in_r = np.asarray(in_f), np.asarray(in_r)
+    RD_f = np.asarray(RD_f)
+    act = np.asarray(active)
+
+    # identical in-shell classification (modulo exact boundary ties)
+    np.testing.assert_array_equal(in_f & act, in_r & act)
+    # in-shell lanes carry the exact distance
+    np.testing.assert_allclose(RD_f[in_f & act], d_true[in_f & act],
+                               rtol=1e-5, atol=1e-5)
+    # everywhere active: a valid lower bound that keeps the walk correct
+    assert np.all(RD_f[act] <= d_true[act] + 1e-4)
+    # no active lane inside the true shell may be missed
+    assert np.all(~(act & (d_true < eps * 0.999) & in_r) | in_f)
+    # colors agree on in-shell lanes
+    np.testing.assert_allclose(np.asarray(col_f)[in_f & act],
+                               np.asarray(col_r)[in_f & act],
+                               rtol=1e-5, atol=1e-5)
+    # star radii agree on in-shell-free active lanes up to bound slack:
+    # fast-path R_B is a valid (possibly smaller) radius
+    RB_f, RB_r = np.asarray(RB_f), np.asarray(RB_r)
+    assert np.all(RB_f[act] <= RB_r[act] + 1e-4)
