@@ -388,3 +388,68 @@ def fetch_colors(mask_words, cfi, color_rows, *, interpret: bool = False):
     c0 = jnp.stack(outs[0:3], axis=-1)
     c1 = jnp.stack(outs[3:6], axis=-1)
     return c0, c1
+
+
+# --------------------------------------------------------------------------- #
+# lane compaction
+# --------------------------------------------------------------------------- #
+#
+# Scattered set-lanes activate every 256-lane block, and each active block
+# pays the full dense winner-select phase (~8 us) regardless of how few of
+# its lanes are set — measured 2.4 ms for 6.2k scattered lanes vs 0.4 ms
+# for the same count clustered (tools/tpu_resolve_probe.py).  A serial
+# scalar pass compacts the set-lane ids so the sweep/color kernels run on
+# a dense prefix; results scatter back with one row-scatter.
+
+
+def _compact_kernel(mask_ref, lanes_ref, cnt_ref, *, n_words: int,
+                    cap: int):
+    def word(wi, cnt):
+        m = mask_ref[wi]
+
+        def bit(i, c):
+            take = ((m >> i) & 1) != 0
+
+            @pl.when(take & (c < cap))
+            def _():
+                lanes_ref[c] = wi * GROUP + i
+
+            return c + jnp.where(take, 1, 0).astype(jnp.int32)
+
+        return jax.lax.fori_loop(0, GROUP, bit, cnt, unroll=GROUP)
+
+    cnt = jax.lax.fori_loop(0, n_words, word, jnp.int32(0))
+    cnt_ref[0] = cnt
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+def compact_lanes(mask_words, *, cap: int, interpret: bool = False):
+    """(W,) int32 bitmask words -> (lanes (cap,) int32, cnt (1,) int32).
+
+    lanes[:cnt] are the set-lane ids in ascending order; entries past cnt
+    are garbage (callers mask with arange < cnt).  If more than ``cap``
+    lanes are set, only the first cap are listed — check cnt (it keeps
+    counting) and fall back to the uncompacted path.
+    """
+    n_words = mask_words.shape[0]
+    call = pl.pallas_call(
+        functools.partial(_compact_kernel, n_words=n_words, cap=cap),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((cap,), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)),
+        cost_estimate=pl.CostEstimate(
+            flops=n_words * GROUP, bytes_accessed=n_words * 4,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+    mask_words = jax.lax.optimization_barrier(mask_words)
+    return jax.lax.optimization_barrier(call(mask_words))

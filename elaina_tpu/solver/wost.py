@@ -187,7 +187,8 @@ def _fast_dirichlet(scene: Scene, q, active, eps: float, step0=None):
     Returns (R_D, in_shell, color (N, 3), need).
     """
     from ..geometry.grid import _pallas_interpret, fine_decode
-    from ..ops.pallas_resolve import (fetch_colors, kprime_for, pack_groups,
+    from ..ops.pallas_resolve import (compact_lanes, fetch_colors,
+                                      kprime_for, pack_groups,
                                       sweep_resolve)
     g = scene.d_grid
     fp = g.fine
@@ -203,22 +204,60 @@ def _fast_dirichlet(scene: Scene, q, active, eps: float, step0=None):
     interp = _pallas_interpret()
     K = g.cand.shape[1]
     rpp = -(-K // 128)
-    d_exact, t, side, pid = sweep_resolve(
-        pack_groups(need), row, q, g.coords, g.cpack, rpp=rpp,
-        kprime=kprime_for(K), interpret=interp)
+    n = q.shape[0]
+
+    def resolve(mask, row_m, q_m, m_eps):
+        """sweep + in-shell test + color lerp on any lane layout.
+        Returns (N_m, 7): [d_exact, t, side, col.rgb, in_shell]."""
+        d_e, t, side, pid = sweep_resolve(
+            pack_groups(mask), row_m, q_m, g.coords, g.cpack, rpp=rpp,
+            kprime=kprime_for(K), interpret=interp)
+        ins = mask & (d_e < m_eps) & (t > 0.0) & (t < 1.0)
+        cfi = 2 * jnp.maximum(pid, 0) + jnp.where(side < 0, 1, 0)
+        c0, c1 = fetch_colors(pack_groups(ins), jnp.where(ins, cfi, 0),
+                              g.crows, interpret=interp)
+        col = c0 * (1.0 - t[:, None]) + c1 * t[:, None]
+        return jnp.concatenate(
+            [d_e[:, None], t[:, None], side[:, None], col,
+             ins.astype(jnp.float32)[:, None]], axis=-1)
+
+    if n >= 2048:
+        # compact the scattered need lanes into a dense prefix first:
+        # every 256-lane block with ANY set lane pays the full dense
+        # winner-select phase, so scattered masks cost ~6x clustered ones
+        # (tools/tpu_resolve_probe.py).  Falls back to the uncompacted
+        # sweep when the need count overflows the static capacity.
+        # steady-state need fractions are ~10%; n//4 leaves 2.5x headroom
+        # before the cond falls back to the uncompacted sweep
+        cap = max(1024, n // 4)
+        lanes, cnt = compact_lanes(pack_groups(need), cap=cap,
+                                   interpret=interp)
+        cnt = cnt[0]
+
+        def compacted(_):
+            valid = jnp.arange(cap) < cnt
+            safe = jnp.where(valid, lanes, 0)
+            out_c = resolve(valid, row[safe], q[safe], eps)
+            idx = jnp.where(valid, lanes, n)        # OOB -> dropped
+            return jnp.zeros((n, 7), jnp.float32).at[idx].set(
+                out_c, mode="drop")
+
+        def uncompacted(_):
+            return resolve(need, row, q, eps)
+
+        out = jax.lax.cond(cnt <= cap, compacted, uncompacted, 0)
+    else:
+        out = resolve(need, row, q, eps)
+
+    d_exact, t = out[:, 0], out[:, 1]
+    side = out[:, 2]
+    color = out[:, 3:6]
+    in_shell = need & (out[:, 6] > 0.5)
 
     R_D = jnp.where(need, d_exact, rl)
     if step0 is not None:
         R_D = jnp.where(fresh, rd0, R_D)
-
-    interior = (t > 0.0) & (t < 1.0)
-    in_shell = need & (R_D < eps) & interior
-
-    cfi = 2 * jnp.maximum(pid, 0) + jnp.where(side < 0, 1, 0)
-    c0, c1 = fetch_colors(pack_groups(in_shell),
-                          jnp.where(in_shell, cfi, 0), g.crows,
-                          interpret=interp)
-    color = c0 * (1.0 - t[:, None]) + c1 * t[:, None]
+    in_shell &= R_D < eps
     color = jnp.where(in_shell[:, None], color, 0.0)
     return R_D, in_shell, color, need
 

@@ -281,10 +281,16 @@ def _fast_path_scene(eps, n_verts=300, K=64, colors_seed=11):
     return scene_of(g_fast), scene_of(grid), verts, idx
 
 
-def test_fused_resolve_matches_chain_path():
+import pytest
+
+
+@pytest.mark.parametrize("n", [1024, 4096])
+def test_fused_resolve_matches_chain_path(n):
     """The round-2 fused bitmask resolve (_fast_dirichlet, interpret mode)
     agrees with the chain path on in-shell classification, exact R_D on
-    resolved lanes, valid bounds elsewhere, and boundary colors."""
+    resolved lanes, valid bounds elsewhere, and boundary colors.
+
+    n=1024 drives the direct sweep, n=4096 the lane-compacted path."""
     import os
 
     from elaina_tpu.solver.wost import (_separate, fast_dirichlet_available,
@@ -292,8 +298,6 @@ def test_fused_resolve_matches_chain_path():
 
     eps = 0.35
     scene_fast, scene_ref, verts, idx = _fast_path_scene(eps)
-
-    n = 4096
     q = jnp.asarray(np.random.default_rng(17).uniform(-5, 5, (n, 2)),
                     jnp.float32)
     active = jnp.arange(n) % 7 != 0

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Equal-spp / equal-time RMSE parity: guided vs uniform on ladybug (TPU).
+
+Reproduces the reference's convergence protocol (BASELINE.md): a high-spp
+uniform ground truth, then uniform and guided solves at matched sample
+budgets.  Prints a JSON table and writes it to BENCH_parity.json.
+
+Usage: python tools/tpu_parity.py [--res 256] [--gt-spp 2048]
+       [--budgets 256,64] [--scene ladybug|lsource]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jaxcache")
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+import numpy as np
+
+
+def solve_image(problem, integrator_cls, settings, net_conf=None):
+    out_dir = "/tmp/parity"
+    os.makedirs(out_dir, exist_ok=True)
+    integ = integrator_cls(problem, settings, out_dir)
+    if net_conf is not None:
+        integ.reset_network(net_conf)
+    t0 = time.time()
+    ms = integ.solve()
+    wall = time.time() - t0
+    img = integ.films["SOLUTION"].pixels()
+    steps = getattr(integ, "total_walk_steps", 0)
+    return img, ms, wall, steps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--gt-spp", type=int, default=2048)
+    ap.add_argument("--budgets", default="256,64")
+    ap.add_argument("--scene", default="ladybug")
+    a = ap.parse_args()
+
+    from bench import _build_ladybug_problem
+    from elaina_tpu.core.config import IntegratorSettings
+    from elaina_tpu.solver.guided import GuidedIntegrator
+    from elaina_tpu.solver.integrator import UniformIntegrator
+    from tools.rmse import rmse
+
+    net_conf = {
+        "encoding": {"otype": "DenseGrid", "base_resolution": 8,
+                     "n_levels": 8, "n_features_per_level": 4,
+                     "per_level_scale": 1.405},
+        "network": {"otype": "FullyFusedMLP", "n_neurons": 64,
+                    "n_hidden_layers": 3, "activation": "ReLU"},
+        "optimizer": {"otype": "Ema", "decay": 0.95,
+                      "nested": {"otype": "Adam", "learning_rate": 8e-3,
+                                 "beta1": 0.9, "beta2": 0.99,
+                                 "epsilon": 1e-15, "l2_reg": 1e-6}},
+    }
+
+    res = a.res
+
+    def settings(spp, train=0):
+        return IntegratorSettings(
+            frameSize=(res, res), samplesPerPixel=spp, maxWalkingDepth=64,
+            epsilonShell=1.0, trainSppCount=train,
+            uniformFractionInTrainingPhase=0.5,
+            uniformFractionInGuidingPhase=0.5,
+            maxGuidedDepthInTrainingPhase=10,
+            maxGuidedDepthInGuidingPhase=10)
+
+    problem = _build_ladybug_problem(res, "grid")
+    print(f"scene={a.scene} res={res}", flush=True)
+
+    gt, ms, _, _ = solve_image(problem, UniformIntegrator,
+                               settings(a.gt_spp))
+    print(f"GT uniform {a.gt_spp} spp: {ms:.0f} ms", flush=True)
+
+    rows = []
+    for spp in [int(s) for s in a.budgets.split(",")]:
+        ui, ums, _, usteps = solve_image(problem, UniformIntegrator,
+                                         settings(spp))
+        r_u = rmse(ui, gt)
+        rows.append({"estimator": "uniform", "spp": spp, "rmse": r_u,
+                     "ms": ums, "steps_per_s": usteps / (ums / 1e3)})
+        print(rows[-1], flush=True)
+
+        train = max(4, spp // 4)
+        gi, gms, _, gsteps = solve_image(problem, GuidedIntegrator,
+                                         settings(spp, train), net_conf)
+        r_g = rmse(gi, gt)
+        rows.append({"estimator": "guided", "spp": spp,
+                     "train_spp": train, "rmse": r_g, "ms": gms,
+                     "steps_per_s": gsteps / (gms / 1e3),
+                     "rmse_ratio_vs_uniform": r_g / r_u,
+                     "time_ratio_vs_uniform": gms / ums})
+        print(rows[-1], flush=True)
+
+    out = {"scene": a.scene, "res": res, "gt_spp": a.gt_spp, "rows": rows}
+    with open("/root/repo/BENCH_parity.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,14 @@ def main():
     timed("sweep_resolve (full mask)", body_sweep,
           (jnp.float32(0), full, row, pts, g.coords, g.cpack))
 
+    # same lane count, CLUSTERED into the first blocks: isolates the
+    # per-active-block dense-phase cost from the per-set-lane DMA cost
+    n_set = int(need.sum())
+    clustered = pack_groups(jnp.arange(N) < n_set)
+    row_shuf = jax.random.permutation(jax.random.PRNGKey(3), row)
+    timed(f"sweep_resolve (clustered {n_set})", body_sweep,
+          (jnp.float32(0), clustered, row_shuf, pts, g.coords, g.cpack))
+
     cfi = 2 * jnp.maximum(pid, 0) + jnp.where(side < 0, 1, 0)
     cfi = jnp.where(jnp.asarray(in_shell), cfi, 0)
     mshell = pack_groups(jnp.asarray(in_shell))
