@@ -245,7 +245,6 @@ def sweep_resolve(mask_words, row, q, coords, cpack, *, rpp: int,
             bytes_accessed=LC * (n_rows * 128 // 8) * 4,
             transcendentals=0,
         ),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
 
@@ -364,7 +363,6 @@ def fetch_colors(mask_words, cfi, color_rows, *, interpret: bool = False):
         out_shape=(out_f32,) * 6,
         cost_estimate=pl.CostEstimate(
             flops=n, bytes_accessed=n * 40, transcendentals=0),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
 
@@ -448,7 +446,6 @@ def compact_lanes(mask_words, *, cap: int, interpret: bool = False):
         cost_estimate=pl.CostEstimate(
             flops=n_words * GROUP, bytes_accessed=n_words * 4,
             transcendentals=0),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
     mask_words = jax.lax.optimization_barrier(mask_words)

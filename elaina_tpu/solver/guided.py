@@ -520,6 +520,72 @@ class GuidedIntegrator(BaseIntegrator):
         self.trainer = init_trainer(jax.random.PRNGKey(42), self.spec)
         self.loss_history = []
 
+    def prepare(self):
+        """Trace + compile the persistent-phase programs before solving.
+
+        The reference compiles its CUDA kernels at build time, so its
+        reported durations cover only walking; XLA compiles at first call.
+        Calling ``prepare()`` runs each persistent chunk once with zero
+        quota (same shapes -> same executables, ~0 device work) so a
+        subsequent ``solve()`` measures steady-state walk throughput.
+        Optional — ``solve()`` works (slower on first call) without it.
+        """
+        from .wost import N_PIECES, make_balanced_chunk
+
+        s = self.settings
+        scene = self.problem.scene
+        n = self.n_pixels
+        eps = float(s.epsilonShell)
+        d_stack, n_stack = self.problem.d_stack, self.problem.n_stack
+        rd0, in_shell0, contrib0 = self._step0(scene)
+
+        S = N_PIECES
+        zf = jnp.zeros((S, n), jnp.float32)
+        zi = jnp.zeros((S, n), jnp.int32)
+        key = jax.random.PRNGKey(0)
+
+        # training-phase chunk (matches _training_persistent's config)
+        batch_size = min(65_536 * 8, max(1024, MAX_TRAIN_DEPTH * n))
+        if getattr(self, "_train_chunk", None) is None:
+            self._train_chunk = make_balanced_train_chunk(
+                self.spec, self.adam_cfg, eps=eps,
+                max_depth=int(s.maxWalkingDepth), batch_size=batch_size,
+                n_batches=5, d_stack=d_stack, n_stack=n_stack)
+        out = self._train_chunk(
+            scene, self.trainer, jnp.float32(s.uniformFractionInTrainingPhase),
+            jnp.int32(s.maxGuidedDepthInTrainingPhase), zf, zf, zf, zi, key,
+            jnp.int32(0))
+        jax.block_until_ready(out)
+
+        # guiding-phase chunk (matches _guiding_persistent)
+        if getattr(self, "_guide_chunk", None) is None:
+            spec = self.spec
+
+            def g_step(sc, extra, st, k, wstep, step0):
+                params, uf, mgd = extra
+                st, _, contrib = guided_depth_step(
+                    sc, spec, params, st, None, k, wstep, jnp.bool_(True),
+                    jnp.bool_(False), uf, mgd, eps=eps, d_stack=d_stack,
+                    n_stack=n_stack, step0=step0)
+                return st, contrib
+
+            self._guide_chunk = make_balanced_chunk(
+                g_step, eps=eps, max_depth=int(s.maxWalkingDepth),
+                d_stack=d_stack, n_stack=n_stack)
+        extra = (self.trainer.ema_params,
+                 jnp.float32(s.uniformFractionInGuidingPhase),
+                 jnp.int32(s.maxGuidedDepthInGuidingPhase))
+        out = self._guide_chunk(scene, extra, zf, zf, zf, zi, key,
+                                jnp.int32(0))
+        jax.block_until_ready(out)
+
+        # per-round image flush
+        from .wost import _flush_jit
+        img = jnp.zeros((n, 3), jnp.float32)
+        out = _flush_jit(img, jnp.zeros((S, 3, n), jnp.float32), zi,
+                         jnp.zeros((S, n), jnp.int32), n)
+        jax.block_until_ready(out)
+
     def _phase(self, spp: int):
         s = self.settings
         training = spp < s.trainSppCount
@@ -702,12 +768,16 @@ class GuidedIntegrator(BaseIntegrator):
         # records per spp (guided/integrator.cu:643-662)
         batch_size = min(65_536 * 8, max(1024, MAX_TRAIN_DEPTH * n))
         n_batches = 5
-        chunk = make_balanced_train_chunk(
-            self.spec, self.adam_cfg, eps=float(s.epsilonShell),
-            max_depth=int(s.maxWalkingDepth), batch_size=batch_size,
-            n_batches=n_batches, d_stack=self.problem.d_stack,
-            n_stack=self.problem.n_stack)
-        flush = jax.jit(flush_balanced, static_argnums=(4,))
+        if getattr(self, "_train_chunk", None) is None:
+            # re-creating the chunk closure re-traces a very large
+            # while_loop program (~10s+); build once per integrator
+            self._train_chunk = make_balanced_train_chunk(
+                self.spec, self.adam_cfg, eps=float(s.epsilonShell),
+                max_depth=int(s.maxWalkingDepth), batch_size=batch_size,
+                n_batches=n_batches, d_stack=self.problem.d_stack,
+                n_stack=self.problem.n_stack)
+        chunk = self._train_chunk
+        from .wost import _flush_jit as flush
 
         image = jnp.where(in_shell0[:, None], remaining * contrib0, 0.0)
         rem = np.where(resolved, 0, remaining).astype(np.int64)
@@ -743,12 +813,27 @@ class GuidedIntegrator(BaseIntegrator):
                 # rebalancing; half the uniform dispatch budget because the
                 # in-loop optimizer passes lengthen each iteration
                 cap = min(int(1.35 * ideal) + 24, 512)
+                if ideal <= int(s.maxWalkingDepth):
+                    # tail rounds: let every remaining walk finish in one
+                    # dispatch instead of re-rolling per round
+                    cap = min(int(s.maxWalkingDepth) + ideal + 24, 512)
+            t_r = time.time()
             acc, done, lsteps, steps, iters, trainer, metric = chunk(
                 scene, trainer, uf, mgd, px, py, prd,
                 jnp.asarray(piece_quota), jax.random.fold_in(key, round_i),
                 jnp.int32(cap))
             image, done_pix = flush(image, acc, done,
                                     jnp.asarray(piece_pix), n)
+            if os.environ.get("ELAINA_BALANCE_DEBUG") == "1":
+                import sys as _sys
+                it_n = int(iters)
+                _sys.stderr.write(
+                    f"[train-balance] round {round_i}: cap={cap} "
+                    f"iters={it_n} steps={int(steps)} occ="
+                    f"{int(steps)/max(it_n*n,1)*100:.0f}% "
+                    f"wall={time.time()-t_r:.2f}s "
+                    f"rate={int(steps)/max(time.time()-t_r,1e-9)/1e6:.1f}"
+                    f"M/s\n")
             self.total_walk_steps += int(steps)
             self.phase_stats["train_steps"] += int(steps)
             self.loss_history.append(float(metric))
@@ -760,6 +845,7 @@ class GuidedIntegrator(BaseIntegrator):
                 have = done_np > 0
                 fb = float(c[have].mean()) if have.any() else 8.0
                 cost = np.where(have, np.maximum(c, 1.0), max(fb, 1.0))
+                cost = np.minimum(cost, float(s.maxWalkingDepth))
                 self._pixel_cost = cost   # reused by the guiding phase
             if (time_budget_s and (time.time() - start) > time_budget_s
                     and rem.sum() > 0):
@@ -796,13 +882,20 @@ class GuidedIntegrator(BaseIntegrator):
 
         rd0, in_shell0, contrib0 = self._step0(scene)
 
-        def g_step(sc, extra, st, k, wstep, step0):
-            params, uf, mgd = extra
-            st, _, contrib = guided_depth_step(
-                sc, spec, params, st, None, k, wstep, jnp.bool_(True),
-                jnp.bool_(False), uf, mgd, eps=eps, d_stack=d_stack,
-                n_stack=n_stack, step0=step0)
-            return st, contrib
+        if getattr(self, "_guide_chunk", None) is None:
+            from .wost import make_balanced_chunk
+
+            def g_step(sc, extra, st, k, wstep, step0):
+                params, uf, mgd = extra
+                st, _, contrib = guided_depth_step(
+                    sc, spec, params, st, None, k, wstep, jnp.bool_(True),
+                    jnp.bool_(False), uf, mgd, eps=eps, d_stack=d_stack,
+                    n_stack=n_stack, step0=step0)
+                return st, contrib
+
+            self._guide_chunk = make_balanced_chunk(
+                g_step, eps=eps, max_depth=int(s.maxWalkingDepth),
+                d_stack=d_stack, n_stack=n_stack)
 
         extra = (self.trainer.ema_params,
                  jnp.float32(s.uniformFractionInGuidingPhase),
@@ -812,7 +905,7 @@ class GuidedIntegrator(BaseIntegrator):
             scene, extra, np.asarray(self.eval_points), np.asarray(rd0),
             np.asarray(in_shell0 | ~self.mask), contrib0, in_shell0,
             spp=remaining, eps=eps, max_depth=int(s.maxWalkingDepth),
-            d_stack=d_stack, n_stack=n_stack, step_fn=g_step,
+            d_stack=d_stack, n_stack=n_stack, chunk=self._guide_chunk,
             key=jax.random.PRNGKey(1), time_budget_s=time_budget_s,
             start_time=start, cost0=getattr(self, "_pixel_cost", None))
         self.total_walk_steps += steps

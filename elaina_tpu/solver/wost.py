@@ -735,7 +735,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                    d_stack: int = 48, n_stack: int = 48, step_fn=None,
                    key=None, time_budget_s=None, start_time=None,
                    progress=None, max_rounds: int | None = None,
-                   cost0=None):
+                   cost0=None, chunk=None):
     """Round-based balanced persistent solve (see make_balanced_chunk).
 
     Round 0 runs an identity partition for a few samples to measure
@@ -751,8 +751,12 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
 
     n = pts_np.shape[0]
     S = N_PIECES
-    chunk = make_balanced_chunk(step_fn, eps=eps, max_depth=max_depth,
-                                d_stack=d_stack, n_stack=n_stack)
+    if chunk is None:
+        # pass a prebuilt chunk to share the traced/compiled program
+        # across solve calls (re-creating the closure re-traces a very
+        # large while_loop program: ~10s+ per call)
+        chunk = make_balanced_chunk(step_fn, eps=eps, max_depth=max_depth,
+                                    d_stack=d_stack, n_stack=n_stack)
     image = jnp.where(jnp.asarray(in_shell0)[:, None], spp * contrib0, 0.0)
     rem = np.where(resolved_np, 0, spp).astype(np.int64)
     cost = np.ones(n)
@@ -796,6 +800,12 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         else:
             ideal = int(np.ceil(float((rem * cost).sum()) / max(n, 1)))
             cap = min(int(1.35 * ideal) + 24, ITER_DISPATCH_BUDGET)
+            if ideal <= max_depth:
+                # tail rounds: give every remaining walk room to finish in
+                # ONE dispatch (a cap below max_depth re-rolls every
+                # deeper walk into yet another ~1s round)
+                cap = min(max_depth + ideal + 24, ITER_DISPATCH_BUDGET)
+        t_r = _time.time()
         acc, done, lsteps, steps, iters = chunk(
             scene, extra, px, py, prd, jnp.asarray(piece_quota),
             jax.random.fold_in(key, round_i), jnp.int32(cap))
@@ -809,7 +819,8 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                 f"[balance] round {round_i}: cap={cap} iters={it_n} "
                 f"steps={int(steps)} occ="
                 f"{int(steps)/max(it_n*n,1)*100:.0f}% "
-                f"rem={int(rem.sum())}\n")
+                f"rem={int(rem.sum())} wall={_time.time()-t_r:.2f}s "
+                f"rate={int(steps)/max(_time.time()-t_r,1e-9)/1e6:.1f}M/s\n")
         done_np = np.asarray(done_pix).astype(np.int64)
         rem = np.maximum(rem - done_np, 0)
         if round_i == 0 and not have_cost0:
@@ -819,6 +830,10 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             have = done_np > 0
             fallback = float(c[have].mean()) if have.any() else 8.0
             cost = np.where(have, np.maximum(c, 1.0), max(fallback, 1.0))
+            # steps spent on cap-dropped walks inflate the estimate far
+            # beyond any real walk; a sample can never cost more than
+            # max_depth steps
+            cost = np.minimum(cost, float(max_depth))
         if progress is not None:
             frac_done = 1.0 - rem.sum() / max(
                 float(np.sum(~resolved_np)) * spp, 1.0)
