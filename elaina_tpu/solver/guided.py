@@ -815,8 +815,9 @@ class GuidedIntegrator(BaseIntegrator):
                 cap = min(int(1.35 * ideal) + 24, 512)
                 if ideal <= int(s.maxWalkingDepth):
                     # tail rounds: let every remaining walk finish in one
-                    # dispatch instead of re-rolling per round
-                    cap = min(int(s.maxWalkingDepth) + ideal + 24, 512)
+                    # dispatch instead of re-rolling per round (the loop
+                    # exits early once quotas drain and walks die)
+                    cap = min(int(s.maxWalkingDepth) + 2 * ideal + 64, 512)
             t_r = time.time()
             acc, done, lsteps, steps, iters, trainer, metric = chunk(
                 scene, trainer, uf, mgd, px, py, prd,

@@ -803,8 +803,11 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             if ideal <= max_depth:
                 # tail rounds: give every remaining walk room to finish in
                 # ONE dispatch (a cap below max_depth re-rolls every
-                # deeper walk into yet another ~1s round)
-                cap = min(max_depth + ideal + 24, ITER_DISPATCH_BUDGET)
+                # deeper walk into yet another ~1s full-lane round).  The
+                # while_loop exits as soon as quotas drain and all walks
+                # die, so a generous cap costs nothing; 2x ideal absorbs
+                # sub-100% issue occupancy.
+                cap = min(max_depth + 2 * ideal + 64, ITER_DISPATCH_BUDGET)
         t_r = _time.time()
         acc, done, lsteps, steps, iters = chunk(
             scene, extra, px, py, prd, jnp.asarray(piece_quota),
