@@ -277,9 +277,10 @@ class Problem:
                     cache_dir=cache_dir)
                 from ..geometry.grid import (_pallas_interpret, _use_pallas,
                                              attach_coords, attach_shading)
-                if dim == 2 and (_use_pallas() or _pallas_interpret()):
+                if _use_pallas() or _pallas_interpret():
                     d_grid = attach_coords(d_grid, v, idx)
-                    d_grid = attach_shading(d_grid, colors, idx)
+                    if dim == 2:
+                        d_grid = attach_shading(d_grid, colors, idx)
         if json_get_optional(mesh, "neumann_path"):
             v, idx = load_obj(resolve(mesh["neumann_path"]), dim)
             gs, depth = make_geom_set(v, idx)

@@ -578,6 +578,8 @@ def attach_shading(grid: CandidateGrid, colors: np.ndarray,
 
 _PTR_BUCKET = FINE_BUCKETS            # bucket 2047 marks a pointer entry
 _GE_CELL_CAP = 20_000_000             # gather-expansion size cap
+_FINE_CELL_CAP = 300_000_000          # dense finest-grid cap (1.2 GB int32;
+#                                       ladybug's 2D pack is 16384^2 = 268M)
 
 
 def _meta_coords_np(metas: list[np.ndarray], res0) -> list[np.ndarray]:
@@ -618,7 +620,7 @@ def build_fine_pack(grid: CandidateGrid, eps: float,
          (~200k scattered values).
     """
     dim = len(grid.res)
-    if dim != 2 or grid.cand.shape[0] > FINE_ROW_MASK:
+    if dim not in (2, 3) or grid.cand.shape[0] > FINE_ROW_MASK:
         return None
     # pointer ordinals share the 20-bit row field: a gather-expanded level
     # with more pointer entries than it can address would silently corrupt
@@ -627,13 +629,18 @@ def build_fine_pack(grid: CandidateGrid, eps: float,
         return None
     L = len(grid.meta)
     res0 = grid.res
+    nchild = 2 ** dim
+    fine_res = tuple(r << (L - 1) for r in res0)
+    if int(np.prod(fine_res)) > _FINE_CELL_CAP:
+        # dense finest grid would not fit (deep 3D refinements): the
+        # meta-descent path stays available
+        return None
 
     ge = 0
-    cells = res0[0] * res0[1]
-    while ge + 1 < L and cells * 4 <= _GE_CELL_CAP:
+    cells = int(np.prod(res0))
+    while ge + 1 < L and cells * nchild <= _GE_CELL_CAP:
         ge += 1
-        cells *= 4
-    fine_res = (res0[0] << (L - 1), res0[1] << (L - 1))
+        cells *= nchild
 
     # host-side: fine-grid scatter targets of the deep levels' leaf blocks
     deep_lin, deep_src = [], []
@@ -646,11 +653,12 @@ def build_fine_pack(grid: CandidateGrid, eps: float,
                 continue
             c = coords[lvl][idx]
             blk = 1 << (L - 1 - lvl)
-            for oi in range(blk):
-                for oj in range(blk):
-                    deep_lin.append((c[:, 0] * blk + oi) * fine_res[1]
-                                    + c[:, 1] * blk + oj)
-                    deep_src.append(metas_np[lvl][idx])  # row ids (>= 0)
+            for off in np.ndindex(*([blk] * dim)):
+                lin = c[:, 0] * blk + off[0]
+                for d in range(1, dim):
+                    lin = lin * fine_res[d] + c[:, d] * blk + off[d]
+                deep_lin.append(lin)
+                deep_src.append(metas_np[lvl][idx])  # row ids (>= 0)
     if deep_lin:
         deep_lin = jnp.asarray(np.concatenate(deep_lin), jnp.int32)
         deep_src = jnp.asarray(np.concatenate(deep_src), jnp.int32)
@@ -710,14 +718,37 @@ def build_fine_pack(grid: CandidateGrid, eps: float,
         def colileave(a, bb):
             return rowileave(a.T, bb.T).T
 
+        def interleave(kids, shape):
+            """2^dim children -> one 2x-per-axis finer grid, innermost axis
+            first.  Child ordinal bit d <-> upper half of dim d, and a
+            rank-2 rowileave on a (prefix, suffix)-folded view interleaves
+            exactly the folded axis (C-order linearization)."""
+            sh = list(shape)
+            for d in reversed(range(dim)):
+                if d == dim - 1:
+                    # innermost axis: interleave columns of a
+                    # (prefix, sh[-1]) view (keeps the minor dim wide)
+                    view = (int(np.prod(sh[:d])), sh[d])
+                else:
+                    view = (int(np.prod(sh[:d + 1])),
+                            int(np.prod(sh[d + 1:])))
+                merged = []
+                for s in range(2 ** d):
+                    a = kids[s].reshape(view)
+                    bb = kids[s | (1 << d)].reshape(view)
+                    merged.append(colileave(a, bb) if d == dim - 1
+                                  else rowileave(a, bb))
+                kids = merged
+                sh[d] *= 2
+            return kids[0].reshape(sh)
+
         cur = metp[0].reshape(res0)
         for lvl in range(1, ge + 1):
             nxt = metp[lvl]
             ptr = jnp.where(is_ptr(cur), cur & FINE_ROW_MASK, 0)
-            kids = [jnp.where(is_ptr(cur), nxt[ptr * 4 + sub], cur)
-                    for sub in range(4)]
-            cur = rowileave(colileave(kids[0], kids[2]),
-                            colileave(kids[1], kids[3]))
+            kids = [jnp.where(is_ptr(cur), nxt[ptr * nchild + sub], cur)
+                    for sub in range(nchild)]
+            cur = interleave(kids, cur.shape)
 
         rep = 1 << (L - 1 - ge)
         if rep > 1:
@@ -726,7 +757,17 @@ def build_fine_pack(grid: CandidateGrid, eps: float,
                     a[:, None, :], (a.shape[0], rep, a.shape[1])
                 ).reshape(a.shape[0] * rep, a.shape[1])
 
-            cur = rep0(rep0(cur.T).T)
+            sh = list(cur.shape)
+            for d in reversed(range(dim)):
+                if d == dim - 1:
+                    v = cur.reshape(int(np.prod(sh[:d])), sh[d])
+                    cur = rep0(v.T).T
+                else:
+                    v = cur.reshape(int(np.prod(sh[:d + 1])),
+                                    int(np.prod(sh[d + 1:])))
+                    cur = rep0(v)
+                sh[d] *= rep
+                cur = cur.reshape(sh)
         fine = cur.reshape(-1)
         if deep_src.shape[0]:
             fine = fine.at[deep_lin].set(packed0[deep_src])
@@ -834,15 +875,21 @@ def grid_closest_point_detail(grid: CandidateGrid, verts, indices, q,
     if row is None:
         row = grid_row_index(grid, q)
 
-    if (grid.coords is not None and dim == 2
+    if (grid.coords is not None and dim in (2, 3)
             and (_use_pallas() or _pallas_interpret())):
-        from ..ops.pallas_queries import grid_band_dma_2d
         rpp = -(-K // 128)
         row_m = row if need is None else jnp.where(need, row, -1)
-        d2, slot, (ax, ay, bx, by) = grid_band_dma_2d(
-            row_m, q, grid.coords, rpp, interpret=_pallas_interpret())
+        if dim == 2:
+            from ..ops.pallas_queries import grid_band_dma_2d
+            d2, slot, (ax, ay, bx, by) = grid_band_dma_2d(
+                row_m, q, grid.coords, rpp, interpret=_pallas_interpret())
+            pv = (jnp.stack([ax, ay], -1), jnp.stack([bx, by], -1))
+        else:
+            from ..ops.pallas_queries import grid_band_dma_3d
+            d2, slot, c9 = grid_band_dma_3d(
+                row_m, q, grid.coords, rpp, interpret=_pallas_interpret())
+            pv = tuple(jnp.stack(c9[3 * k:3 * k + 3], -1) for k in range(3))
         best_i = grid.cand[row, jnp.minimum(slot, K - 1)]
-        pv = (jnp.stack([ax, ay], -1), jnp.stack([bx, by], -1))
         return jnp.sqrt(d2), jnp.maximum(best_i, 0), pv
     d, pid = _grid_closest_point_xla(grid, verts, indices, q, row)
     safe = jnp.maximum(pid, 0)

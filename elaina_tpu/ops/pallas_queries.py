@@ -205,6 +205,182 @@ def grid_band_dma_2d(lin, q, coords, rpp: int, *, interpret: bool = False):
     return d2, slot, (ax, ay, bx, by)
 
 
+def _tri_d2_tile(qx, qy, qz, c):
+    """Point-triangle squared distance on (BL, 128) coordinate tiles.
+
+    c = (ax, ay, az, bx, by, bz, cx, cy, cz).  Same formulation as
+    geometry/grid._tri_planar_d2: interior via the explicit residual (no
+    cancellation), else min over the three edge distances.
+    """
+    a = c[0:3]
+    b = c[3:6]
+    cc = c[6:9]
+    q3 = (qx, qy, qz)
+
+    def sub(u, v):
+        return tuple(ui - vi for ui, vi in zip(u, v))
+
+    def dot3(u, v):
+        return sum(ui * vi for ui, vi in zip(u, v))
+
+    e1 = sub(b, a)
+    e2 = sub(cc, a)
+    w = sub(q3, a)
+    d11 = dot3(e1, e1)
+    d12 = dot3(e1, e2)
+    d22 = dot3(e2, e2)
+    w1 = dot3(w, e1)
+    w2 = dot3(w, e2)
+    den = jnp.maximum(d11 * d22 - d12 * d12, 1e-30)
+    u = (d22 * w1 - d12 * w2) / den
+    v = (d11 * w2 - d12 * w1) / den
+    inside = (u >= 0) & (v >= 0) & (u + v <= 1)
+    diff = tuple(wi - u * e1i - v * e2i for wi, e1i, e2i in zip(w, e1, e2))
+    d2_in = dot3(diff, diff)
+
+    def edge_d2(p0, p1):
+        e = sub(p1, p0)
+        wp = sub(q3, p0)
+        t = jnp.clip(dot3(wp, e) / jnp.maximum(dot3(e, e), 1e-30), 0.0, 1.0)
+        dd = tuple(wi - t * ei for wi, ei in zip(wp, e))
+        return dot3(dd, dd)
+
+    d2_edge = jnp.minimum(jnp.minimum(edge_d2(a, b), edge_d2(b, cc)),
+                          edge_d2(cc, a))
+    return jnp.where(inside, d2_in, d2_edge)
+
+
+def _make_grid_band_dma_kernel_3d(rpp: int):
+    """3D variant: 9 coordinate planes (triangle corners), point-triangle
+    distance; otherwise identical DMA/predication structure to the 2D
+    kernel above."""
+
+    def kernel(lin_ref, q_ref, tab_ref, d2_ref, slot_ref, *rest):
+        coord_refs = rest[:9]
+        buf, sems = rest[9], rest[10]
+        b = pl.program_id(0)
+        BL = q_ref.shape[0]
+
+        def issue(l, carry):
+            cell = lin_ref[b * BL + l]
+
+            @pl.when(cell >= 0)
+            def _():
+                pltpu.make_async_copy(tab_ref.at[cell], buf.at[l],
+                                      sems).start()
+            return carry
+
+        jax.lax.fori_loop(0, BL, issue, 0, unroll=BL)
+
+        def wait(l, carry):
+            cell = lin_ref[b * BL + l]
+
+            @pl.when(cell >= 0)
+            def _():
+                pltpu.make_async_copy(tab_ref.at[cell], buf.at[l],
+                                      sems).wait()
+            return carry
+
+        jax.lax.fori_loop(0, BL, wait, 0, unroll=BL)
+
+        qx = q_ref[:, 0:1]
+        qy = q_ref[:, 1:2]
+        qz = q_ref[:, 2:3]
+        K = rpp * 128
+        best_d2 = jnp.full((BL, 128), jnp.float32(jnp.inf))
+        best_flat = jnp.full((BL, 128), K, jnp.int32)
+        best_c = [jnp.zeros((BL, 128), jnp.float32) for _ in range(9)]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BL, 128), 1)
+        for r in range(rpp):
+            c = tuple(buf[:, p * rpp + r, :] for p in range(9))
+            d2 = _tri_d2_tile(qx, qy, qz, c)
+            better = d2 < best_d2
+            best_d2 = jnp.where(better, d2, best_d2)
+            best_flat = jnp.where(better, r * 128 + lane, best_flat)
+            best_c = [jnp.where(better, c[p], best_c[p]) for p in range(9)]
+        best = jnp.min(best_d2, axis=1)
+        slot = jnp.min(jnp.where(best_d2 <= best[:, None], best_flat, K),
+                       axis=1)
+        wcol = slot - (slot // 128) * 128
+        sel = lane == wcol[:, None]
+        d2_ref[pl.ds(b, 1), :] = best[None, :]
+        slot_ref[pl.ds(b, 1), :] = jnp.minimum(slot, K - 1)[None, :]
+        for p in range(9):
+            coord_refs[p][pl.ds(b, 1), :] = jnp.sum(
+                jnp.where(sel, best_c[p], 0.0), axis=1)[None, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("rpp", "interpret"))
+def grid_band_dma_3d(lin, q, coords, rpp: int, *, interpret: bool = False):
+    """3D candidate-grid closest-point sweep via per-lane block DMA.
+
+    lin: (N,) int32 candidate-table row per lane (< 0 skips the DMA);
+    q: (N, 3) f32; coords: (R, n_rows, 128) f32 with 9 planes (corner k,
+    axis d at plane k*3+d; coords_from_cand layout).  Returns
+    (d2 (N,), slot (N,) int32, 9-tuple of winner corner coordinates
+    (ax, ay, az, bx, by, bz, cx, cy, cz) each (N,)).
+    """
+    n = lin.shape[0]
+    n_rows = coords.shape[1]
+    if n_rows < 9 * rpp:
+        raise ValueError(f"coords table {coords.shape} too small for rpp={rpp}")
+    BL = DMA_BLOCK
+    LC = min(DMA_LANE_CHUNK, -(-n // BL) * BL)
+    n_pad = -(-n // LC) * LC
+
+    lin_p = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(lin)
+    q_p = jnp.zeros((n_pad, 3), jnp.float32).at[:n].set(q)
+
+    n_out = 11
+    call = pl.pallas_call(
+        _make_grid_band_dma_kernel_3d(rpp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(LC // BL,),
+            in_specs=[
+                pl.BlockSpec((BL, 3), lambda i, lin_ref: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=tuple(
+                pl.BlockSpec((LC // BL, BL), lambda i, lin_ref: (0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(n_out)),
+            scratch_shapes=[
+                pltpu.VMEM((BL, n_rows, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((LC // BL, BL), jnp.float32),
+            jax.ShapeDtypeStruct((LC // BL, BL), jnp.int32),
+        ) + tuple(jax.ShapeDtypeStruct((LC // BL, BL), jnp.float32)
+                  for _ in range(9)),
+        cost_estimate=pl.CostEstimate(
+            flops=60 * LC * rpp * 128,
+            bytes_accessed=LC * n_rows * 128 * 4 + LC * 24,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    if n_pad == LC:
+        outs = call(lin_p, q_p, coords)
+    else:
+        lin_r = lin_p.reshape(-1, LC)
+        q_r = q_p.reshape(-1, LC, 3)
+
+        def body(carry, xs):
+            l_c, q_c = xs
+            return carry, call(l_c, q_c, coords)
+
+        _, outs = jax.lax.scan(body, 0, (lin_r, q_r))
+    flat = tuple(o.reshape(-1)[:n] for o in outs)
+    return flat[0], flat[1], flat[2:]
+
+
 def _seg_closest_tile(q_ref, ax_ref, ay_ref, bx_ref, by_ref, dist_ref,
                       idx_ref):
     """One lane tile vs all segments: fused distance + argmin.

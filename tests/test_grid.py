@@ -341,3 +341,152 @@ def test_fused_resolve_matches_chain_path(n):
     # fast-path R_B is a valid (possibly smaller) radius
     RB_f, RB_r = np.asarray(RB_f), np.asarray(RB_r)
     assert np.all(RB_f[act] <= RB_r[act] + 1e-4)
+
+
+def test_grid_pallas_dma_path_3d_interpret():
+    """The 3D Pallas per-lane-DMA band sweep (interpret mode) matches brute
+    force, and the winner coordinates match the winning triangle's verts."""
+    rng = np.random.default_rng(21)
+    centers = rng.uniform(-3, 3, (150, 3)).astype(np.float32)
+    offs = rng.uniform(-0.5, 0.5, (150, 3, 3)).astype(np.float32)
+    verts = (centers[:, None] + offs).reshape(-1, 3)
+    idx = np.arange(450, dtype=np.int32).reshape(-1, 3)
+    lo = np.full(3, -4, np.float32)
+    hi = np.full(3, 4, np.float32)
+    grid = build_candidate_grid(verts, idx, lo, hi, K=64, max_res=32)
+
+    from elaina_tpu.geometry.grid import attach_coords, grid_row_index
+    from elaina_tpu.ops.pallas_queries import grid_band_dma_3d
+
+    grid_c = attach_coords(grid, verts, idx)
+    assert grid_c.coords.shape[1] % 8 == 0 and grid_c.coords.shape[2] == 128
+
+    q = jnp.asarray(rng.uniform(-4, 4, (600, 3)), jnp.float32)
+    row = grid_row_index(grid_c, q)
+    K = grid_c.cand.shape[1]
+    d2, slot, c9 = grid_band_dma_3d(row, q, grid_c.coords, -(-K // 128),
+                                    interpret=True)
+    pid = np.asarray(grid_c.cand[row, jnp.minimum(slot, K - 1)])
+
+    # winner coordinates are the winning triangle's actual vertices
+    for k in range(3):
+        for d in range(3):
+            np.testing.assert_allclose(np.asarray(c9[3 * k + d]),
+                                       verts[idx[pid, k], d], rtol=0, atol=0)
+
+    a = verts[idx[:, 0]][None]
+    b = verts[idx[:, 1]][None]
+    c = verts[idx[:, 2]][None]
+    db, _ = tri_closest_point(np.asarray(q)[:, None, :], a, b, c)
+    db = np.asarray(jnp.min(db, axis=1))
+    if float(grid.coverage) == 1.0:
+        np.testing.assert_allclose(np.sqrt(np.asarray(d2)), db,
+                                   rtol=1e-4, atol=1e-5)
+    else:
+        assert float(np.mean(np.abs(np.sqrt(np.asarray(d2)) - db) < 1e-4)) > 0.99
+
+    # masked lanes (row < 0) must be skipped without corrupting others
+    mask = jnp.asarray(np.arange(600) % 3 == 0)
+    row_m = jnp.where(mask, row, -1)
+    d2_m, _, _ = grid_band_dma_3d(row_m, q, grid_c.coords, -(-K // 128),
+                                  interpret=True)
+    m = np.asarray(mask)
+    np.testing.assert_allclose(np.asarray(d2_m)[m], np.asarray(d2)[m],
+                               rtol=0, atol=0)
+
+
+def test_masked_dirichlet_distance_3d():
+    """dirichlet_distance_masked on the 3D interpret Pallas path: exact
+    where need, valid lower bound elsewhere."""
+    import os
+
+    rng = np.random.default_rng(23)
+    centers = rng.uniform(-3, 3, (150, 3)).astype(np.float32)
+    offs = rng.uniform(-0.5, 0.5, (150, 3, 3)).astype(np.float32)
+    verts = (centers[:, None] + offs).reshape(-1, 3)
+    idx = np.arange(450, dtype=np.int32).reshape(-1, 3)
+    lo = np.full(3, -4, np.float32)
+    hi = np.full(3, 4, np.float32)
+    grid = build_candidate_grid(verts, idx, lo, hi, K=64, max_res=32)
+    if float(grid.coverage) != 1.0:
+        import pytest
+        pytest.skip("band did not fit K; exactness not guaranteed")
+
+    from elaina_tpu.core.problem import Boundary, Scene
+    from elaina_tpu.geometry.geomset import make_geom_set
+    from elaina_tpu.geometry.grid import attach_coords
+    from elaina_tpu.solver.wost import dirichlet_distance_masked
+
+    gs, _ = make_geom_set(verts, idx)
+    scene = Scene(
+        dirichlet=Boundary(gs=gs, colors=jnp.zeros((450, 2, 3))),
+        neumann=None, d_grid=attach_coords(grid, verts, idx), source=None,
+        aabb_lo=lo, aabb_hi=hi, dim=3, source_intensity=1.0,
+        dirichlet_intensity=1.0, neumann_intensity=1.0)
+
+    q = jnp.asarray(rng.uniform(-4, 4, (800, 3)), jnp.float32)
+    active = jnp.arange(800) % 5 != 0
+    eps = 0.3
+    os.environ["ELAINA_PALLAS_INTERPRET"] = "1"
+    try:
+        d, pid, pv, need = dirichlet_distance_masked(scene, q, active, eps, 32)
+    finally:
+        os.environ["ELAINA_PALLAS_INTERPRET"] = "0"
+
+    a = verts[idx[:, 0]][None]
+    b = verts[idx[:, 1]][None]
+    c = verts[idx[:, 2]][None]
+    d_true, _ = tri_closest_point(np.asarray(q)[:, None, :], a, b, c)
+    d_true = np.asarray(jnp.min(d_true, axis=1))
+    d = np.asarray(d)
+    need = np.asarray(need)
+    act = np.asarray(active)
+    np.testing.assert_allclose(d[need], d_true[need], rtol=1e-4, atol=1e-5)
+    skip = act & ~need
+    assert np.all(d[skip] <= d_true[skip] + 1e-5)
+    assert np.all(d[skip] >= eps)
+    assert np.all(~(act & (d_true < eps)) | need)
+
+
+def test_fine_pack_3d_matches_meta_chain():
+    """3D FinePack: dense finest-level rows match the meta descent and the
+    baked need bit is conservative (exercises the 2^dim gather expansion,
+    the 3-axis interleave, and the deep-level scatter)."""
+    rng = np.random.default_rng(31)
+    # clustered triangles force refinement at small K
+    centers = rng.uniform(-2, 2, (80, 3)).astype(np.float32)
+    offs = rng.uniform(-0.3, 0.3, (80, 3, 3)).astype(np.float32)
+    verts = (centers[:, None] + offs).reshape(-1, 3)
+    idx = np.arange(240, dtype=np.int32).reshape(-1, 3)
+    lo = np.full(3, -3, np.float32)
+    hi = np.full(3, 3, np.float32)
+    grid = build_candidate_grid(verts, idx, lo, hi, K=16, max_res=16,
+                                max_levels=4)
+    assert len(grid.meta) >= 2   # must exercise at least one expansion
+
+    from elaina_tpu.geometry.grid import (attach_fine, fine_decode,
+                                          grid_row_index)
+
+    eps = 0.25
+    grid_f = attach_fine(grid, eps)
+    assert grid_f.fine is not None
+    assert grid_f.fine.res == tuple(
+        rr << (len(grid.meta) - 1) for rr in grid.res)
+
+    q = jnp.asarray(rng.uniform(-2.99, 2.99, (3000, 3)), jnp.float32)
+    row_ref = np.asarray(grid_row_index(grid, q))
+    row_f, need_f, rl_f, outside = (np.asarray(a)
+                                    for a in fine_decode(grid_f.fine, q))
+    assert not outside.any()
+    np.testing.assert_array_equal(row_f, row_ref)
+    np.testing.assert_array_equal(need_f, rl_f < eps)
+
+    # the decoded bound stays a valid lower bound of the true distance
+    a = verts[idx[:, 0]][None]
+    b = verts[idx[:, 1]][None]
+    c = verts[idx[:, 2]][None]
+    d_true, _ = tri_closest_point(np.asarray(q)[:, None, :], a, b, c)
+    d_true = np.asarray(jnp.min(d_true, axis=1))
+    assert np.all(rl_f <= d_true + 1e-5)
+    # no point in the true shell may be missed
+    assert np.all(~(d_true < eps) | need_f)
