@@ -250,7 +250,8 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
                               eps: float, max_depth: int,
                               batch_size: int, n_batches: int,
                               train_every: int = 10,
-                              d_stack: int = 48, n_stack: int = 48):
+                              d_stack: int = 48, n_stack: int = 48,
+                              dim: int = 2):
     """Cost-balanced TRAINING-phase chunk (see wost.make_balanced_chunk for
     the worklist scheme; completed walks' records flush per lane to the
     ready buffer on restart).
@@ -263,10 +264,15 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
     undertrained (guided equal-spp RMSE was WORSE than uniform).  Walk
     inference reads the freshest EMA params from the loop carry.
 
-    chunk(scene, trainer, uf, mgd, piece_px, piece_py, piece_rd0,
-          piece_quota, key, iter_cap)
+    chunk(scene, trainer, uf, mgd, piece_pos, piece_rd0,
+          piece_quota, key, iter_cap, train_every)
       -> (acc (S,3,N), done (S,N), lane_steps, steps, iters, trainer',
           metric)
+
+    ``train_every`` is a runtime scalar: tail rounds (a few percent of the
+    phase's walks at single-digit occupancy) pass iter_cap+1 so the
+    optimizer cond never fires — an optimizer pass costs as much as ~10
+    full-lane walk iterations, pure overhead when almost no walks run.
     """
     from .wost import N_PIECES as S
 
@@ -289,9 +295,9 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
         pend = jnp.where(died[None, :], 0.0, pend)
         return acc, pend, scnt
 
-    def chunk(scene, trainer, uf, mgd, piece_px, piece_py, piece_rd0,
-              piece_quota, key, iter_cap):
-        n = piece_px.shape[1]
+    def chunk(scene, trainer, uf, mgd, piece_pos, piece_rd0,
+              piece_quota, key, iter_cap, train_every=jnp.int32(train_every)):
+        n = piece_pos[0].shape[1]
 
         def cond(c):
             (st, acc, pend, scnt, slot, sidx, wstep, it, steps, lsteps, rec,
@@ -317,7 +323,7 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
 
             restart = (~st.active) & (sidx < quota) & (slot < S)
             rec = rec._replace(cur=jnp.where(restart, 0, rec.cur))
-            pos0 = jnp.stack([sel(slot, piece_px), sel(slot, piece_py)], -1)
+            pos0 = jnp.stack([sel(slot, p) for p in piece_pos], -1)
             rd0 = sel(slot, piece_rd0)
             st = WalkState(
                 pos=jnp.where(restart[:, None], pos0, st.pos),
@@ -359,9 +365,8 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
             return (st, acc, pend, scnt, slot, sidx, wstep, it + 1, steps,
                     lsteps, rec, ready, tr, metric)
 
-        st0 = init_walk_state(jnp.stack([piece_px[0], piece_py[0]], -1),
+        st0 = init_walk_state(jnp.stack([p[0] for p in piece_pos], -1),
                               jnp.zeros((n,), bool))
-        dim = 2
         init = (st0, jnp.zeros((S, 3, n), jnp.float32),
                 jnp.zeros((3, n), jnp.float32), jnp.zeros((n,), jnp.int32),
                 jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32),
@@ -550,11 +555,13 @@ class GuidedIntegrator(BaseIntegrator):
             self._train_chunk = make_balanced_train_chunk(
                 self.spec, self.adam_cfg, eps=eps,
                 max_depth=int(s.maxWalkingDepth), batch_size=batch_size,
-                n_batches=5, d_stack=d_stack, n_stack=n_stack)
+                n_batches=5, d_stack=d_stack, n_stack=n_stack,
+                dim=scene.dim)
+        zpos = (zf,) * scene.dim
         out = self._train_chunk(
             scene, self.trainer, jnp.float32(s.uniformFractionInTrainingPhase),
-            jnp.int32(s.maxGuidedDepthInTrainingPhase), zf, zf, zf, zi, key,
-            jnp.int32(0))
+            jnp.int32(s.maxGuidedDepthInTrainingPhase), zpos, zf, zi, key,
+            jnp.int32(0), jnp.int32(10))
         jax.block_until_ready(out)
 
         # guiding-phase chunk (matches _guiding_persistent)
@@ -575,9 +582,17 @@ class GuidedIntegrator(BaseIntegrator):
         extra = (self.trainer.ema_params,
                  jnp.float32(s.uniformFractionInGuidingPhase),
                  jnp.int32(s.maxGuidedDepthInGuidingPhase))
-        out = self._guide_chunk(scene, extra, zf, zf, zf, zi, key,
+        out = self._guide_chunk(scene, extra, zpos, zf, zi, key,
                                 jnp.int32(0))
         jax.block_until_ready(out)
+        if n >= 4 * 32768:
+            # quarter-width tail-round shape (balanced_solve packs tail
+            # rounds into n/4 lanes)
+            zf4 = jnp.zeros((S, n // 4), jnp.float32)
+            zi4 = jnp.zeros((S, n // 4), jnp.int32)
+            out = self._guide_chunk(scene, extra, (zf4,) * scene.dim, zf4,
+                                    zi4, key, jnp.int32(0))
+            jax.block_until_ready(out)
 
         # per-round image flush
         from .wost import _flush_jit
@@ -775,7 +790,7 @@ class GuidedIntegrator(BaseIntegrator):
                 self.spec, self.adam_cfg, eps=float(s.epsilonShell),
                 max_depth=int(s.maxWalkingDepth), batch_size=batch_size,
                 n_batches=n_batches, d_stack=self.problem.d_stack,
-                n_stack=self.problem.n_stack)
+                n_stack=self.problem.n_stack, dim=scene.dim)
         chunk = self._train_chunk
         from .wost import _flush_jit as flush
 
@@ -788,7 +803,10 @@ class GuidedIntegrator(BaseIntegrator):
         key = jax.random.PRNGKey(2)
         S = N_PIECES
 
-        spp_w = int(min(8, remaining))
+        # probe just enough to estimate per-pixel walk cost: the probe round
+        # runs unbalanced (~45-90% occupancy at 5.2M steps/s vs 8.2M for the
+        # rebalanced rounds), so keep it short
+        spp_w = int(min(4, remaining))
         piece_pix = np.zeros((S, n), np.int32)
         piece_pix[0] = np.arange(n)
         piece_quota = np.zeros((S, n), np.int32)
@@ -802,11 +820,12 @@ class GuidedIntegrator(BaseIntegrator):
                 break
             if round_i > 0:
                 piece_pix, piece_quota = build_balanced_pieces(rem, cost, n, S)
-            px = jnp.asarray(pts_np[piece_pix, 0])
-            py = jnp.asarray(pts_np[piece_pix, 1])
+            ppos = tuple(jnp.asarray(pts_np[piece_pix, d])
+                         for d in range(pts_np.shape[1]))
             prd = jnp.asarray(rd0_np[piece_pix])
+            tail = False
             if round_i == 0:
-                cap = 64
+                cap = 8 * spp_w
             else:
                 ideal = int(np.ceil(float((rem * cost).sum()) / max(n, 1)))
                 # training runs in-loop (train_every), so rounds only serve
@@ -818,11 +837,16 @@ class GuidedIntegrator(BaseIntegrator):
                     # dispatch instead of re-rolling per round (the loop
                     # exits early once quotas drain and walks die)
                     cap = min(int(s.maxWalkingDepth) + 2 * ideal + 64, 512)
+                    tail = True
             t_r = time.time()
             acc, done, lsteps, steps, iters, trainer, metric = chunk(
-                scene, trainer, uf, mgd, px, py, prd,
+                scene, trainer, uf, mgd, ppos, prd,
                 jnp.asarray(piece_quota), jax.random.fold_in(key, round_i),
-                jnp.int32(cap))
+                jnp.int32(cap),
+                # tail rounds run at single-digit occupancy: skip the
+                # in-loop optimizer (its cost ~= 10 full-lane iterations);
+                # their few records still reach the end-of-chunk pass
+                jnp.int32(cap + 1 if tail else 10))
             image, done_pix = flush(image, acc, done,
                                     jnp.asarray(piece_pix), n)
             if os.environ.get("ELAINA_BALANCE_DEBUG") == "1":

@@ -599,10 +599,11 @@ def make_balanced_chunk(step_fn=None, *, eps: float, max_depth: int,
     pieces, run to completion (while_loop exits when every lane drained its
     worklist and all walks died; ``iter_cap`` is a safety bound).
 
-    chunk(scene, extra, piece_px, piece_py, piece_rd0, piece_quota, key,
+    chunk(scene, extra, piece_pos, piece_rd0, piece_quota, key,
           iter_cap) -> (acc_slots (S, 3, N), done (S, N), lane_steps (N,),
           steps, iters)
-    piece_* are (S, N) planar arrays ((N, S) would pad S -> 128 lanes);
+    piece_pos is a D-tuple of (S, N) planar coordinate arrays ((N, S, D)
+    would pad the minor dims to 128 lanes); piece_quota (S, N);
     piece_rd0 is the cached step-0 Dirichlet distance of the piece's pixel.
     The caller scatters acc_slots into the image by the host-known piece
     pixel ids (one segment_sum per chunk).
@@ -644,9 +645,9 @@ def make_balanced_chunk(step_fn=None, *, eps: float, max_depth: int,
         pend = jnp.where(died[None, :], 0.0, pend)
         return acc, pend, scnt
 
-    def chunk(scene, extra, piece_px, piece_py, piece_rd0, piece_quota, key,
+    def chunk(scene, extra, piece_pos, piece_rd0, piece_quota, key,
               iter_cap):
-        n = piece_px.shape[1]
+        n = piece_pos[0].shape[1]
 
         def cond(c):
             st, acc, pend, scnt, slot, sidx, wstep, it, steps, lsteps = c
@@ -666,9 +667,7 @@ def make_balanced_chunk(step_fn=None, *, eps: float, max_depth: int,
             quota = sel(slot, piece_quota)
 
             restart = (~st.active) & (sidx < quota) & (slot < S)
-            px = sel(slot, piece_px)
-            py = sel(slot, piece_py)
-            pos0 = jnp.stack([px, py], -1)
+            pos0 = jnp.stack([sel(slot, p) for p in piece_pos], -1)
             rd0 = sel(slot, piece_rd0)
             st = WalkState(
                 pos=jnp.where(restart[:, None], pos0, st.pos),
@@ -691,7 +690,7 @@ def make_balanced_chunk(step_fn=None, *, eps: float, max_depth: int,
             st = st._replace(active=st.active & (wstep < max_depth))
             return st, acc, pend, scnt, slot, sidx, wstep, it + 1, steps, lsteps
 
-        st0 = init_walk_state(jnp.stack([piece_px[0], piece_py[0]], -1),
+        st0 = init_walk_state(jnp.stack([p[0] for p in piece_pos], -1),
                               jnp.zeros((n,), bool))
         init = (st0, jnp.zeros((S, 3, n), jnp.float32),
                 jnp.zeros((3, n), jnp.float32),
@@ -783,11 +782,6 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
     for round_i in range(max_rounds):
         if rem.sum() == 0:
             break
-        if round_i > 0:
-            piece_pix, piece_quota = build_balanced_pieces(rem, cost, n, S)
-        px = jnp.asarray(pts_np[piece_pix, 0])
-        py = jnp.asarray(pts_np[piece_pix, 1])
-        prd = jnp.asarray(rd0_np[piece_pix])
         # TIGHT per-round caps: a round run to completion idles every
         # finished lane while estimate-error stragglers drain (measured
         # ~40% occupancy); cutting at ~1.35x the balanced ideal keeps each
@@ -795,22 +789,37 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         # work across many lanes.  Also bound the single-dispatch length:
         # the tunneled TPU's runtime watchdog kills (and crashes the
         # worker of) dispatches running for minutes.
+        n_round = n
         if round_i == 0 and not have_cost0:
             cap = 64
         else:
             ideal = int(np.ceil(float((rem * cost).sum()) / max(n, 1)))
+            if ideal <= max_depth and n >= 4 * 32768:
+                # tail rounds run a fraction of the lanes' capacity: the
+                # depth step costs full-lane wall whether lanes live or
+                # not, so pack the leftovers into 1/4-width lane arrays
+                # (the jitted chunk retraces once per shape, cached).
+                # Measured: the two tail rounds drop from ~5.5s at 8-36%
+                # occupancy to ~2s at quarter width.
+                n_round = n // 4
+                ideal = 4 * ideal
             cap = min(int(1.35 * ideal) + 24, ITER_DISPATCH_BUDGET)
             if ideal <= max_depth:
-                # tail rounds: give every remaining walk room to finish in
+                # final tail: give every remaining walk room to finish in
                 # ONE dispatch (a cap below max_depth re-rolls every
-                # deeper walk into yet another ~1s full-lane round).  The
-                # while_loop exits as soon as quotas drain and all walks
-                # die, so a generous cap costs nothing; 2x ideal absorbs
-                # sub-100% issue occupancy.
+                # deeper walk into yet another round).  The while_loop
+                # exits as soon as quotas drain and all walks die, so a
+                # generous cap costs little at quarter width.
                 cap = min(max_depth + 2 * ideal + 64, ITER_DISPATCH_BUDGET)
+        if round_i > 0:
+            piece_pix, piece_quota = build_balanced_pieces(rem, cost,
+                                                           n_round, S)
+        ppos = tuple(jnp.asarray(pts_np[piece_pix, d])
+                     for d in range(pts_np.shape[1]))
+        prd = jnp.asarray(rd0_np[piece_pix])
         t_r = _time.time()
         acc, done, lsteps, steps, iters = chunk(
-            scene, extra, px, py, prd, jnp.asarray(piece_quota),
+            scene, extra, ppos, prd, jnp.asarray(piece_quota),
             jax.random.fold_in(key, round_i), jnp.int32(cap))
         image, done_pix = _flush_jit(image, acc, done,
                                      jnp.asarray(piece_pix), n)
@@ -819,9 +828,9 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             import sys as _sys
             it_n = int(iters)
             _sys.stderr.write(
-                f"[balance] round {round_i}: cap={cap} iters={it_n} "
-                f"steps={int(steps)} occ="
-                f"{int(steps)/max(it_n*n,1)*100:.0f}% "
+                f"[balance] round {round_i}: lanes={n_round} cap={cap} "
+                f"iters={it_n} steps={int(steps)} occ="
+                f"{int(steps)/max(it_n*n_round,1)*100:.0f}% "
                 f"rem={int(rem.sum())} wall={_time.time()-t_r:.2f}s "
                 f"rate={int(steps)/max(_time.time()-t_r,1e-9)/1e6:.1f}M/s\n")
         done_np = np.asarray(done_pix).astype(np.int64)

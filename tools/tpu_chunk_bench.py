@@ -92,12 +92,12 @@ def main():
     piece_quota = jnp.full((S, n), a.spp, jnp.int32)
     key = jax.random.PRNGKey(0)
 
-    out = chunk(scene, extra_val, piece_px, piece_py, piece_rd0,
+    out = chunk(scene, extra_val, (piece_px, piece_py), piece_rd0,
                 piece_quota, key, jnp.int32(8))
     jax.block_until_ready(out)
 
     t0 = time.time()
-    out = chunk(scene, extra_val, piece_px, piece_py, piece_rd0,
+    out = chunk(scene, extra_val, (piece_px, piece_py), piece_rd0,
                 piece_quota, key, jnp.int32(a.iters))
     acc, done, lane_steps, steps, iters = out[:5]
     steps = int(steps)
