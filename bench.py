@@ -79,6 +79,18 @@ def _build_square_problem(res: int, accel: str):
     return p
 
 
+def _build_bumpy3d_problem(accel: str):
+    """3D variant: deformed icosphere, harmonic Dirichlet BC
+    (tools/make_scene3d.py; exact analytic interior solution)."""
+    from elaina_tpu.core.problem import Problem
+
+    conf = json.load(open(os.path.join(os.path.dirname(__file__),
+                                       "configs", "bumpy3d_u.json")))["scene"]
+    return Problem(3, verbose=False).load_config(
+        conf, cache_dir=os.path.join(os.path.dirname(__file__), ".cache"),
+        accel=accel)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small CPU-friendly run")
@@ -137,7 +149,11 @@ def main() -> int:
     from elaina_tpu.core.config import IntegratorSettings
     from elaina_tpu.solver.guided import GuidedIntegrator
 
-    if args.scene == "ladybug" and os.path.exists(
+    eps = 1.0
+    if args.scene == "bumpy3d":
+        problem = _build_bumpy3d_problem(accel)
+        eps = 0.01
+    elif args.scene == "ladybug" and os.path.exists(
             "/root/reference/data/ladybug/model.obj"):
         problem = _build_ladybug_problem(res, accel)
     else:
@@ -145,7 +161,7 @@ def main() -> int:
 
     settings = IntegratorSettings(
         frameSize=(res, res), samplesPerPixel=spp, maxWalkingDepth=64,
-        epsilonShell=1.0, trainSppCount=train_spp,
+        epsilonShell=eps, trainSppCount=train_spp,
         uniformFractionInTrainingPhase=0.5, uniformFractionInGuidingPhase=0.5,
         maxGuidedDepthInTrainingPhase=10, maxGuidedDepthInGuidingPhase=10)
 

@@ -1,0 +1,51 @@
+"""3D end-to-end experiment runner: the bumpy3d scene (deformed icosphere,
+harmonic Dirichlet BC) against its exact analytic interior solution.
+
+The boundary values are h(x) = 0.5 + 0.4 (x^2 - y^2) (harmonic), so the
+Laplace solution inside equals h — the 3D counterpart of the reference's
+Problem<3> configs (core/problem.h:196-336) with a built-in ground truth.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from elaina_tpu.exec import run_expr
+from elaina_tpu.output.image_io import read_exr
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def quick_conf(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("b3d")
+    conf = json.load(open(os.path.join(REPO, "configs",
+                                       "bumpy3d_quick.json")))
+    conf["base_path"] = str(tmp) + "/"
+    conf["integrator"]["setting"]["samplesPerPixel"] = 8
+    path = tmp / "conf.json"
+    json.dump(conf, open(path, "w"))
+    return str(path), str(tmp / conf["exp_name"])
+
+
+def test_bumpy3d_uniform_matches_analytic(quick_conf):
+    conf_path, out_dir = quick_conf
+    result = run_expr(conf_path)
+    assert "duration" in result
+
+    img = read_exr(os.path.join(out_dir, "solution.exr"))
+    n = img.shape[0]
+    xs = 2 * np.arange(n) / n - 1.0
+    X, Y = np.meshgrid(xs * 0.6, xs * 0.6, indexing="xy")
+    ref = 0.5 + 0.4 * (X ** 2 - Y ** 2)
+    err = img[..., 0] - ref
+    rmse = float(np.sqrt((err ** 2).mean()))
+    bias = float(err.mean())
+    # 8 spp Monte Carlo: per-pixel std ~0.13/sqrt(8); the MEAN over all
+    # pixels must be near zero (unbiasedness), the RMSE near the noise floor
+    assert rmse < 0.15, rmse
+    assert abs(bias) < 0.02, bias
+    # all channels identical (grayscale BC)
+    np.testing.assert_allclose(img[..., 0], img[..., 1], atol=1e-6)
