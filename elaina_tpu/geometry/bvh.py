@@ -101,6 +101,134 @@ def build_bvh(verts: np.ndarray, indices: np.ndarray, leaf_size: int = 4) -> BVH
     )
 
 
+def build_bvh_boxes(box_min: np.ndarray, box_max: np.ndarray,
+                    leaf_size: int = 4) -> BVHArrays:
+    """Median-split BVH over arbitrary element boxes (e.g. silhouette
+    entities) — same flattened layout as build_bvh."""
+    P = box_min.shape[0]
+    centroids = 0.5 * (box_min + box_max)
+
+    order = np.arange(P)
+    bb_min, bb_max, left, right, start, count = [], [], [], [], [], []
+    stack = [(0, P, -1, False)]
+    max_depth = 0
+    depth_stack = [0]
+    while stack:
+        lo, hi, parent, is_left = stack.pop()
+        d = depth_stack.pop()
+        max_depth = max(max_depth, d)
+        nid = len(bb_min)
+        if parent >= 0:
+            if is_left:
+                left[parent] = nid
+            else:
+                right[parent] = nid
+        sel = order[lo:hi]
+        bb_min.append(box_min[sel].min(axis=0))
+        bb_max.append(box_max[sel].max(axis=0))
+        if hi - lo <= leaf_size:
+            left.append(-1)
+            right.append(-1)
+            start.append(lo)
+            count.append(hi - lo)
+            continue
+        left.append(-1)
+        right.append(-1)
+        start.append(0)
+        count.append(0)
+        c = centroids[sel]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        mid = (hi - lo) // 2
+        part = np.argpartition(c[:, axis], mid)
+        order[lo:hi] = sel[part]
+        stack.append((lo + mid, hi, nid, False))
+        depth_stack.append(d + 1)
+        stack.append((lo, lo + mid, nid, True))
+        depth_stack.append(d + 1)
+
+    return BVHArrays(
+        bb_min=np.asarray(bb_min, np.float32),
+        bb_max=np.asarray(bb_max, np.float32),
+        left=np.asarray(left, np.int32),
+        right=np.asarray(right, np.int32),
+        start=np.asarray(start, np.int32),
+        count=np.asarray(count, np.int32),
+        prim_order=order.astype(np.int32),
+        depth=max_depth,
+    )
+
+
+def node_sums(bvh: BVHArrays, values: np.ndarray) -> np.ndarray:
+    """Per-node subtree sums of per-element ``values`` (e.g. prim measures).
+
+    Children are always created after their parent (pop-order ids), so one
+    reverse sweep accumulates bottom-up.
+    """
+    M = bvh.bb_min.shape[0]
+    out = np.zeros((M,), np.float64)
+    for nid in range(M - 1, -1, -1):
+        c = bvh.count[nid]
+        if c > 0:
+            s = bvh.start[nid]
+            out[nid] = values[bvh.prim_order[s:s + c]].astype(np.float64).sum()
+        else:
+            out[nid] = out[bvh.left[nid]] + out[bvh.right[nid]]
+    return out.astype(np.float32)
+
+
+def node_normal_cones(bvh: BVHArrays, n1: np.ndarray, n2: np.ndarray,
+                      always: np.ndarray):
+    """Per-node bounding normal cones for the SNCH silhouette prune.
+
+    Returns (axis (M, D) unit, cos_half (M,)).  cos_half <= -1.5 marks a
+    node containing an always-silhouette entity (hole border) — such nodes
+    can never be cone-pruned.  The merge is conservative: the node cone
+    contains every adjacent-face normal of every entity in the subtree.
+    """
+    M = bvh.bb_min.shape[0]
+    D = n1.shape[1]
+    axis = np.zeros((M, D), np.float64)
+    half = np.zeros((M,), np.float64)        # half-angle in radians
+    flag = np.zeros((M,), bool)
+
+    def merge(a1, t1, a2, t2):
+        s = a1 + a2
+        ns = np.linalg.norm(s)
+        if ns < 1e-9:                        # opposite axes: full sphere
+            return a1, np.pi
+        ax = s / ns
+        ang = max(
+            np.arccos(np.clip(np.dot(ax, a1), -1, 1)) + t1,
+            np.arccos(np.clip(np.dot(ax, a2), -1, 1)) + t2,
+        )
+        return ax, min(ang, np.pi)
+
+    for nid in range(M - 1, -1, -1):
+        c = bvh.count[nid]
+        if c > 0:
+            s = bvh.start[nid]
+            ids = bvh.prim_order[s:s + c]
+            ns = np.concatenate([n1[ids], n2[ids]], axis=0).astype(np.float64)
+            ax = ns.sum(0)
+            nrm = np.linalg.norm(ax)
+            if nrm < 1e-9:
+                axis[nid], half[nid] = ns[0], np.pi
+            else:
+                ax /= nrm
+                half[nid] = np.arccos(
+                    np.clip((ns @ ax).min(), -1, 1))
+                axis[nid] = ax
+            flag[nid] = bool(always[ids].any())
+        else:
+            l, r = bvh.left[nid], bvh.right[nid]
+            axis[nid], half[nid] = merge(axis[l], half[l], axis[r], half[r])
+            flag[nid] = flag[l] or flag[r]
+
+    cos_half = np.cos(np.minimum(half, np.pi))
+    cos_half = np.where(flag, -2.0, cos_half)
+    return axis.astype(np.float32), cos_half.astype(np.float32)
+
+
 def pad_leaf_prims(bvh: BVHArrays, leaf_size: int) -> np.ndarray:
     """(M, leaf_size) prim ids per node (-1 padded; only valid for leaves).
 

@@ -35,6 +35,18 @@ class GeomSet(NamedTuple):
     sil_n1: jnp.ndarray         # (E, D)
     sil_n2: jnp.ndarray         # (E, D)
     sil_always: jnp.ndarray     # (E,) bool
+    # hierarchical-query aggregates (built only for large sets; None
+    # otherwise — queries fall back to the dense/chunked sweeps)
+    node_measure: jnp.ndarray | None = None   # (M,) subtree prim measure
+    # silhouette-entity BVH with SNCH normal cones
+    sil_bb_min: jnp.ndarray | None = None     # (Ms, D)
+    sil_bb_max: jnp.ndarray | None = None
+    sil_left: jnp.ndarray | None = None       # (Ms,) i32
+    sil_right: jnp.ndarray | None = None
+    sil_leaf: jnp.ndarray | None = None       # (Ms, LEAF_SIZE) i32, -1 pad
+    sil_cone_axis: jnp.ndarray | None = None  # (Ms, D) unit
+    sil_cone_cos: jnp.ndarray | None = None   # (Ms,) cos half-angle
+    #                                           (<= -1.5: never prune)
 
     @property
     def dim(self) -> int:
@@ -72,6 +84,28 @@ def make_geom_set(verts: np.ndarray, indices: np.ndarray) -> tuple[GeomSet, int]
         measure = 0.5 * np.linalg.norm(n, axis=-1)
     n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
 
+    # hierarchical-query aggregates: only worth building (and paying host
+    # time for) on sets past the dense/chunked thresholds
+    from .queries import CHUNKED_DENSE_MAX
+    hier: dict = {}
+    if indices.shape[0] > CHUNKED_DENSE_MAX:
+        hier["node_measure"] = jnp.asarray(bvh_mod.node_sums(tree, measure))
+    if sil["p0"].shape[0] > CHUNKED_DENSE_MAX:
+        lo = np.minimum(sil["p0"], sil["p1"])
+        hi = np.maximum(sil["p0"], sil["p1"])
+        stree = bvh_mod.build_bvh_boxes(lo, hi, LEAF_SIZE)
+        axis, cone_cos = bvh_mod.node_normal_cones(
+            stree, sil["n1"], sil["n2"], sil["always"])
+        hier.update(
+            sil_bb_min=jnp.asarray(stree.bb_min),
+            sil_bb_max=jnp.asarray(stree.bb_max),
+            sil_left=jnp.asarray(stree.left),
+            sil_right=jnp.asarray(stree.right),
+            sil_leaf=jnp.asarray(bvh_mod.pad_leaf_prims(stree, LEAF_SIZE)),
+            sil_cone_axis=jnp.asarray(axis),
+            sil_cone_cos=jnp.asarray(cone_cos),
+        )
+
     gs = GeomSet(
         verts=jnp.asarray(verts),
         indices=jnp.asarray(indices),
@@ -87,5 +121,6 @@ def make_geom_set(verts: np.ndarray, indices: np.ndarray) -> tuple[GeomSet, int]
         sil_n1=jnp.asarray(sil["n1"]),
         sil_n2=jnp.asarray(sil["n2"]),
         sil_always=jnp.asarray(sil["always"]),
+        **hier,
     )
     return gs, tree.depth

@@ -240,6 +240,11 @@ def closest_silhouette(gs: GeomSet, q):
     if E <= CHUNKED_DENSE_MAX:
         return sweep(gs.sil_p0, gs.sil_p1, gs.sil_n1, gs.sil_n2, gs.sil_always)
 
+    if gs.sil_bb_min is not None:
+        # large Neumann sets: coned-BVH descent, O(log E) per lane instead
+        # of the O(E) sweep (snch-lbvh nearest_silhouette parity)
+        return jax.vmap(partial(_closest_silhouette_bvh_one, gs))(q)
+
     # chunked sweep for very large entity sets (bounded memory)
     chunk = CHUNKED_DENSE_MAX
     n_chunks = -(-E // chunk)
@@ -257,6 +262,99 @@ def closest_silhouette(gs: GeomSet, q):
 
     return jax.lax.fori_loop(0, n_chunks, body,
                              jnp.full(q.shape[:1], jnp.inf, q.dtype))
+
+
+SIL_STACK = 64  # balanced median-split tree: depth <= ~2 log2(E)
+
+
+def _sil_entity_dist(gs: GeomSet, eids, q):
+    """Exact silhouette test for entity ids (L,) against one query point:
+    distance where the entity is a silhouette from q, inf elsewhere."""
+    valid = eids >= 0
+    safe = jnp.maximum(eids, 0)
+    p0 = gs.sil_p0[safe]
+    n1 = gs.sil_n1[safe]
+    n2 = gs.sil_n2[safe]
+    always = gs.sil_always[safe]
+    if gs.dim == 2:
+        v = q[None, :] - p0
+        d = jnp.linalg.norm(v, axis=-1)
+    else:
+        p1 = gs.sil_p1[safe]
+        d, t = seg_closest_point(q[None, None, :], p0[None], p1[None])
+        d, t = d[0], t[0]
+        c = p0 + t[:, None] * (p1 - p0)
+        v = q[None, :] - c
+    s1 = jnp.sum(n1 * v, axis=-1)
+    s2 = jnp.sum(n2 * v, axis=-1)
+    is_sil = always | (s1 * s2 <= 0.0)
+    return jnp.where(valid & is_sil, d, jnp.inf)
+
+
+def _closest_silhouette_bvh_one(gs: GeomSet, q):
+    """Coned-BVH closest-silhouette descent (SNCH, one lane).
+
+    Prunes a node when (a) its box cannot beat the current best distance, or
+    (b) its normal cone provably contains no silhouette as seen from q: with
+    node cone (a, theta) and the node's bounding-sphere view cone (w, phi),
+    every contained normal keeps one dot-product sign iff
+    angle(a, w) + theta + phi < pi/2 or angle(a, w) - theta - phi > pi/2
+    (snch-lbvh nearest_silhouette; SURVEY.md §2.1).
+    """
+    half_pi = jnp.float32(jnp.pi / 2)
+
+    def cone_prune(nid):
+        lo = gs.sil_bb_min[nid]
+        hi = gs.sil_bb_max[nid]
+        center = 0.5 * (lo + hi)
+        r = 0.5 * jnp.linalg.norm(hi - lo)
+        w = center - q
+        d_c = jnp.linalg.norm(w)
+        cone_cos = gs.sil_cone_cos[nid]
+        theta = jnp.arccos(jnp.clip(cone_cos, -1.0, 1.0))
+        phi = jnp.arcsin(jnp.clip(r / jnp.maximum(d_c, 1e-20), 0.0, 1.0))
+        ang = jnp.arccos(jnp.clip(
+            jnp.sum(gs.sil_cone_axis[nid] * w) / jnp.maximum(d_c, 1e-20),
+            -1.0, 1.0))
+        no_sil = ((ang + theta + phi < half_pi)
+                  | (ang - theta - phi > half_pi))
+        return (cone_cos > -1.5) & (d_c > r) & no_sil
+
+    def cond(c):
+        return c[0] > 0
+
+    def body(c):
+        sp, stack, best = c
+        nid = stack[sp - 1]
+        sp = sp - 1
+        bd = _box_dist(q, gs.sil_bb_min[nid], gs.sil_bb_max[nid])
+        process = (bd < best) & ~cone_prune(nid)
+        is_leaf = gs.sil_left[nid] < 0
+
+        d = jnp.min(_sil_entity_dist(gs, gs.sil_leaf[nid], q))
+        best = jnp.where(process & is_leaf, jnp.minimum(best, d), best)
+
+        l, r = gs.sil_left[nid], gs.sil_right[nid]
+        dl = _box_dist(q, gs.sil_bb_min[l], gs.sil_bb_max[l])
+        dr = _box_dist(q, gs.sil_bb_min[r], gs.sil_bb_max[r])
+        near = jnp.where(dl <= dr, l, r)
+        far = jnp.where(dl <= dr, r, l)
+        d_far = jnp.maximum(dl, dr)
+        d_near = jnp.minimum(dl, dr)
+
+        push = process & (~is_leaf)
+        pf = push & (d_far < best)
+        stack = stack.at[sp].set(jnp.where(pf, far, stack[sp]))
+        sp = jnp.where(pf, sp + 1, sp)
+        pn = push & (d_near < best)
+        stack = stack.at[sp].set(jnp.where(pn, near, stack[sp]))
+        sp = jnp.where(pn, sp + 1, sp)
+        return sp, stack, best
+
+    init = (jnp.int32(1), jnp.zeros((SIL_STACK,), jnp.int32),
+            jnp.float32(jnp.inf))
+    _, _, best = jax.lax.while_loop(cond, body, init)
+    return best
 
 
 # ---------------------------------------------------------------------------
@@ -415,7 +513,79 @@ def sample_in_ball(gs: GeomSet, q, R, u):
             0.0)
         idx = jnp.where((total > 0) & (w_sel > 0), idx, -1)
         return idx.astype(jnp.int32), pdf_area
+    if gs.node_measure is not None:
+        # large Neumann sets: single stochastic BVH descent, O(log P) per
+        # lane (lbvh::sample_object_in_sphere parity).  The returned pdf
+        # is the EXACT density of the descent (product of branch
+        # probabilities x leaf CDF pick), so the estimator stays unbiased
+        # even though node weights use conservative box-distance bounds.
+        return jax.vmap(partial(_sample_in_ball_bvh_one, gs))(q, R, u)
     return _sample_in_ball_chunked(gs, q, R, u)
+
+
+def _sample_in_ball_bvh_one(gs: GeomSet, q, R, u):
+    """Hierarchical Green-weighted in-ball sampling (one lane).
+
+    Descends from the root; at each internal node the children are weighted
+    by subtree_measure x G(max(box_dist, clamp), R) (an overestimate of any
+    member's true weight — every prim with true weight > 0 keeps nonzero
+    selection probability, so support is preserved); the single uniform u
+    is rescaled within the chosen branch.  At the leaf, prims are weighted
+    exactly and picked by CDF.
+    """
+    dim = gs.dim
+
+    def node_w(nid):
+        bd = _box_dist(q, gs.bb_min[nid], gs.bb_max[nid])
+        gw = green_eval(jnp.maximum(bd, GREEN_R_CLAMP), R, dim)
+        return jnp.where(bd < R, gs.node_measure[nid] * jnp.maximum(gw, 0.0),
+                         0.0)
+
+    def cond(c):
+        nid, uu, pdf, dead = c
+        return (~dead) & (gs.left[nid] >= 0)
+
+    def body(c):
+        nid, uu, pdf, dead = c
+        l, r = gs.left[nid], gs.right[nid]
+        wl, wr = node_w(l), node_w(r)
+        tot = wl + wr
+        pl = wl / jnp.maximum(tot, 1e-30)
+        go_left = uu < pl
+        p_branch = jnp.where(go_left, pl, 1.0 - pl)
+        uu = jnp.where(go_left, uu / jnp.maximum(pl, 1e-30),
+                       (uu - pl) / jnp.maximum(1.0 - pl, 1e-30))
+        uu = jnp.clip(uu, 0.0, 1.0 - 1e-7)
+        return (jnp.where(go_left, l, r), uu,
+                pdf * jnp.maximum(p_branch, 1e-30), dead | (tot <= 0.0))
+
+    root_w = node_w(jnp.int32(0))
+    init = (jnp.int32(0), u, jnp.float32(1.0), root_w <= 0.0)
+    nid, uu, pdf, dead = jax.lax.while_loop(cond, body, init)
+
+    # exact leaf weights
+    pids = gs.leaf_prims[nid]
+    valid = pids >= 0
+    pv = _prim_verts_at(gs, pids)
+    d, _ = prim_closest_point(dim, q[None, :], pv)
+    inside = valid & (d < R)
+    gw = green_eval(jnp.maximum(d, GREEN_R_CLAMP), R, dim)
+    m = gs.prim_measure[jnp.maximum(pids, 0)]
+    w = jnp.where(inside, m * jnp.maximum(gw, 0.0), 0.0)
+    total = jnp.sum(w)
+    cdf = jnp.cumsum(w)
+    target = uu * total
+    j = jnp.sum((target >= cdf).astype(jnp.int32))
+    j = jnp.minimum(j, w.shape[0] - 1)
+    w_sel = w[j]
+    m_sel = m[j]
+    ok = (~dead) & (total > 0) & (w_sel > 0)
+    pdf_area = jnp.where(
+        ok,
+        pdf * w_sel / (jnp.maximum(total, 1e-30) * jnp.maximum(m_sel, 1e-30)),
+        0.0)
+    idx = jnp.where(ok, pids[j], -1)
+    return idx.astype(jnp.int32), pdf_area
 
 
 def _sample_in_ball_chunked(gs: GeomSet, q, R, u, chunk: int = BRUTE_FORCE_MAX):

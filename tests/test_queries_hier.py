@@ -1,0 +1,147 @@
+"""Hierarchical Neumann-side queries on large primitive sets: the coned-BVH
+closest-silhouette descent and the BVH-descent Green-weighted in-ball
+sampling must agree with the exact dense sweeps (snch-lbvh
+nearest_silhouette / sample_object_in_sphere parity, SURVEY.md §2.1,
+uniform/integrator.cu:189,349-365)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from elaina_tpu.geometry import queries as Q
+from elaina_tpu.geometry.geomset import make_geom_set
+
+
+def _wavy_circle(n, r0=3.0, amp=0.6, waves=12):
+    t = np.linspace(0, 2 * math.pi, n, endpoint=False)
+    r = r0 + amp * np.sin(waves * t)
+    verts = np.stack([r * np.cos(t), r * np.sin(t)], -1).astype(np.float32)
+    idx = np.stack([np.arange(n), (np.arange(n) + 1) % n], -1).astype(np.int32)
+    return verts, idx
+
+
+def _open_arcs(n_arcs, per_arc):
+    """Many disjoint open arcs: every arc endpoint is an always-silhouette
+    entity (hole border)."""
+    rng = np.random.default_rng(5)
+    verts, idx = [], []
+    base = 0
+    for a in range(n_arcs):
+        c = rng.uniform(-4, 4, 2)
+        r = rng.uniform(0.2, 0.6)
+        t0 = rng.uniform(0, 2 * math.pi)
+        t = t0 + np.linspace(0, 1.5, per_arc + 1)
+        v = c + r * np.stack([np.cos(t), np.sin(t)], -1)
+        verts.append(v)
+        idx.append(np.stack([np.arange(per_arc), np.arange(per_arc) + 1],
+                            -1) + base)
+        base += per_arc + 1
+    return (np.concatenate(verts).astype(np.float32),
+            np.concatenate(idx).astype(np.int32))
+
+
+def _dense_silhouette(gs, q):
+    """Reference O(E) sweep (the pre-hierarchy implementation)."""
+    p0, p1 = gs.sil_p0, gs.sil_p1
+    if gs.dim == 2:
+        c = p0[None, :, :]
+        d = jnp.linalg.norm(q[:, None, :] - c, axis=-1)
+        v = q[:, None, :] - c
+    else:
+        from elaina_tpu.geometry.primitives import seg_closest_point
+        d, t = seg_closest_point(q[:, None, :], p0[None], p1[None])
+        cc = p0[None] + t[..., None] * (p1 - p0)[None]
+        v = q[:, None, :] - cc
+    s1 = jnp.sum(gs.sil_n1[None] * v, axis=-1)
+    s2 = jnp.sum(gs.sil_n2[None] * v, axis=-1)
+    is_sil = gs.sil_always[None] | (s1 * s2 <= 0.0)
+    return jnp.min(jnp.where(is_sil, d, jnp.inf), axis=-1)
+
+
+@pytest.mark.parametrize("mesh", ["wavy", "arcs"])
+def test_coned_bvh_silhouette_matches_dense(mesh):
+    if mesh == "wavy":
+        verts, idx = _wavy_circle(12000)
+    else:
+        verts, idx = _open_arcs(1500, 8)  # 12000 prims, hole borders
+    gs, _ = make_geom_set(verts, idx)
+    assert gs.n_prims >= 10_000
+    assert gs.sil_bb_min is not None    # hierarchy built above threshold
+
+    q = jnp.asarray(np.random.default_rng(7).uniform(-5, 5, (400, 2)),
+                    jnp.float32)
+    d_bvh = jax.jit(Q.closest_silhouette)(gs, q)
+    d_ref = _dense_silhouette(gs, q)
+    np.testing.assert_allclose(np.asarray(d_bvh), np.asarray(d_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_coned_bvh_silhouette_3d():
+    rng = np.random.default_rng(11)
+    import sys
+    sys.path.insert(0, "tools")
+    from make_scene3d import make_mesh
+    verts, idx = make_mesh(4)           # 5120 tris -> ~7680 edges
+    gs, _ = make_geom_set(verts, idx)
+    if gs.sil_bb_min is None:
+        pytest.skip("entity count under hierarchy threshold")
+    q = jnp.asarray(rng.uniform(-1.5, 1.5, (200, 3)), jnp.float32)
+    d_bvh = jax.jit(Q.closest_silhouette)(gs, q)
+    d_ref = _dense_silhouette(gs, q)
+    np.testing.assert_allclose(np.asarray(d_bvh), np.asarray(d_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bvh_sample_in_ball_unbiased():
+    """The BVH-descent sampler is a valid importance sampler: for every
+    sample, w_true(idx) / pdf has expectation sum_i w_true(i) (the dense
+    total) — the exact quantity the Neumann estimator divides by."""
+    from elaina_tpu.solver.green import GREEN_R_CLAMP, green_eval
+
+    verts, idx = _wavy_circle(12000)
+    gs, _ = make_geom_set(verts, idx)
+    assert gs.node_measure is not None
+
+    rng = np.random.default_rng(3)
+    n = 16
+    q = jnp.asarray(rng.uniform(-3, 3, (n, 2)), jnp.float32)
+    R = jnp.asarray(rng.uniform(0.5, 2.0, (n,)), jnp.float32)
+
+    # dense truth: total Green-weighted measure per query
+    a = verts[idx[:, 0]][None]
+    b = verts[idx[:, 1]][None]
+    from elaina_tpu.geometry.primitives import seg_closest_point
+    d, _ = seg_closest_point(np.asarray(q)[:, None, :], a, b)
+    meas = np.asarray(gs.prim_measure)[None]
+    gw = np.asarray(green_eval(jnp.maximum(jnp.asarray(d), GREEN_R_CLAMP),
+                               R[:, None], 2))
+    w_true = np.where(d < np.asarray(R)[:, None], meas * np.maximum(gw, 0), 0)
+    totals = w_true.sum(-1)
+
+    m = 4000
+    u = jnp.asarray(rng.uniform(0, 1, (m * n,)), jnp.float32)
+    q_rep = jnp.tile(q, (m, 1))
+    R_rep = jnp.tile(R, (m,))
+    pid, pdf = jax.jit(Q.sample_in_ball)(gs, q_rep, R_rep, u)
+    pid = np.asarray(pid).reshape(m, n)
+    pdf = np.asarray(pdf).reshape(m, n)
+    chosen = pid >= 0
+    # every chosen prim must really overlap its lane's ball
+    lanes = np.broadcast_to(np.arange(n)[None], (m, n))
+    assert np.all(np.asarray(d)[lanes[chosen], pid[chosen]]
+                  < np.asarray(R)[lanes[chosen]] + 1e-5)
+    wt = np.where(chosen,
+                  w_true[lanes, np.maximum(pid, 0)]
+                  / np.asarray(gs.prim_measure)[np.maximum(pid, 0)], 0.0)
+    est = (wt / np.maximum(pdf, 1e-30)).mean(0)
+    # queries with nothing in the ball must return -1 / est 0
+    empty = totals <= 0
+    assert np.all(est[empty] == 0)
+    live = ~empty
+    rel = np.abs(est[live] - totals[live]) / np.maximum(totals[live], 1e-30)
+    # 4000 samples: the descent proposal tracks the true weights closely,
+    # a few percent Monte Carlo error remains
+    assert np.all(rel < 0.08), rel
