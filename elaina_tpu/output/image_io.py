@@ -1,9 +1,11 @@
-"""Image IO: minimal OpenEXR writer/reader + PNG via Pillow.
+"""Image IO: minimal OpenEXR writer/reader + PFM + PNG via Pillow.
 
 Replaces the stb/tinyexr wrapper (util/image.{h,cpp}, SURVEY.md §2.0
-"Image IO").  The EXR path implements the uncompressed scanline format
-directly (float32, RGB[A]) — enough for solution/energy dumps and for
-reading our own files back in tests and RMSE tooling.
+"Image IO").  The EXR writer emits uncompressed float32 scanlines; the
+reader additionally handles half-float channels and ZIP/ZIPS-compressed
+scanline blocks (the formats tinyexr::load_exr accepts,
+util/image.cpp:105-260), and ``read_pfm`` covers the reference's
+pfm::ReadImagePFM (util/image.cpp:293-435).
 """
 
 from __future__ import annotations
@@ -13,7 +15,12 @@ import struct
 import numpy as np
 
 _EXR_MAGIC = 0x01312F76
+_PIXELTYPE_UINT = 0
+_PIXELTYPE_HALF = 1
 _PIXELTYPE_FLOAT = 2
+_COMPRESSION_NONE = 0
+_COMPRESSION_ZIPS = 2   # zlib, 1 scanline per block
+_COMPRESSION_ZIP = 3    # zlib, 16 scanlines per block
 
 
 def _attr(name: str, type_: str, payload: bytes) -> bytes:
@@ -70,8 +77,27 @@ def write_exr(path: str, image: np.ndarray) -> None:
             f.write(np.ascontiguousarray(row[:, order].T).tobytes())
 
 
+def _exr_unzip(block: bytes) -> bytes:
+    """Undo the EXR zip transform: zlib + delta predictor + two-half byte
+    interleave (OpenEXR ImfZip::uncompress order)."""
+    import zlib
+
+    raw = bytearray(zlib.decompress(block))
+    for i in range(1, len(raw)):
+        raw[i] = (raw[i] + raw[i - 1] - 128) & 0xFF
+    out = np.empty(len(raw), np.uint8)
+    half = (len(raw) + 1) // 2
+    a = np.frombuffer(bytes(raw[:half]), np.uint8)
+    b = np.frombuffer(bytes(raw[half:]), np.uint8)
+    out[0::2] = a
+    out[1::2] = b
+    return out.tobytes()
+
+
 def read_exr(path: str) -> np.ndarray:
-    """Read an EXR written by write_exr (uncompressed float scanlines)."""
+    """Read a scanline EXR: float32/half channels, compression in
+    {none, ZIPS, ZIP} (what the reference's tinyexr path handles for the
+    files this framework and its tools exchange)."""
     with open(path, "rb") as f:
         buf = f.read()
     magic, _version = struct.unpack_from("<II", buf, 0)
@@ -79,6 +105,7 @@ def read_exr(path: str) -> np.ndarray:
         raise ValueError(f"not an EXR file: {path}")
     pos = 8
     channels: list[str] = []
+    chan_types: list[int] = []
     data_window = None
     compression = 0
     while True:
@@ -99,28 +126,97 @@ def read_exr(path: str) -> np.ndarray:
             while payload[p] != 0:
                 ce = payload.index(b"\x00", p)
                 channels.append(payload[p:ce].decode())
+                chan_types.append(struct.unpack_from("<i", payload, ce + 1)[0])
                 p = ce + 1 + 16
         elif name == "dataWindow":
             data_window = struct.unpack("<iiii", payload)
         elif name == "compression":
             compression = payload[0]
-    if compression != 0:
-        raise NotImplementedError("only uncompressed EXR supported")
+    if compression not in (_COMPRESSION_NONE, _COMPRESSION_ZIPS,
+                           _COMPRESSION_ZIP):
+        raise NotImplementedError(
+            f"unsupported EXR compression {compression} (none/ZIP/ZIPS only)")
+    if any(t == _PIXELTYPE_UINT for t in chan_types):
+        raise NotImplementedError("uint EXR channels not supported")
     x0, y0, x1, y1 = data_window
     w, h = x1 - x0 + 1, y1 - y0 + 1
     c = len(channels)
-    pos += 8 * h  # offset table
+    lines_per_block = {_COMPRESSION_NONE: 1, _COMPRESSION_ZIPS: 1,
+                       _COMPRESSION_ZIP: 16}[compression]
+    n_blocks = -(-h // lines_per_block)
+    pos += 8 * n_blocks  # offset table
+    bpp = [2 if t == _PIXELTYPE_HALF else 4 for t in chan_types]
+    line_bytes = w * sum(bpp)
     out = np.empty((h, w, c), np.float32)
-    for y in range(h):
-        _yc, nbytes = struct.unpack_from("<ii", buf, pos)
+    for blk in range(n_blocks):
+        y_c, nbytes = struct.unpack_from("<ii", buf, pos)
         pos += 8
-        row = np.frombuffer(buf, np.float32, w * c, pos).reshape(c, w)
-        out[y] = row.T
+        data = buf[pos:pos + nbytes]
         pos += nbytes
+        n_lines = min(lines_per_block, h - (y_c - y0))
+        if compression != _COMPRESSION_NONE:
+            if nbytes < n_lines * line_bytes:
+                data = _exr_unzip(data)
+        for li in range(n_lines):
+            y = y_c - y0 + li
+            o = li * line_bytes
+            for ci in range(c):  # channel-planar, file (alphabetical) order
+                if chan_types[ci] == _PIXELTYPE_HALF:
+                    row = np.frombuffer(data, np.float16, w, o)
+                    o += 2 * w
+                else:
+                    row = np.frombuffer(data, np.float32, w, o)
+                    o += 4 * w
+                out[y, :, ci] = row.astype(np.float32)
     # reorder alphabetical -> RGB[A] / Y
     want = ["R", "G", "B", "A"][:c] if c > 1 else channels
     idx = [channels.index(n) for n in want if n in channels]
     return out[..., idx] if len(idx) == c else out
+
+
+def write_pfm(path: str, image: np.ndarray) -> None:
+    """Write (H, W, 1|3) float32 as PFM (little-endian, bottom-up rows)."""
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    if c not in (1, 3):
+        raise ValueError("PFM supports 1 or 3 channels")
+    with open(path, "wb") as f:
+        f.write(b"PF\n" if c == 3 else b"Pf\n")
+        f.write(f"{w} {h}\n".encode())
+        f.write(b"-1.000000\n")  # negative scale = little-endian
+        f.write(np.ascontiguousarray(img[::-1]).tobytes())
+
+
+def read_pfm(path: str) -> np.ndarray:
+    """Read a PFM file -> (H, W, C) float32, top-down rows
+    (pfm::ReadImagePFM, util/image.cpp:344-433)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+
+    def token(p):
+        while p < len(buf) and buf[p:p + 1].isspace():
+            p += 1
+        q = p
+        while q < len(buf) and not buf[q:q + 1].isspace():
+            q += 1
+        return buf[p:q], q
+
+    kind, p = token(0)
+    if kind not in (b"PF", b"Pf"):
+        raise ValueError(f"not a PFM file: {path}")
+    c = 3 if kind == b"PF" else 1
+    wtok, p = token(p)
+    htok, p = token(p)
+    stok, p = token(p)
+    w, h, scale = int(wtok), int(htok), float(stok)
+    p += 1  # single whitespace byte after the scale line
+    dt = "<f4" if scale < 0 else ">f4"
+    img = np.frombuffer(buf, dt, w * h * c, p).reshape(h, w, c)
+    img = img.astype(np.float32) * (abs(scale) if abs(scale) not in
+                                    (0.0, 1.0) else 1.0)
+    return img[::-1].copy()  # PFM stores rows bottom-to-top
 
 
 def _linear_to_srgb(x: np.ndarray) -> np.ndarray:

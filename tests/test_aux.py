@@ -91,6 +91,95 @@ def test_exr_roundtrip_random(tmp_path):
     np.testing.assert_array_equal(read_exr(path), img)
 
 
+def test_pfm_roundtrip(tmp_path):
+    from elaina_tpu.output.image_io import read_pfm, write_pfm
+
+    rng = np.random.default_rng(1)
+    for c in (1, 3):
+        img = rng.normal(size=(6, 9, c)).astype(np.float32)
+        path = str(tmp_path / f"t{c}.pfm")
+        write_pfm(path, img)
+        np.testing.assert_array_equal(read_pfm(path), img)
+
+
+def test_exr_zip_and_half_read(tmp_path):
+    """read_exr handles ZIPS-compressed and half-float scanline files (the
+    reference's tinyexr accepts both, util/image.cpp:105-260)."""
+    import struct
+    import zlib
+
+    from elaina_tpu.output.image_io import _attr
+
+    rng = np.random.default_rng(2)
+    h, w = 4, 5
+    # quantized values compress well, so the zlib branch is actually taken
+    # (OpenEXR stores blocks raw when compression expands them)
+    img = (rng.integers(0, 4, size=(h, w, 3)) * 0.25).astype(np.float32)
+    half = img.astype(np.float16)
+
+    def build(path, pixeltype, compression):
+        names = ["B", "G", "R"]  # alphabetical file order
+        src = {"R": 0, "G": 1, "B": 2}
+        bpp = 2 if pixeltype == 1 else 4
+        chan_payload = b""
+        for nm in names:
+            chan_payload += nm.encode() + b"\x00" + struct.pack(
+                "<iiii", pixeltype, 0, 1, 1)
+        chan_payload += b"\x00"
+        header = _attr("channels", "chlist", chan_payload)
+        header += _attr("compression", "compression",
+                        bytes([compression]))
+        box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+        header += _attr("dataWindow", "box2i", box)
+        header += _attr("displayWindow", "box2i", box)
+        header += _attr("lineOrder", "lineOrder", b"\x00")
+        header += _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+        header += _attr("screenWindowCenter", "v2f",
+                        struct.pack("<ff", 0.0, 0.0))
+        header += _attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+        header += b"\x00"
+        blocks = []
+        for y in range(h):
+            data = (half if bpp == 2 else img)
+            raw = b"".join(
+                np.ascontiguousarray(data[y, :, src[nm]]).tobytes()
+                for nm in names)
+            if compression == 2:  # ZIPS: interleave-split + delta + zlib
+                a = np.frombuffer(raw, np.uint8)
+                nhalf = (len(a) + 1) // 2
+                planar = np.concatenate([a[0::2], a[1::2]])
+                d = planar.astype(np.int16)
+                d[1:] = (d[1:] - d[:-1] + 128) & 0xFF
+                assert planar[:nhalf].shape[0] == nhalf
+                comp = zlib.compress(d.astype(np.uint8).tobytes())
+                if len(comp) >= len(raw):  # OpenEXR raw fallback
+                    comp = raw
+                blocks.append(struct.pack("<ii", y, len(comp)) + comp)
+            else:
+                blocks.append(struct.pack("<ii", y, len(raw)) + raw)
+        with open(path, "wb") as f:
+            f.write(struct.pack("<II", 0x01312F76, 2))
+            f.write(header)
+            start = 8 + len(header) + 8 * h
+            offs = []
+            o = start
+            for b in blocks:
+                offs.append(o)
+                o += len(b)
+            f.write(struct.pack(f"<{h}Q", *offs))
+            for b in blocks:
+                f.write(b)
+
+    p1 = str(tmp_path / "zips.exr")
+    build(p1, pixeltype=2, compression=2)
+    np.testing.assert_allclose(read_exr(p1), img, atol=1e-6)
+
+    p2 = str(tmp_path / "half.exr")
+    build(p2, pixeltype=1, compression=0)
+    np.testing.assert_allclose(read_exr(p2), half.astype(np.float32),
+                               atol=1e-6)
+
+
 def test_tonemaps():
     rgb = np.linspace(0, 1, 64).reshape(8, 8, 1).repeat(3, -1).astype(np.float32)
     for tone in ("NONE", "NONE_NORMALIZED", "MATLAB_JET", "MATLAB_PARULA",

@@ -24,6 +24,38 @@ jax.config.update("jax_compilation_cache_dir",
 import numpy as np
 
 
+def _respot_colors(problem, center_frac=0.35, width_frac=0.01, value=20.0):
+    """Replace the Dirichlet colors with a mostly-dark boundary and one
+    small bright arc — the high-directional-contrast regime the guiding
+    method targets (localized contribution; uniform direction sampling
+    wastes almost every walk).  Rebuilds the color tables the fast path
+    bakes (attach_shading crows)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from elaina_tpu.core.problem import Boundary
+    from elaina_tpu.geometry.grid import attach_shading
+
+    gs = problem.scene.dirichlet.gs
+    V = gs.verts.shape[0]
+    # bright window by vertex index: boundary curves are index-ordered, so
+    # a contiguous id range is a contiguous arc
+    lo = int(center_frac * V)
+    hi = lo + max(4, int(width_frac * V))
+    colors = np.zeros((V, 2, 3), np.float32)
+    colors[lo:hi, :, :] = value
+    g = problem.scene.d_grid
+    if g is not None and g.crows is not None:
+        g = dataclasses.replace(g, cpack=None, crows=None)
+        g = attach_shading(g, colors, np.asarray(gs.indices))
+    problem.scene = dataclasses.replace(
+        problem.scene,
+        dirichlet=Boundary(gs=gs, colors=jnp.asarray(colors)),
+        d_grid=g)
+    return problem
+
+
 def solve_image(problem, integrator_cls, settings, net_conf=None):
     out_dir = "/tmp/parity"
     os.makedirs(out_dir, exist_ok=True)
@@ -76,6 +108,16 @@ def main():
             maxGuidedDepthInGuidingPhase=10)
 
     problem = _build_ladybug_problem(res, "grid")
+    if a.scene == "spot":
+        problem = _respot_colors(problem)
+    elif a.scene == "lsource":
+        import dataclasses
+
+        from elaina_tpu.core.problem import _load_source
+        src = _load_source("/root/repo/configs/data/ladybug_source.nvdb", 2)
+        problem.scene = dataclasses.replace(
+            problem.scene, source=src,
+            source_intensity=float(os.environ.get("ELAINA_SRC_INT", "1.0")))
     print(f"scene={a.scene} res={res}", flush=True)
 
     gt, ms, _, _ = solve_image(problem, UniformIntegrator,
