@@ -18,6 +18,27 @@ from .core.problem import Problem
 from .solver.integrator import CHANNELS, UniformIntegrator
 
 
+def _cache_dir() -> str:
+    """Shared on-disk cache (candidate grids + XLA executables), overridable
+    with ELAINA_CACHE_DIR.  Keyed caches make it safe to share across
+    experiments; the reference rebuilds its LBVH per run instead."""
+    d = os.environ.get("ELAINA_CACHE_DIR",
+                       os.path.expanduser("~/.cache/elaina_tpu"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _enable_compilation_cache(cache_root: str) -> None:
+    """Persist XLA executables across processes: the tunneled-TPU remote
+    compile costs minutes on a cold start, dwarfing the actual solve for
+    small runs."""
+    import jax
+
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(cache_root, "jaxcache"))
+
+
 def run_expr(conf_path: str) -> dict:
     conf_path = os.path.abspath(conf_path)
     if not os.path.exists(conf_path):
@@ -35,9 +56,10 @@ def run_expr(conf_path: str) -> dict:
         json.dump(raw_conf, f, indent=4)
     log_success("Configuration file copied to %s", os.path.join(out_dir, "conf.json"))
 
+    cache_root = _cache_dir()
+    _enable_compilation_cache(cache_root)
     problem = Problem(cfg.dimensionality).load_config(
-        cfg.scene, base_dir=base_dir,
-        cache_dir=os.path.join(out_dir, ".cache"))
+        cfg.scene, base_dir=base_dir, cache_dir=cache_root)
 
     if cfg.integrator_type == "uniform":
         integrator = UniformIntegrator(problem, cfg.settings, out_dir)

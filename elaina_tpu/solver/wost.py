@@ -742,9 +742,14 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
     earlier phase); later rounds repartition the remaining samples
     into cost-balanced worklists until every pixel reaches ``spp``.
     Resolved pixels (in-shell / masked) are baked analytically.  Returns
-    (image (N, 3) device [pre-normalization sum], total_steps).  On a time
-    -budget interrupt the partial sums are rescaled per pixel by their
-    completed-sample counts.
+    (image (N, 3) device [pre-normalization sum], total_steps).
+
+    With ``time_budget_s`` set, rounds are TIME-SLICED: each round's
+    quotas are capped at the per-pixel sample count predicted (from the
+    measured step rate) to fit the remaining budget, so every pixel
+    progresses in lockstep and an expiring budget degrades to a uniform
+    lower effective spp instead of a ragged per-pixel cut.  Partial sums
+    are then rescaled by completed-sample counts (near-uniform).
     """
     import time as _time
 
@@ -779,9 +784,31 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         piece_quota[0] = np.where(resolved_np, 0, spp_w)
 
     interrupted = False
+    budget_mode = time_budget_s is not None
+    rate = None          # measured walk-steps/s, for budget slicing
+    compute_s = 0.0
     for round_i in range(max_rounds):
         if rem.sum() == 0:
             break
+        rem_round = rem
+        if budget_mode:
+            remaining_s = time_budget_s - (_time.time() - start_time)
+            if remaining_s <= 0:
+                interrupted = True
+                break
+            if rate is None:
+                # first slice doubles as the rate probe
+                k_slice = spp_w
+            else:
+                # steps for one sample/pixel across unresolved pixels
+                cpp = float((cost * (rem > 0)).sum())
+                k_slice = int(0.9 * remaining_s * rate / max(cpp, 1.0))
+                if k_slice < 1:
+                    if round_i > 0:
+                        interrupted = True
+                        break
+                    k_slice = 1
+            rem_round = np.minimum(rem, k_slice)
         # TIGHT per-round caps: a round run to completion idles every
         # finished lane while estimate-error stragglers drain (measured
         # ~40% occupancy); cutting at ~1.35x the balanced ideal keeps each
@@ -793,7 +820,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         if round_i == 0 and not have_cost0:
             cap = 64
         else:
-            ideal = int(np.ceil(float((rem * cost).sum()) / max(n, 1)))
+            ideal = int(np.ceil(float((rem_round * cost).sum()) / max(n, 1)))
             if ideal <= max_depth and n >= 4 * 32768:
                 # tail rounds run a fraction of the lanes' capacity: the
                 # depth step costs full-lane wall whether lanes live or
@@ -811,8 +838,8 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                 # exits as soon as quotas drain and all walks die, so a
                 # generous cap costs little at quarter width.
                 cap = min(max_depth + 2 * ideal + 64, ITER_DISPATCH_BUDGET)
-        if round_i > 0:
-            piece_pix, piece_quota = build_balanced_pieces(rem, cost,
+        if round_i > 0 or (have_cost0 and budget_mode):
+            piece_pix, piece_quota = build_balanced_pieces(rem_round, cost,
                                                            n_round, S)
         ppos = tuple(jnp.asarray(pts_np[piece_pix, d])
                      for d in range(pts_np.shape[1]))
@@ -824,6 +851,9 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         image, done_pix = _flush_jit(image, acc, done,
                                      jnp.asarray(piece_pix), n)
         total_steps += int(steps)
+        compute_s += _time.time() - t_r
+        if budget_mode and compute_s > 0:
+            rate = total_steps / compute_s
         if os.environ.get("ELAINA_BALANCE_DEBUG") == "1":
             import sys as _sys
             it_n = int(iters)

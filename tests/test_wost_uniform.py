@@ -193,6 +193,47 @@ def test_balanced_solve_matches_analytic():
     assert steps > spp * n
 
 
+def test_balanced_solve_time_budget_slicing():
+    """Budget mode time-slices round quotas: with a generous budget the
+    solve still delivers full spp and matches the analytic solution; with
+    a tight budget it degrades to a uniform lower effective spp (rescaled
+    partial sums stay near the analytic solution, just noisier)."""
+    from elaina_tpu.solver.wost import balanced_solve, compute_step0
+
+    d_verts, d_indices = _square_boundary(n_per_side=6, sides=(1, 3))
+    d_gs, _ = make_geom_set(d_verts, d_indices)
+    d_colors = _colors_from_fn(d_verts, lambda v: (v[0] + 1.0) / 2.0)
+    n_verts, n_indices = _square_boundary(n_per_side=6, sides=(0, 2))
+    n_gs, _ = make_geom_set(n_verts, n_indices)
+    scene = _scene(
+        dirichlet=Boundary(gs=d_gs, colors=jnp.asarray(d_colors)),
+        neumann=Boundary(gs=n_gs, colors=jnp.zeros((len(n_verts), 2, 3))),
+    )
+    pts = jnp.asarray([[0.0, 0.0], [0.5, 0.8], [-0.5, -0.8],
+                       [0.2, -0.1], [-0.7, 0.3], [0.9, 0.0]], jnp.float32)
+    n = pts.shape[0]
+    mask = jnp.ones((n,), bool)
+    spp = 256
+    expected = (np.asarray(pts)[:, 0] + 1.0) / 2.0
+    rd0, in_shell0, contrib0 = compute_step0(scene, pts, mask, eps=0.02)
+
+    # generous budget: slicing engages but every sample completes
+    image, _ = balanced_solve(
+        scene, None, np.asarray(pts), np.asarray(rd0),
+        np.asarray(in_shell0 | ~mask), contrib0, in_shell0,
+        spp=spp, eps=0.02, max_depth=64, time_budget_s=600.0)
+    np.testing.assert_allclose(np.asarray(image)[:, 0] / spp, expected,
+                               atol=0.07)
+
+    # tight budget: interrupted, rescaled — unbiased but noisier
+    image, _ = balanced_solve(
+        scene, None, np.asarray(pts), np.asarray(rd0),
+        np.asarray(in_shell0 | ~mask), contrib0, in_shell0,
+        spp=spp, eps=0.02, max_depth=64, time_budget_s=0.5)
+    np.testing.assert_allclose(np.asarray(image)[:, 0] / spp, expected,
+                               atol=0.4)
+
+
 def test_source_term_disk():
     """Poisson check: -Laplacian u = 1 on the unit disk, u=0 on the
     boundary -> u(r) = (1 - r^2) / 4 (2D)."""

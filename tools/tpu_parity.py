@@ -56,14 +56,20 @@ def _respot_colors(problem, center_frac=0.35, width_frac=0.01, value=20.0):
     return problem
 
 
-def solve_image(problem, integrator_cls, settings, net_conf=None):
+def solve_image(problem, integrator_cls, settings, net_conf=None,
+                time_budget_s=None):
     out_dir = "/tmp/parity"
     os.makedirs(out_dir, exist_ok=True)
     integ = integrator_cls(problem, settings, out_dir)
     if net_conf is not None:
         integ.reset_network(net_conf)
+    if hasattr(integ, "prepare"):
+        integ.prepare()  # AOT compile so ms measures walking, not XLA
     t0 = time.time()
-    ms = integ.solve()
+    if time_budget_s is not None:
+        ms = integ.solve(time_budget_s=time_budget_s)
+    else:
+        ms = integ.solve()
     wall = time.time() - t0
     img = integ.films["SOLUTION"].pixels()
     steps = getattr(integ, "total_walk_steps", 0)
@@ -76,6 +82,7 @@ def main():
     ap.add_argument("--gt-spp", type=int, default=2048)
     ap.add_argument("--budgets", default="256,64")
     ap.add_argument("--scene", default="ladybug")
+    ap.add_argument("--equal-time", action="store_true")
     a = ap.parse_args()
 
     from bench import _build_ladybug_problem
@@ -143,6 +150,18 @@ def main():
                      "rmse_ratio_vs_uniform": r_g / r_u,
                      "time_ratio_vs_uniform": gms / ums})
         print(rows[-1], flush=True)
+
+        if a.equal_time:
+            # equal-WALL-CLOCK row: guided gets uniform's time budget and
+            # as many samples as fit (training spp included in the budget)
+            gi, gms, _, _ = solve_image(
+                problem, GuidedIntegrator, settings(4 * spp, train),
+                net_conf, time_budget_s=ums / 1e3)
+            r_gt_ = rmse(gi, gt)
+            rows.append({"estimator": "guided_equal_time", "budget_ms": ums,
+                         "train_spp": train, "ms": gms, "rmse": r_gt_,
+                         "rmse_ratio_vs_uniform": r_gt_ / r_u})
+            print(rows[-1], flush=True)
 
     out = {"scene": a.scene, "res": res, "gt_spp": a.gt_spp, "rows": rows}
     with open("/root/repo/BENCH_parity.json", "w") as f:
