@@ -219,6 +219,100 @@ def read_pfm(path: str) -> np.ndarray:
     return img[::-1].copy()  # PFM stores rows bottom-to-top
 
 
+def write_hdr(path: str, image: np.ndarray) -> None:
+    """Write (H, W, 3) float32 as Radiance RGBE (.hdr) with adaptive
+    new-style RLE scanlines (the stbi__hdr format the reference loads,
+    util/image.cpp:105-143)."""
+    img = np.asarray(image, np.float32)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, -1)
+    h, w, _ = img.shape
+    maxc = img.max(-1)
+    mant, exp = np.frexp(maxc)                     # maxc = mant * 2^exp
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = np.where(maxc > 1e-32, mant * 256.0 / maxc, 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None] + 0.5, 0,
+                            255).astype(np.uint8)
+    rgbe[..., 3] = np.where(maxc > 1e-32, exp + 128, 0).astype(np.uint8)
+
+    def rle(comp: np.ndarray) -> bytes:            # one scanline component
+        out = bytearray()
+        i, n = 0, len(comp)
+        while i < n:
+            run = 1
+            while i + run < n and run < 127 and comp[i + run] == comp[i]:
+                run += 1
+            if run >= 3:
+                out += bytes((128 + run, comp[i]))
+                i += run
+            else:
+                j = i
+                while (j < n and j - i < 128
+                       and not (j + 2 < n and comp[j] == comp[j + 1]
+                                == comp[j + 2])):
+                    j += 1
+                out += bytes((j - i,)) + comp[i:j].tobytes()
+                i = j
+        return bytes(out)
+
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        if 8 <= w < 32768:
+            for y in range(h):
+                f.write(bytes((2, 2, w >> 8, w & 0xFF)))
+                for ci in range(4):
+                    f.write(rle(rgbe[y, :, ci]))
+        else:
+            f.write(rgbe.tobytes())
+
+
+def read_hdr(path: str) -> np.ndarray:
+    """Read a Radiance RGBE (.hdr) file -> (H, W, 3) float32 (flat or
+    new-style RLE scanlines)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if not buf.startswith(b"#?"):
+        raise ValueError(f"not a Radiance HDR file: {path}")
+    p = 0
+    while True:                                    # header ends at blank line
+        q = buf.index(b"\n", p)
+        if q == p:
+            break
+        p = q + 1
+    q = buf.index(b"\n", p + 1)
+    dims = buf[p + 1:q].split()
+    if dims[0] != b"-Y" or dims[2] != b"+X":
+        raise ValueError(f"unsupported HDR orientation: {dims}")
+    h, w = int(dims[1]), int(dims[3])
+    p = q + 1
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    if 8 <= w < 32768 and buf[p:p + 2] == b"\x02\x02" \
+            and (buf[p + 2] << 8 | buf[p + 3]) == w:
+        for y in range(h):
+            p += 4                                 # 2, 2, hi, lo marker
+            for ci in range(4):
+                x = 0
+                while x < w:
+                    cnt = buf[p]
+                    p += 1
+                    if cnt > 128:                  # run
+                        rgbe[y, x:x + cnt - 128, ci] = buf[p]
+                        x += cnt - 128
+                        p += 1
+                    else:                          # literal
+                        rgbe[y, x:x + cnt, ci] = np.frombuffer(
+                            buf, np.uint8, cnt, p)
+                        x += cnt
+                        p += cnt
+    else:
+        rgbe = np.frombuffer(buf, np.uint8, h * w * 4, p).reshape(h, w, 4)
+    e = rgbe[..., 3].astype(np.int32)
+    f32 = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0).astype(np.float32)
+    return rgbe[..., :3].astype(np.float32) * f32[..., None]
+
+
 def _linear_to_srgb(x: np.ndarray) -> np.ndarray:
     x = np.clip(x, 0.0, 1.0)
     return np.where(x <= 0.0031308, 12.92 * x, 1.055 * x ** (1 / 2.4) - 0.055)

@@ -102,6 +102,26 @@ def test_pfm_roundtrip(tmp_path):
         np.testing.assert_array_equal(read_pfm(path), img)
 
 
+def test_hdr_roundtrip(tmp_path):
+    """Radiance RGBE roundtrip: RLE scanlines (w >= 8) and flat fallback.
+    RGBE quantizes the mantissa to 8 bits -> ~0.4% relative tolerance."""
+    from elaina_tpu.output.image_io import read_hdr, write_hdr
+
+    rng = np.random.default_rng(3)
+    for w in (16, 5):                      # RLE path and flat path
+        img = (rng.uniform(0, 1, size=(4, w, 3)) ** 2 * 100).astype(
+            np.float32)
+        img[0, :2] = 0.0                   # zero-pixel (exponent 0) case
+        img[1, :] = 7.25                   # constant row -> long RLE runs
+        path = str(tmp_path / f"t{w}.hdr")
+        write_hdr(path, img)
+        back = read_hdr(path)
+        # 8-bit mantissa shared across channels: error bound is relative
+        # to the pixel's MAX channel, not each channel
+        tol = img.max(-1, keepdims=True) / 256 + 1e-30
+        assert np.all(np.abs(back - img) <= tol)
+
+
 def test_exr_zip_and_half_read(tmp_path):
     """read_exr handles ZIPS-compressed and half-float scanline files (the
     reference's tinyexr accepts both, util/image.cpp:105-260)."""
