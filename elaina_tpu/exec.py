@@ -39,7 +39,23 @@ def _enable_compilation_cache(cache_root: str) -> None:
                           os.path.join(cache_root, "jaxcache"))
 
 
+def _apply_platform_env() -> None:
+    """Honor JAX_PLATFORMS at runtime: some deployments pre-import jax
+    (sitecustomize) before the user's environment can influence its
+    import-time snapshot, or install plugins that override it — re-assert
+    the requested platform before the first device op."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass  # backend already initialized; keep it
+
+
 def run_expr(conf_path: str) -> dict:
+    _apply_platform_env()
     conf_path = os.path.abspath(conf_path)
     if not os.path.exists(conf_path):
         log_error("Configuration file does not exist: %s", conf_path)

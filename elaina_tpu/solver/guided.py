@@ -556,16 +556,8 @@ class GuidedIntegrator(BaseIntegrator):
         zi = jnp.zeros((S, n), jnp.int32)
         key = jax.random.PRNGKey(0)
 
-        # training-phase chunk (matches _training_persistent's config)
-        batch_size = min(65_536 * 8, max(1024, MAX_TRAIN_DEPTH * n))
-        if getattr(self, "_train_chunk", None) is None:
-            self._train_chunk = make_balanced_train_chunk(
-                self.spec, self.adam_cfg, eps=eps,
-                max_depth=int(s.maxWalkingDepth), batch_size=batch_size,
-                n_batches=5, d_stack=d_stack, n_stack=n_stack,
-                dim=scene.dim)
         zpos = (zf,) * scene.dim
-        out = self._train_chunk(
+        out = self._train_chunk_get()(
             scene, self.trainer, jnp.float32(s.uniformFractionInTrainingPhase),
             jnp.int32(s.maxGuidedDepthInTrainingPhase), zpos, zf, zi, key,
             jnp.int32(0), jnp.int32(10))
@@ -699,10 +691,17 @@ class GuidedIntegrator(BaseIntegrator):
             if (spp < s.trainSppCount and not metrics_on
                     and not (checkpoint_path and checkpoint_every > 0)):
                 # training phase: balanced worklists + in-chunk records
-                # + per-round optimizer passes (make_balanced_train_chunk)
+                # + per-round optimizer passes (make_balanced_train_chunk).
+                # Under a time budget, training gets at most 40% of it —
+                # a budget fully consumed by training would ship a
+                # high-variance image guided by a net nothing used.
+                train_budget = (0.4 * time_budget_s if time_budget_s
+                                else None)
                 total, spp, interrupted = self._training_persistent(
-                    scene, total, spp, start, time_budget_s)
-                if interrupted:
+                    scene, total, spp, start, train_budget)
+                if interrupted and (time_budget_s
+                                    and (time.time() - start)
+                                    > time_budget_s):
                     break
                 continue
             if (spp >= s.trainSppCount and not metrics_on
@@ -758,6 +757,28 @@ class GuidedIntegrator(BaseIntegrator):
         film.put_frame(np.asarray(total) / max(spp, 1))
         return duration_ms
 
+    def _train_chunk_get(self):
+        """Memoized balanced training chunk (re-creating the closure
+        re-traces a very large while_loop program, ~10s+).
+
+        Reference trainStepImpl runs up to batchPerFrame (5) batches of up
+        to 512k records per spp, each record consumed ONCE per generation
+        (guided/integrator.cu:643-662) — so n_batches covers the record
+        buffer exactly; a fixed 5 would re-epoch the same records 5x per
+        window, tripling training-phase wall-clock for no RMSE gain."""
+        if getattr(self, "_train_chunk", None) is None:
+            s = self.settings
+            n = self.n_pixels
+            batch_size = min(65_536 * 8, max(1024, MAX_TRAIN_DEPTH * n))
+            n_batches = min(5, max(1, -(-(MAX_TRAIN_DEPTH * n)
+                                        // batch_size)))
+            self._train_chunk = make_balanced_train_chunk(
+                self.spec, self.adam_cfg, eps=float(s.epsilonShell),
+                max_depth=int(s.maxWalkingDepth), batch_size=batch_size,
+                n_batches=n_batches, d_stack=self.problem.d_stack,
+                n_stack=self.problem.n_stack, dim=self.problem.scene.dim)
+        return self._train_chunk
+
     def _step0(self, scene):
         """Memoized step-0 separation (shared by both persistent phases)."""
         if getattr(self, "_step0_cache", None) is None:
@@ -786,19 +807,7 @@ class GuidedIntegrator(BaseIntegrator):
         pts_np = np.asarray(self.eval_points)
         rd0_np = np.asarray(rd0)
 
-        # reference trainStepImpl: batchPerFrame (5) batches of up to 512k
-        # records per spp (guided/integrator.cu:643-662)
-        batch_size = min(65_536 * 8, max(1024, MAX_TRAIN_DEPTH * n))
-        n_batches = 5
-        if getattr(self, "_train_chunk", None) is None:
-            # re-creating the chunk closure re-traces a very large
-            # while_loop program (~10s+); build once per integrator
-            self._train_chunk = make_balanced_train_chunk(
-                self.spec, self.adam_cfg, eps=float(s.epsilonShell),
-                max_depth=int(s.maxWalkingDepth), batch_size=batch_size,
-                n_batches=n_batches, d_stack=self.problem.d_stack,
-                n_stack=self.problem.n_stack, dim=scene.dim)
-        chunk = self._train_chunk
+        chunk = self._train_chunk_get()
         from .wost import _flush_jit as flush
 
         image = jnp.where(in_shell0[:, None], remaining * contrib0, 0.0)
