@@ -73,6 +73,9 @@ def solve_image(problem, integrator_cls, settings, net_conf=None,
     wall = time.time() - t0
     img = integ.films["SOLUTION"].pixels()
     steps = getattr(integ, "total_walk_steps", 0)
+    ph = getattr(integ, "phase_stats", None)
+    if ph:
+        print(f"  phases: {ph}", flush=True)
     return img, ms, wall, steps
 
 
