@@ -15,7 +15,9 @@ import os
 from .core.config import ExperimentConfig
 from .core.logger import log_error, log_success
 from .core.problem import Problem
-from .solver.integrator import CHANNELS, UniformIntegrator
+# Integrator imports stay INSIDE run_expr: importing the solver stack pulls
+# module-level jnp constants, which would initialize the default backend
+# before _apply_platform_env can re-assert the requested platform.
 
 
 def _cache_dir() -> str:
@@ -74,13 +76,14 @@ def run_expr(conf_path: str) -> dict:
 
     cache_root = _cache_dir()
     _enable_compilation_cache(cache_root)
+    from .models import CHANNELS, GuidedIntegrator, UniformIntegrator
+
     problem = Problem(cfg.dimensionality).load_config(
         cfg.scene, base_dir=base_dir, cache_dir=cache_root)
 
     if cfg.integrator_type == "uniform":
         integrator = UniformIntegrator(problem, cfg.settings, out_dir)
     elif cfg.integrator_type == "guided":
-        from .solver.guided import GuidedIntegrator
         integrator = GuidedIntegrator(problem, cfg.settings, out_dir)
         integrator.reset_network(cfg.network)
     else:

@@ -14,10 +14,11 @@ from ..nn.network import (  # noqa: F401
     make_network,
 )
 from ..solver.guided import GuidedIntegrator, run_one_guided_sample  # noqa: F401
-from ..solver.integrator import UniformIntegrator  # noqa: F401
+from ..solver.integrator import CHANNELS, UniformIntegrator  # noqa: F401
 from ..solver.wost import run_one_sample  # noqa: F401
 
 __all__ = [
+    "CHANNELS",
     "UniformIntegrator",
     "GuidedIntegrator",
     "run_one_sample",

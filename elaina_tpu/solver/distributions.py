@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.mathops import (
     frame_from_normal_3d,
@@ -42,19 +43,23 @@ M_EPSILON = 1e-5  # krrmath/constants.h:19
 # (util/vonmises.h:18-93); the coefficients are the standard published ones.
 # ---------------------------------------------------------------------------
 
-_I0_SMALL = jnp.array(
-    [1.0, 3.5156229, 3.0899424, 1.2067492, 0.2659732, 0.360768e-1, 0.45813e-2]
+# numpy, not jnp: a module-level device array would initialize the JAX
+# backend at import time (jnp consumes numpy constants inside jit freely)
+_I0_SMALL = np.array(
+    [1.0, 3.5156229, 3.0899424, 1.2067492, 0.2659732, 0.360768e-1, 0.45813e-2],
+    np.float32,
 )
-_I1_SMALL = jnp.array(
-    [0.5, 0.87890594, 0.51498869, 0.15084934, 0.2658733e-1, 0.301532e-2, 0.32411e-3]
+_I1_SMALL = np.array(
+    [0.5, 0.87890594, 0.51498869, 0.15084934, 0.2658733e-1, 0.301532e-2,
+     0.32411e-3], np.float32,
 )
-_I0_LARGE = jnp.array(
+_I0_LARGE = np.array(
     [0.39894228, 0.1328592e-1, 0.225319e-2, -0.157565e-2, 0.916281e-2,
-     -0.2057706e-1, 0.2635537e-1, -0.1647633e-1, 0.392377e-2]
+     -0.2057706e-1, 0.2635537e-1, -0.1647633e-1, 0.392377e-2], np.float32,
 )
-_I1_LARGE = jnp.array(
+_I1_LARGE = np.array(
     [0.39894228, -0.3988024e-1, -0.362018e-2, 0.163801e-2, -0.1031555e-1,
-     0.2282967e-1, -0.2895312e-1, 0.1787654e-1, -0.420059e-2]
+     0.2282967e-1, -0.2895312e-1, 0.1787654e-1, -0.420059e-2], np.float32,
 )
 
 
