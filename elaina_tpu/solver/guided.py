@@ -830,12 +830,33 @@ class GuidedIntegrator(BaseIntegrator):
 
         interrupted = False
         t_t = time.time()
+        rate = None          # measured walk-steps/s (budget slicing)
+        compute_s = 0.0
         max_rounds = 16 + 4 * (1 + remaining * int(s.maxWalkingDepth) // 48)
         for round_i in range(max_rounds):
             if rem.sum() == 0:
                 break
+            rem_round = rem
+            if time_budget_s:
+                # time-slice quotas like wost.balanced_solve: pixels
+                # progress in lockstep, so a budget interrupt degrades to
+                # a uniform lower effective training spp
+                remaining_s = time_budget_s - (time.time() - start)
+                if remaining_s <= 0 and round_i > 0:
+                    interrupted = True
+                    break
+                if rate is not None:
+                    cpp = float((cost * (rem > 0)).sum())
+                    k_slice = int(0.9 * remaining_s * rate / max(cpp, 1.0))
+                    if k_slice < 1:
+                        if round_i > 0:
+                            interrupted = True
+                            break
+                        k_slice = 1
+                    rem_round = np.minimum(rem, k_slice)
             if round_i > 0:
-                piece_pix, piece_quota = build_balanced_pieces(rem, cost, n, S)
+                piece_pix, piece_quota = build_balanced_pieces(rem_round,
+                                                               cost, n, S)
             ppos = tuple(jnp.asarray(pts_np[piece_pix, d])
                          for d in range(pts_np.shape[1]))
             prd = jnp.asarray(rd0_np[piece_pix])
@@ -843,7 +864,7 @@ class GuidedIntegrator(BaseIntegrator):
             if round_i == 0:
                 cap = 8 * spp_w
             else:
-                ideal = int(np.ceil(float((rem * cost).sum()) / max(n, 1)))
+                ideal = int(np.ceil(float((rem_round * cost).sum()) / max(n, 1)))
                 # training runs in-loop (train_every), so rounds only serve
                 # rebalancing; half the uniform dispatch budget because the
                 # in-loop optimizer passes lengthen each iteration
@@ -877,6 +898,9 @@ class GuidedIntegrator(BaseIntegrator):
                     f"M/s\n")
             self.total_walk_steps += int(steps)
             self.phase_stats["train_steps"] += int(steps)
+            compute_s += time.time() - t_r
+            if time_budget_s and compute_s > 0:
+                rate = (self.phase_stats["train_steps"]) / compute_s
             self.loss_history.append(float(metric))
             done_np = np.asarray(done_pix).astype(np.int64)
             rem = np.maximum(rem - done_np, 0)

@@ -1,0 +1,27 @@
+#!/bin/bash
+# Round-2 TPU re-measure batch: runs after the tunnel recovers.
+# Order: spot parity (equal-spp + equal-time) -> bench -> coldstart.
+# Each step logs to /tmp/rm_*.log; chip gets recovery pauses between steps.
+set -u
+cd /root/repo
+
+echo "=== spot parity $(date +%H:%M:%S)" | tee -a /tmp/remeasure.log
+timeout 3000 python tools/tpu_parity.py --scene spot --equal-time \
+    > /tmp/rm_parity.log 2>&1
+echo "parity rc=$? $(date +%H:%M:%S)" | tee -a /tmp/remeasure.log
+sleep 120
+
+echo "=== bench $(date +%H:%M:%S)" | tee -a /tmp/remeasure.log
+timeout 3000 python bench.py > /tmp/rm_bench.log 2>&1
+echo "bench rc=$? $(date +%H:%M:%S)" | tee -a /tmp/remeasure.log
+sleep 120
+
+echo "=== bench bumpy3d $(date +%H:%M:%S)" | tee -a /tmp/remeasure.log
+timeout 3000 python bench.py --scene bumpy3d > /tmp/rm_bench3d.log 2>&1
+echo "bench3d rc=$? $(date +%H:%M:%S)" | tee -a /tmp/remeasure.log
+sleep 120
+
+echo "=== coldstart fille $(date +%H:%M:%S)" | tee -a /tmp/remeasure.log
+timeout 2400 python tools/coldstart.py --scene fille > /tmp/rm_coldstart.log 2>&1
+echo "coldstart rc=$? $(date +%H:%M:%S)" | tee -a /tmp/remeasure.log
+echo "=== done $(date +%H:%M:%S)" | tee -a /tmp/remeasure.log
