@@ -796,7 +796,7 @@ class GuidedIntegrator(BaseIntegrator):
         """Cost-balanced persistent training phase (rounds of the balanced
         worklist chunk; one optimizer pass per round).  Returns
         (total', spp', interrupted)."""
-        from .wost import N_PIECES, build_balanced_pieces, flush_balanced
+        from .wost import N_PIECES, build_balanced_pieces
 
         s = self.settings
         n = self.n_pixels
