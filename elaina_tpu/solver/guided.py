@@ -912,6 +912,9 @@ class GuidedIntegrator(BaseIntegrator):
                 cost = np.where(have, np.maximum(c, 1.0), max(fb, 1.0))
                 cost = np.minimum(cost, float(s.maxWalkingDepth))
                 self._pixel_cost = cost   # reused by the guiding phase
+                cache = self.problem.__dict__.setdefault("_cost_cache", {})
+                cache[(n, float(s.epsilonShell),
+                       int(s.maxWalkingDepth))] = cost
             if (time_budget_s and (time.time() - start) > time_budget_s
                     and rem.sum() > 0):
                 interrupted = True
@@ -972,7 +975,11 @@ class GuidedIntegrator(BaseIntegrator):
             spp=remaining, eps=eps, max_depth=int(s.maxWalkingDepth),
             d_stack=d_stack, n_stack=n_stack, chunk=self._guide_chunk,
             key=jax.random.PRNGKey(1), time_budget_s=time_budget_s,
-            start_time=start, cost0=getattr(self, "_pixel_cost", None))
+            start_time=start,
+            cost0=getattr(self, "_pixel_cost", None) if hasattr(
+                self, "_pixel_cost")
+            else self.problem.__dict__.get("_cost_cache", {}).get(
+                (self.n_pixels, eps, int(s.maxWalkingDepth))))
         self.total_walk_steps += steps
         if hasattr(self, "phase_stats"):
             self.phase_stats["guide_steps"] += steps

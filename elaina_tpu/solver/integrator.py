@@ -296,13 +296,21 @@ class UniformIntegrator(BaseIntegrator):
 
         rd0, in_shell0, contrib0 = self._step0()
 
+        # per-pixel walk-cost cache on the problem: later solves (GT +
+        # budget sweeps, convergence runs) start cost-balanced from round 0
+        # instead of paying an unbalanced probe round
+        cache = self.problem.__dict__.setdefault("_cost_cache", {})
+        ckey = (self.n_pixels, float(s.epsilonShell), int(s.maxWalkingDepth))
+
         total, steps = balanced_solve(
             scene, None, np.asarray(self.eval_points), np.asarray(rd0),
             np.asarray(in_shell0 | ~self.mask), contrib0, in_shell0,
             spp=int(s.samplesPerPixel), eps=float(s.epsilonShell),
             max_depth=int(s.maxWalkingDepth),
             d_stack=self.problem.d_stack, n_stack=self.problem.n_stack,
-            progress=_progress, chunk=self._chunk())
+            progress=_progress, chunk=self._chunk(),
+            cost0=cache.get(ckey),
+            cost_sink=lambda c: cache.__setitem__(ckey, c))
         self.total_walk_steps = steps
         total.block_until_ready()
         duration_ms = int((time.time() - start) * 1000)

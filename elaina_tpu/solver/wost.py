@@ -734,7 +734,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                    d_stack: int = 48, n_stack: int = 48, step_fn=None,
                    key=None, time_budget_s=None, start_time=None,
                    progress=None, max_rounds: int | None = None,
-                   cost0=None, chunk=None):
+                   cost0=None, chunk=None, cost_sink=None):
     """Round-based balanced persistent solve (see make_balanced_chunk).
 
     Round 0 runs an identity partition for a few samples to measure
@@ -794,8 +794,12 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         if budget_mode:
             remaining_s = time_budget_s - (_time.time() - start_time)
             if remaining_s <= 0:
-                interrupted = True
-                break
+                # round 0 still runs one probe slice: a zero-sample image
+                # would leave unresolved pixels biased to 0, while one
+                # sample/pixel keeps the rescaled estimate meaningful
+                if round_i > 0:
+                    interrupted = True
+                    break
             if rate is None:
                 # first slice doubles as the rate probe
                 k_slice = spp_w
@@ -876,6 +880,11 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             # beyond any real walk; a sample can never cost more than
             # max_depth steps
             cost = np.minimum(cost, float(max_depth))
+            if cost_sink is not None:
+                # share the measured per-pixel cost (load-balancing hint
+                # only — correctness never depends on it) so later solves
+                # on the same problem skip the unbalanced probe round
+                cost_sink(cost)
         if progress is not None:
             frac_done = 1.0 - rem.sum() / max(
                 float(np.sum(~resolved_np)) * spp, 1.0)
