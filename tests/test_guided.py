@@ -130,3 +130,36 @@ def test_normalize_coord_in_unit_box():
     x = normalize_coord(p, lo, hi)
     assert float(x.min()) > 0.0 and float(x.max()) < 1.0
     np.testing.assert_allclose(np.asarray(x[2]), 0.5, atol=1e-6)
+
+
+def test_guided_integrator_time_budget():
+    """A time-budgeted guided solve degrades gracefully: training capped at
+    40% of the budget, guiding rounds time-sliced, image finite and close
+    to the unbudgeted estimate (both are unbiased estimators of u)."""
+    from bench import _build_square_problem
+    from elaina_tpu.core.config import IntegratorSettings
+    from elaina_tpu.solver.guided import GuidedIntegrator
+
+    problem = _build_square_problem(16, "grid")
+    settings = IntegratorSettings(
+        frameSize=(16, 16), samplesPerPixel=24, maxWalkingDepth=32,
+        epsilonShell=1.0, trainSppCount=8,
+        uniformFractionInTrainingPhase=0.5,
+        uniformFractionInGuidingPhase=0.5,
+        maxGuidedDepthInTrainingPhase=6, maxGuidedDepthInGuidingPhase=6)
+    net = {"encoding": {"base_resolution": 4, "n_levels": 2,
+                        "n_features_per_level": 2, "per_level_scale": 1.5},
+           "network": {"n_neurons": 16, "n_hidden_layers": 1},
+           "optimizer": {"otype": "Ema", "decay": 0.95,
+                         "nested": {"otype": "Adam", "learning_rate": 8e-3}}}
+
+    means = []
+    for budget in (None, 20.0):
+        integ = GuidedIntegrator(problem, settings, "/tmp/test_guided_tb")
+        integ.reset_network(net)
+        integ.solve(time_budget_s=budget)
+        img = np.asarray(integ.films["SOLUTION"].pixels())
+        assert np.isfinite(img).all()
+        means.append(float(img.mean()))
+    # both estimate the same harmonic function; the budgeted one is noisier
+    assert abs(means[1] - means[0]) < 0.15 * max(abs(means[0]), 1e-3)
