@@ -821,8 +821,9 @@ class GuidedIntegrator(BaseIntegrator):
 
         # probe just enough to estimate per-pixel walk cost: the probe round
         # runs unbalanced (~45-90% occupancy at 5.2M steps/s vs 8.2M for the
-        # rebalanced rounds), so keep it short
-        spp_w = int(min(4, remaining))
+        # rebalanced rounds), so keep it short — shorter still under a time
+        # budget, where the probe's wall is unbounded until a rate is known
+        spp_w = int(min(2 if time_budget_s else 4, remaining))
         piece_pix = np.zeros((S, n), np.int32)
         piece_pix[0] = np.arange(n)
         piece_quota = np.zeros((S, n), np.int32)
@@ -831,7 +832,7 @@ class GuidedIntegrator(BaseIntegrator):
         interrupted = False
         t_t = time.time()
         rate = None          # measured walk-steps/s (budget slicing)
-        compute_s = 0.0
+        slice_s = None
         max_rounds = 16 + 4 * (1 + remaining * int(s.maxWalkingDepth) // 48)
         for round_i in range(max_rounds):
             if rem.sum() == 0:
@@ -840,14 +841,17 @@ class GuidedIntegrator(BaseIntegrator):
             if time_budget_s:
                 # time-slice quotas like wost.balanced_solve: pixels
                 # progress in lockstep, so a budget interrupt degrades to
-                # a uniform lower effective training spp
+                # a uniform lower effective training spp.  Each slice fills
+                # HALF the remaining budget (geometric shrink toward the
+                # deadline bounds overshoot to the last slice).
                 remaining_s = time_budget_s - (time.time() - start)
                 if remaining_s <= 0 and round_i > 0:
                     interrupted = True
                     break
                 if rate is not None:
+                    slice_s = 0.5 * remaining_s
                     cpp = float((cost * (rem > 0)).sum())
-                    k_slice = int(0.9 * remaining_s * rate / max(cpp, 1.0))
+                    k_slice = int(slice_s * rate / max(cpp, 1.0))
                     if k_slice < 1:
                         if round_i > 0:
                             interrupted = True
@@ -875,6 +879,10 @@ class GuidedIntegrator(BaseIntegrator):
                     # exits early once quotas drain and walks die)
                     cap = min(int(s.maxWalkingDepth) + 2 * ideal + 64, 512)
                     tail = True
+            if time_budget_s and rate is not None and slice_s is not None:
+                # bound the (uninterruptible) dispatch wall to the slice
+                cap_t = int(1.5 * slice_s * rate / max(n, 1))
+                cap = min(cap, max(cap_t, int(s.maxWalkingDepth) + 32))
             t_r = time.time()
             acc, done, lsteps, steps, iters, trainer, metric = chunk(
                 scene, trainer, uf, mgd, ppos, prd,
@@ -898,9 +906,9 @@ class GuidedIntegrator(BaseIntegrator):
                     f"M/s\n")
             self.total_walk_steps += int(steps)
             self.phase_stats["train_steps"] += int(steps)
-            compute_s += time.time() - t_r
-            if time_budget_s and compute_s > 0:
-                rate = (self.phase_stats["train_steps"]) / compute_s
+            round_rate = int(steps) / max(time.time() - t_r, 1e-9)
+            rate = (round_rate if rate is None
+                    else 0.4 * rate + 0.6 * round_rate)
             self.loss_history.append(float(metric))
             done_np = np.asarray(done_pix).astype(np.int64)
             rem = np.maximum(rem - done_np, 0)
@@ -921,6 +929,10 @@ class GuidedIntegrator(BaseIntegrator):
                 break
         self.phase_stats["train_s"] += time.time() - t_t
         self.trainer = trainer
+        if rate is not None:
+            # seed the guiding phase's budget slicer (training's rate
+            # includes optimizer passes, so it underestimates — safe)
+            self._walk_rate = rate
         if interrupted or rem.sum() > 0:
             from ..core.logger import log_warning
             done_total = np.where(resolved, remaining, remaining - rem)
@@ -975,7 +987,7 @@ class GuidedIntegrator(BaseIntegrator):
             spp=remaining, eps=eps, max_depth=int(s.maxWalkingDepth),
             d_stack=d_stack, n_stack=n_stack, chunk=self._guide_chunk,
             key=jax.random.PRNGKey(1), time_budget_s=time_budget_s,
-            start_time=start,
+            start_time=start, rate0=getattr(self, "_walk_rate", None),
             cost0=getattr(self, "_pixel_cost", None) if hasattr(
                 self, "_pixel_cost")
             else self.problem.__dict__.get("_cost_cache", {}).get(

@@ -152,7 +152,8 @@ class BaseIntegrator:
 
 
 class UniformIntegrator(BaseIntegrator):
-    def solve(self, spp_chunk: int | None = None) -> int:
+    def solve(self, spp_chunk: int | None = None,
+              time_budget_s: float | None = None) -> int:
         """Run the full spp loop; returns wall-clock milliseconds
         (UniformIntegrator::solve, integrator.cu:666-672).
 
@@ -162,6 +163,9 @@ class UniformIntegrator(BaseIntegrator):
         wost.make_persistent_chunk).  Metric dumps (frames / frames_time)
         fall back to the per-sample path to keep the per-spp frame protocol
         exact; ``spp_chunk`` tunes that path's samples per dispatch.
+        With ``time_budget_s``, rounds are time-sliced and an expiring
+        budget degrades to a uniformly lower effective spp (see
+        wost.balanced_solve).
         """
         s = self.settings
         scene = self.problem.scene
@@ -169,7 +173,7 @@ class UniformIntegrator(BaseIntegrator):
 
         metrics_on = s.saveSppMetricsDuration > 0 or s.saveTimeMetricsDuration > 0
         if not metrics_on and spp_chunk is None:
-            return self._solve_persistent()
+            return self._solve_persistent(time_budget_s)
         if spp_chunk is None:
             spp_chunk = 1 if metrics_on else min(4, s.samplesPerPixel)
         spp_chunk = max(1, min(spp_chunk, s.samplesPerPixel))
@@ -279,7 +283,7 @@ class UniformIntegrator(BaseIntegrator):
         jax.block_until_ready(out)
         self._step0()
 
-    def _solve_persistent(self) -> int:
+    def _solve_persistent(self, time_budget_s: float | None = None) -> int:
         """Balanced persistent-lane solve (wost.make_balanced_chunk).
 
         Per-pixel mean walk depth varies ~2-3x across the image, so fixed
@@ -310,7 +314,8 @@ class UniformIntegrator(BaseIntegrator):
             d_stack=self.problem.d_stack, n_stack=self.problem.n_stack,
             progress=_progress, chunk=self._chunk(),
             cost0=cache.get(ckey),
-            cost_sink=lambda c: cache.__setitem__(ckey, c))
+            cost_sink=lambda c: cache.__setitem__(ckey, c),
+            time_budget_s=time_budget_s, start_time=start)
         self.total_walk_steps = steps
         total.block_until_ready()
         duration_ms = int((time.time() - start) * 1000)

@@ -734,7 +734,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                    d_stack: int = 48, n_stack: int = 48, step_fn=None,
                    key=None, time_budget_s=None, start_time=None,
                    progress=None, max_rounds: int | None = None,
-                   cost0=None, chunk=None, cost_sink=None):
+                   cost0=None, chunk=None, cost_sink=None, rate0=None):
     """Round-based balanced persistent solve (see make_balanced_chunk).
 
     Round 0 runs an identity partition for a few samples to measure
@@ -746,10 +746,13 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
 
     With ``time_budget_s`` set, rounds are TIME-SLICED: each round's
     quotas are capped at the per-pixel sample count predicted (from the
-    measured step rate) to fit the remaining budget, so every pixel
-    progresses in lockstep and an expiring budget degrades to a uniform
-    lower effective spp instead of a ragged per-pixel cut.  Partial sums
-    are then rescaled by completed-sample counts (near-uniform).
+    measured step rate) to fill HALF the remaining budget, so every pixel
+    progresses in lockstep, slices shrink geometrically toward the
+    deadline, and a rate misestimate can only overshoot by the last
+    slice — never by the whole budget.  ``rate0`` seeds the steps/s
+    estimate (e.g. from an earlier phase on the same problem) so even the
+    first slice is time-bounded.  Partial sums are rescaled by
+    completed-sample counts (near-uniform).
     """
     import time as _time
 
@@ -785,8 +788,10 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
 
     interrupted = False
     budget_mode = time_budget_s is not None
-    rate = None          # measured walk-steps/s, for budget slicing
-    compute_s = 0.0
+    # walk-steps/s estimate for budget slicing: seeded by rate0 (a prior
+    # phase's measurement), then EMA-updated from each round's own wall
+    rate = float(rate0) if rate0 else None
+    slice_s = None
     for round_i in range(max_rounds):
         if rem.sum() == 0:
             break
@@ -801,12 +806,17 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                     interrupted = True
                     break
             if rate is None:
-                # first slice doubles as the rate probe
-                k_slice = spp_w
+                # no rate estimate at all: run a SMALL probe (its wall is
+                # unbounded without a rate, so keep its work minimal)
+                k_slice = min(spp_w, 2)
             else:
+                # fill half the remaining budget: slices shrink
+                # geometrically toward the deadline, so a rate
+                # overestimate can only overshoot by the final slice
+                slice_s = 0.5 * remaining_s
                 # steps for one sample/pixel across unresolved pixels
                 cpp = float((cost * (rem > 0)).sum())
-                k_slice = int(0.9 * remaining_s * rate / max(cpp, 1.0))
+                k_slice = int(slice_s * rate / max(cpp, 1.0))
                 if k_slice < 1:
                     if round_i > 0:
                         interrupted = True
@@ -842,9 +852,21 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                 # exits as soon as quotas drain and all walks die, so a
                 # generous cap costs little at quarter width.
                 cap = min(max_depth + 2 * ideal + 64, ITER_DISPATCH_BUDGET)
+        if budget_mode and rate is not None and slice_s is not None:
+            # a dispatch cannot be interrupted from the host: bound its
+            # iteration count so its predicted wall fits the slice (floor
+            # at max_depth so committed walks can still finish)
+            cap_t = int(1.5 * slice_s * rate / max(n_round, 1))
+            cap = min(cap, max(cap_t, max_depth + 32))
         if round_i > 0 or (have_cost0 and budget_mode):
             piece_pix, piece_quota = build_balanced_pieces(rem_round, cost,
                                                            n_round, S)
+        elif budget_mode:
+            # probe round keeps the identity lane<->pixel partition (the
+            # per-pixel cost measurement below divides lane steps by pixel
+            # dones) but takes the sliced quota
+            piece_quota = np.zeros((S, n), np.int32)
+            piece_quota[0] = rem_round.astype(np.int32)
         ppos = tuple(jnp.asarray(pts_np[piece_pix, d])
                      for d in range(pts_np.shape[1]))
         prd = jnp.asarray(rd0_np[piece_pix])
@@ -855,9 +877,10 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         image, done_pix = _flush_jit(image, acc, done,
                                      jnp.asarray(piece_pix), n)
         total_steps += int(steps)
-        compute_s += _time.time() - t_r
-        if budget_mode and compute_s > 0:
-            rate = total_steps / compute_s
+        if budget_mode:
+            round_rate = int(steps) / max(_time.time() - t_r, 1e-9)
+            rate = (round_rate if rate is None
+                    else 0.4 * rate + 0.6 * round_rate)
         if os.environ.get("ELAINA_BALANCE_DEBUG") == "1":
             import sys as _sys
             it_n = int(iters)

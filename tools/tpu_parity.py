@@ -155,15 +155,26 @@ def main():
         print(rows[-1], flush=True)
 
         if a.equal_time:
-            # equal-WALL-CLOCK row: guided gets uniform's time budget and
-            # as many samples as fit (training spp included in the budget)
-            gi, gms, _, _ = solve_image(
+            # equal-WALL-CLOCK, both directions:
+            # (a) guided squeezed into uniform's budget (training spp
+            #     included — the budget slicer adapts both phases)
+            gi, gems, _, _ = solve_image(
                 problem, GuidedIntegrator, settings(4 * spp, train),
                 net_conf, time_budget_s=ums / 1e3)
             r_gt_ = rmse(gi, gt)
             rows.append({"estimator": "guided_equal_time", "budget_ms": ums,
-                         "train_spp": train, "ms": gms, "rmse": r_gt_,
+                         "train_spp": train, "ms": gems, "rmse": r_gt_,
                          "rmse_ratio_vs_uniform": r_gt_ / r_u})
+            print(rows[-1], flush=True)
+            # (b) uniform extended to guided's wall-clock (the paper's
+            #     equal-time protocol: same wall budget for both)
+            ui2, uems, _, _ = solve_image(
+                problem, UniformIntegrator, settings(4 * spp),
+                time_budget_s=gms / 1e3)
+            r_u2 = rmse(ui2, gt)
+            rows.append({"estimator": "uniform_equal_time",
+                         "budget_ms": gms, "ms": uems, "rmse": r_u2,
+                         "rmse_ratio_guided_vs_this": r_g / r_u2})
             print(rows[-1], flush=True)
 
     out = {"scene": a.scene, "res": res, "gt_spp": a.gt_spp, "rows": rows}
