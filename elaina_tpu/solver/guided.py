@@ -149,7 +149,7 @@ def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
                       state: WalkState, records: WalkRecords, key, depth,
                       guiding_on, training_on, uniform_fraction,
                       max_guided_depth, *, eps: float, d_stack: int,
-                      n_stack: int, step0=None):
+                      n_stack: int, step0=None, train_sel=None):
     """One guided depth iteration (solveImpl inner loop,
     guided/integrator.cu:1004-1042).  ``guiding_on``/``training_on``/
     ``uniform_fraction``/``max_guided_depth`` are traced scalars so one
@@ -157,7 +157,10 @@ def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
 
     ``records=None`` statically removes the walk-record machinery (the
     guiding phase trains nothing); ``depth`` may be a per-lane array
-    (persistent-lane mode) or a scalar (per-sample scan)."""
+    (persistent-lane mode) or a scalar (per-sample scan).  ``train_sel``
+    is an optional per-lane bool implementing isTrainingPixel
+    ((pixelId - trainPixelOffset) % trainPixelStride == 0,
+    guided.h:101-109) — None means every lane trains (stride 1)."""
     dim = scene.dim
     k_sel, k_src, k_neu, k_uni, k_gui, k_walk = jax.random.split(key, 6)
 
@@ -234,6 +237,8 @@ def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
     # walk records for training (incrementDepth before the state update)
     if records is not None:
         train_mask = training_on & (depth < TRAIN_DEPTH_CAP) & live
+        if train_sel is not None:
+            train_mask &= train_sel
         records = _increment(records, state, direction, pdf, train_mask)
 
     state = _walk(scene, state, live, R_B, k_walk, eps, n_stack,
@@ -303,7 +308,8 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
         return acc, pend, scnt
 
     def chunk(scene, trainer, uf, mgd, piece_pos, piece_rd0,
-              piece_quota, key, iter_cap, train_every=jnp.int32(train_every)):
+              piece_quota, key, iter_cap, train_every=jnp.int32(train_every),
+              piece_train=None):
         n = piece_pos[0].shape[1]
 
         def cond(c):
@@ -348,7 +354,9 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
             st, rec, contrib = guided_depth_step(
                 scene, spec, tr.ema_params, st, rec, k, wstep,
                 jnp.bool_(True), jnp.bool_(True), uf, mgd, eps=eps,
-                d_stack=d_stack, n_stack=n_stack, step0=(restart, rd0))
+                d_stack=d_stack, n_stack=n_stack, step0=(restart, rd0),
+                train_sel=(None if piece_train is None
+                           else sel(slot, piece_train)))
             pend = pend + contrib.T
             wstep = wstep + st.active.astype(jnp.int32)
             st = st._replace(active=st.active & (wstep < max_depth))
@@ -401,7 +409,8 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
 def run_one_guided_sample(scene: Scene, spec: NetworkSpec, infer_params,
                           eval_points, mask, key, guiding_on, training_on,
                           uniform_fraction, max_guided_depth, *, eps: float,
-                          max_depth: int, d_stack: int = 48, n_stack: int = 48):
+                          max_depth: int, d_stack: int = 48, n_stack: int = 48,
+                          train_sel=None):
     """One spp sweep; returns (contribution (N, 3), records)."""
     n, dim = eval_points.shape
     state = init_walk_state(eval_points, mask)
@@ -415,7 +424,7 @@ def run_one_guided_sample(scene: Scene, spec: NetworkSpec, infer_params,
         st, rec, c = guided_depth_step(
             scene, spec, infer_params, st, rec, k, depth,
             guiding_on, training_on, uniform_fraction, max_guided_depth,
-            eps=eps, d_stack=d_stack, n_stack=n_stack)
+            eps=eps, d_stack=d_stack, n_stack=n_stack, train_sel=train_sel)
         return (st, rec, acc + c, lives + n_live), None
 
     init = (state, records, jnp.zeros((n, 3), jnp.float32), jnp.int32(0))
@@ -517,6 +526,12 @@ def train_on_records(trainer: TrainerState, spec: NetworkSpec,
 
 class GuidedIntegrator(BaseIntegrator):
     """GuidedIntegrator<DIM> parity (guided/integrator.h:96-253)."""
+
+    # TrainState trainPixelStride (guided.h:109): only pixels with
+    # (pixelId - trainPixelOffset) % stride == 0 write walk records; the
+    # offset is re-randomized each solve (integrator.cu:126).  Runtime
+    # state (not a JSON field), default 1 = every pixel trains.
+    train_pixel_stride = 1
 
     def reset_network(self, net_conf: dict | None):
         """resetNetworkImpl (guided/integrator.cu:1096-1137)."""
@@ -640,7 +655,21 @@ class GuidedIntegrator(BaseIntegrator):
 
         spec, adam_cfg = self.spec, self.adam_cfg  # static (python) configs
 
-        def chunk_fn(sc, pts, m, tr, keys, ton, uf, mgd):
+        # isTrainingPixel stride/offset (guided.h:101-109): offset is
+        # re-randomized each solve when stride > 1 (integrator.cu:126)
+        stride = int(getattr(self, "train_pixel_stride", 1))
+        if stride > 1:
+            self.train_pixel_offset = int(
+                jax.random.randint(jax.random.PRNGKey(5), (), 0, stride))
+            self._train_bit = (
+                (np.arange(n) - self.train_pixel_offset) % stride == 0)
+        else:
+            self.train_pixel_offset = 0
+            self._train_bit = None
+        tsel = (None if self._train_bit is None
+                else jnp.asarray(self._train_bit))
+
+        def chunk_fn(sc, pts, m, tr, keys, ton, uf, mgd, tsel=None):
             def body(carry, kk):
                 tr, acc, steps = carry
                 contrib, records, st = run_one_guided_sample(
@@ -649,7 +678,7 @@ class GuidedIntegrator(BaseIntegrator):
                     eps=float(s.epsilonShell),
                     max_depth=int(s.maxWalkingDepth),
                     d_stack=self.problem.d_stack,
-                    n_stack=self.problem.n_stack)
+                    n_stack=self.problem.n_stack, train_sel=tsel)
 
                 def do_train(t):
                     return train_on_records(t, spec, adam_cfg, sc, records,
@@ -670,7 +699,7 @@ class GuidedIntegrator(BaseIntegrator):
             if c not in chunk_jit:
                 f = jax.jit(chunk_fn)
                 chunk_jit[c] = lambda *a: f(scene, self.eval_points,
-                                            self.mask, *a)
+                                            self.mask, *a, tsel)
             return chunk_jit[c]
 
         start = time.time()
@@ -692,10 +721,13 @@ class GuidedIntegrator(BaseIntegrator):
                     and not (checkpoint_path and checkpoint_every > 0)):
                 # training phase: balanced worklists + in-chunk records
                 # + per-round optimizer passes (make_balanced_train_chunk).
-                # Under a time budget, training gets at most 40% of it —
-                # a budget fully consumed by training would ship a
-                # high-variance image guided by a net nothing used.
-                train_budget = (0.4 * time_budget_s if time_budget_s
+                # Under a time budget, training gets at most 20% of it: a
+                # guide trained on ~16 spp already captures most of the
+                # variance reduction (measured equal-spp RMSE ratio 0.79
+                # with 16 train spp vs 0.72 with 64), while every training
+                # second costs ~1 guiding second of sample budget — at 40%
+                # the sample loss outweighed the variance win.
+                train_budget = (0.2 * time_budget_s if time_budget_s
                                 else None)
                 total, spp, interrupted = self._training_persistent(
                     scene, total, spp, start, train_budget)
@@ -884,6 +916,7 @@ class GuidedIntegrator(BaseIntegrator):
                 cap_t = int(1.5 * slice_s * rate / max(n, 1))
                 cap = min(cap, max(cap_t, int(s.maxWalkingDepth) + 32))
             t_r = time.time()
+            tbit = getattr(self, "_train_bit", None)
             acc, done, lsteps, steps, iters, trainer, metric = chunk(
                 scene, trainer, uf, mgd, ppos, prd,
                 jnp.asarray(piece_quota), jax.random.fold_in(key, round_i),
@@ -891,7 +924,8 @@ class GuidedIntegrator(BaseIntegrator):
                 # tail rounds run at single-digit occupancy: skip the
                 # in-loop optimizer (its cost ~= 10 full-lane iterations);
                 # their few records still reach the end-of-chunk pass
-                jnp.int32(cap + 1 if tail else 10))
+                jnp.int32(cap + 1 if tail else 10),
+                None if tbit is None else jnp.asarray(tbit[piece_pix]))
             image, done_pix = flush(image, acc, done,
                                     jnp.asarray(piece_pix), n)
             if os.environ.get("ELAINA_BALANCE_DEBUG") == "1":

@@ -134,7 +134,7 @@ def test_normalize_coord_in_unit_box():
 
 def test_guided_integrator_time_budget():
     """A time-budgeted guided solve degrades gracefully: training capped at
-    40% of the budget, guiding rounds time-sliced, image finite and close
+    20% of the budget, guiding rounds time-sliced, image finite and close
     to the unbudgeted estimate (both are unbiased estimators of u)."""
     from bench import _build_square_problem
     from elaina_tpu.core.config import IntegratorSettings
@@ -163,3 +163,43 @@ def test_guided_integrator_time_budget():
         means.append(float(img.mean()))
     # both estimate the same harmonic function; the budgeted one is noisier
     assert abs(means[1] - means[0]) < 0.15 * max(abs(means[0]), 1e-3)
+
+
+def test_train_pixel_stride_masks_records():
+    """isTrainingPixel (guided.h:101-109): with stride S and offset O, only
+    lanes with (pixel - O) % S == 0 write walk records; contributions are
+    unaffected (non-training pixels still walk and render)."""
+    scene = _mixed_scene()
+    spec = make_network(2, n_dim_output(2), {
+        "encoding": {"base_resolution": 4, "n_levels": 2,
+                     "n_features_per_level": 2, "per_level_scale": 1.5},
+        "network": {"n_neurons": 16, "n_hidden_layers": 1},
+    })
+    trainer = init_trainer(jax.random.PRNGKey(42), spec)
+
+    n = 8
+    pts = jnp.stack([jnp.linspace(-0.8, 0.8, n),
+                     jnp.linspace(-0.5, 0.5, n)], -1)
+    mask = jnp.ones((n,), bool)
+    stride, off = 3, 1
+    tsel = jnp.asarray((np.arange(n) - off) % stride == 0)
+
+    key = jax.random.PRNGKey(7)
+    c_sel, rec_sel, _ = run_one_guided_sample(
+        scene, spec, trainer.ema_params, pts, mask, key, jnp.bool_(True),
+        jnp.bool_(True), jnp.float32(0.5), jnp.int32(6), eps=0.05,
+        max_depth=16, train_sel=tsel)
+    c_all, rec_all, _ = run_one_guided_sample(
+        scene, spec, trainer.ema_params, pts, mask, key, jnp.bool_(True),
+        jnp.bool_(True), jnp.float32(0.5), jnp.int32(6), eps=0.05,
+        max_depth=16)
+
+    cur_sel = np.asarray(rec_sel.cur)
+    cur_all = np.asarray(rec_all.cur)
+    sel_np = np.asarray(tsel)
+    assert (cur_sel[~sel_np] == 0).all()          # masked lanes: no records
+    assert (cur_sel[sel_np] == cur_all[sel_np]).all()  # selected: unchanged
+    assert cur_all.sum() > 0
+    # identical RNG stream -> identical walk contributions
+    np.testing.assert_allclose(np.asarray(c_sel), np.asarray(c_all),
+                               rtol=1e-6, atol=1e-7)
