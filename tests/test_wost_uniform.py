@@ -263,3 +263,37 @@ def test_source_term_disk():
     r2 = np.sum(pts**2, axis=-1)
     expected = (1.0 - r2) / 4.0
     np.testing.assert_allclose(u[:, 0], expected, atol=0.03)
+
+
+def test_uniform_integrator_time_budget():
+    """UniformIntegrator.solve(time_budget_s=...): the budgeted persistent
+    solve finishes near the budget and stays unbiased (rescaled partial
+    sums estimate the same harmonic function)."""
+    import time
+
+    from bench import _build_square_problem
+    from elaina_tpu.core.config import IntegratorSettings
+    from elaina_tpu.solver.integrator import UniformIntegrator
+
+    problem = _build_square_problem(16, "grid")
+    settings = IntegratorSettings(
+        frameSize=(16, 16), samplesPerPixel=64, maxWalkingDepth=32,
+        epsilonShell=1.0)
+
+    integ = UniformIntegrator(problem, settings, "/tmp/test_uni_tb")
+    integ.prepare()
+    ms_full = integ.solve()
+    ref = np.asarray(integ.films["SOLUTION"].pixels())
+
+    integ2 = UniformIntegrator(problem, settings, "/tmp/test_uni_tb2")
+    integ2.prepare()
+    budget = max(0.3 * ms_full / 1e3, 0.2)
+    t0 = time.time()
+    integ2.solve(time_budget_s=budget)
+    wall = time.time() - t0
+    img = np.asarray(integ2.films["SOLUTION"].pixels())
+    assert np.isfinite(img).all()
+    # overshoot bounded: worst case is the last slice plus one dispatch
+    assert wall < 2.5 * budget + 3.0
+    # unbiased: means agree within MC noise at this scale
+    assert abs(img.mean() - ref.mean()) < 0.1 * max(abs(ref.mean()), 1e-3)
