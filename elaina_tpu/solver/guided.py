@@ -411,7 +411,7 @@ def run_one_guided_sample(scene: Scene, spec: NetworkSpec, infer_params,
                           uniform_fraction, max_guided_depth, *, eps: float,
                           max_depth: int, d_stack: int = 48, n_stack: int = 48,
                           train_sel=None):
-    """One spp sweep; returns (contribution (N, 3), records)."""
+    """One spp sweep; returns (contribution (N, 3), records, live-steps)."""
     n, dim = eval_points.shape
     state = init_walk_state(eval_points, mask)
     records = init_records(n, dim)
@@ -656,11 +656,16 @@ class GuidedIntegrator(BaseIntegrator):
         spec, adam_cfg = self.spec, self.adam_cfg  # static (python) configs
 
         # isTrainingPixel stride/offset (guided.h:101-109): offset is
-        # re-randomized each solve when stride > 1 (integrator.cu:126)
+        # re-randomized each solve when stride > 1 (integrator.cu:126) —
+        # fold a per-instance solve counter into the key so repeated
+        # solves rotate the trained pixel subset like the reference's
+        # advancing sampler does
         stride = int(getattr(self, "train_pixel_stride", 1))
+        self._solve_count = getattr(self, "_solve_count", 0) + 1
         if stride > 1:
-            self.train_pixel_offset = int(
-                jax.random.randint(jax.random.PRNGKey(5), (), 0, stride))
+            self.train_pixel_offset = int(jax.random.randint(
+                jax.random.fold_in(jax.random.PRNGKey(5), self._solve_count),
+                (), 0, stride))
             self._train_bit = (
                 (np.arange(n) - self.train_pixel_offset) % stride == 0)
         else:
@@ -861,35 +866,23 @@ class GuidedIntegrator(BaseIntegrator):
         piece_quota = np.zeros((S, n), np.int32)
         piece_quota[0] = np.where(resolved, 0, spp_w)
 
+        from .wost import BudgetSlicer
+
         interrupted = False
         t_t = time.time()
-        rate = None          # measured walk-steps/s (budget slicing)
-        slice_s = None
+        # time-slice quotas like wost.balanced_solve: pixels progress in
+        # lockstep, so a budget interrupt degrades to a uniform lower
+        # effective training spp (shared policy: wost.BudgetSlicer)
+        slicer = BudgetSlicer(time_budget_s, start, None)
         max_rounds = 16 + 4 * (1 + remaining * int(s.maxWalkingDepth) // 48)
         for round_i in range(max_rounds):
             if rem.sum() == 0:
                 break
-            rem_round = rem
-            if time_budget_s:
-                # time-slice quotas like wost.balanced_solve: pixels
-                # progress in lockstep, so a budget interrupt degrades to
-                # a uniform lower effective training spp.  Each slice fills
-                # HALF the remaining budget (geometric shrink toward the
-                # deadline bounds overshoot to the last slice).
-                remaining_s = time_budget_s - (time.time() - start)
-                if remaining_s <= 0 and round_i > 0:
-                    interrupted = True
-                    break
-                if rate is not None:
-                    slice_s = 0.5 * remaining_s
-                    cpp = float((cost * (rem > 0)).sum())
-                    k_slice = int(slice_s * rate / max(cpp, 1.0))
-                    if k_slice < 1:
-                        if round_i > 0:
-                            interrupted = True
-                            break
-                        k_slice = 1
-                    rem_round = np.minimum(rem, k_slice)
+            rem_round, stop = slicer.plan(rem, cost, round_i, spp_w,
+                                          have_cost=round_i > 0)
+            if stop:
+                interrupted = True
+                break
             if round_i > 0:
                 piece_pix, piece_quota = build_balanced_pieces(rem_round,
                                                                cost, n, S)
@@ -911,10 +904,7 @@ class GuidedIntegrator(BaseIntegrator):
                     # exits early once quotas drain and walks die)
                     cap = min(int(s.maxWalkingDepth) + 2 * ideal + 64, 512)
                     tail = True
-            if time_budget_s and rate is not None and slice_s is not None:
-                # bound the (uninterruptible) dispatch wall to the slice
-                cap_t = int(1.5 * slice_s * rate / max(n, 1))
-                cap = min(cap, max(cap_t, int(s.maxWalkingDepth) + 32))
+            cap = slicer.bound_cap(cap, n, int(s.maxWalkingDepth) + 32)
             t_r = time.time()
             tbit = getattr(self, "_train_bit", None)
             acc, done, lsteps, steps, iters, trainer, metric = chunk(
@@ -940,9 +930,7 @@ class GuidedIntegrator(BaseIntegrator):
                     f"M/s\n")
             self.total_walk_steps += int(steps)
             self.phase_stats["train_steps"] += int(steps)
-            round_rate = int(steps) / max(time.time() - t_r, 1e-9)
-            rate = (round_rate if rate is None
-                    else 0.4 * rate + 0.6 * round_rate)
+            slicer.update(int(steps), time.time() - t_r)
             self.loss_history.append(float(metric))
             done_np = np.asarray(done_pix).astype(np.int64)
             rem = np.maximum(rem - done_np, 0)
@@ -957,16 +945,15 @@ class GuidedIntegrator(BaseIntegrator):
                 cache = self.problem.__dict__.setdefault("_cost_cache", {})
                 cache[(n, float(s.epsilonShell),
                        int(s.maxWalkingDepth))] = cost
-            if (time_budget_s and (time.time() - start) > time_budget_s
-                    and rem.sum() > 0):
+            if slicer.expired() and rem.sum() > 0:
                 interrupted = True
                 break
         self.phase_stats["train_s"] += time.time() - t_t
         self.trainer = trainer
-        if rate is not None:
+        if slicer.rate is not None:
             # seed the guiding phase's budget slicer (training's rate
             # includes optimizer passes, so it underestimates — safe)
-            self._walk_rate = rate
+            self._walk_rate = slicer.rate
         if interrupted or rem.sum() > 0:
             from ..core.logger import log_warning
             done_total = np.where(resolved, remaining, remaining - rem)

@@ -207,6 +207,12 @@ class UniformIntegrator(BaseIntegrator):
         self.total_walk_steps = 0
         done = 0
         while done < s.samplesPerPixel:
+            if (time_budget_s is not None and done > 0
+                    and time.time() - start > time_budget_s):
+                log_info("uniform solve interrupted at %d/%d spp (time "
+                         "budget %.1fs)", done, s.samplesPerPixel,
+                         time_budget_s)
+                break
             contrib, steps = step(jax.random.fold_in(key, done))
             total = total + contrib
             self.total_walk_steps += int(steps)
@@ -226,7 +232,9 @@ class UniformIntegrator(BaseIntegrator):
 
         film = self.films["SOLUTION"]
         film.reset()
-        film.put_frame(np.asarray(total) / s.samplesPerPixel)
+        # normalize by the samples actually run (== samplesPerPixel unless
+        # a time budget interrupted the loop)
+        film.put_frame(np.asarray(total) / max(done, 1))
         return duration_ms
 
     def _chunk(self):

@@ -729,6 +729,71 @@ def _flush_jit(image, acc, done, piece_pix, n_pixels: int):
     return flush_balanced(image, acc, done, piece_pix, n_pixels)
 
 
+class BudgetSlicer:
+    """Shared time-budget slicing for round-based persistent solves.
+
+    Used by both ``balanced_solve`` and the guided training phase so the
+    policy lives in ONE place: each round's quota fills HALF the remaining
+    budget (slices shrink geometrically toward the deadline, bounding
+    overshoot to the last slice), the steps/s estimate is a per-round EMA
+    seeded by ``rate0``, and dispatch iteration caps are bounded so an
+    (uninterruptible) dispatch's predicted wall fits the slice.
+    """
+
+    def __init__(self, time_budget_s, start_time, rate0=None):
+        self.budget = time_budget_s
+        self.start = start_time
+        self.rate = float(rate0) if rate0 else None
+        self.slice_s = None
+
+    def plan(self, rem, cost, round_i: int, probe_spp: int,
+             have_cost: bool):
+        """Per-round quota decision: returns (rem_round, stop).
+
+        Round 0 always runs at least a one-sample probe slice (a
+        zero-sample image would leave unresolved pixels biased to 0).
+        Without a rate — or with a rate but no per-pixel cost, where cpp
+        would undercount steps by the mean walk length — the probe is
+        kept minimal (its wall is unbounded either way).
+        """
+        import time as _time
+
+        if self.budget is None:
+            return rem, False
+        remaining_s = self.budget - (_time.time() - self.start)
+        if remaining_s <= 0 and round_i > 0:
+            return rem, True
+        if self.rate is None or (round_i == 0 and not have_cost):
+            k = min(probe_spp, 2)
+        else:
+            self.slice_s = 0.5 * remaining_s
+            cpp = float((cost * (rem > 0)).sum())
+            k = int(self.slice_s * self.rate / max(cpp, 1.0))
+            if k < 1:
+                if round_i > 0:
+                    return rem, True
+                k = 1
+        return np.minimum(rem, k), False
+
+    def bound_cap(self, cap: int, n_lanes: int, floor: int) -> int:
+        """Bound an iteration cap so the dispatch's predicted wall fits
+        the slice (floor keeps committed walks able to finish)."""
+        if self.budget is None or self.rate is None or self.slice_s is None:
+            return cap
+        cap_t = int(1.5 * self.slice_s * self.rate / max(n_lanes, 1))
+        return min(cap, max(cap_t, floor))
+
+    def update(self, steps: int, wall_s: float):
+        r = steps / max(wall_s, 1e-9)
+        self.rate = r if self.rate is None else 0.4 * self.rate + 0.6 * r
+
+    def expired(self) -> bool:
+        import time as _time
+
+        return (self.budget is not None
+                and _time.time() - self.start > self.budget)
+
+
 def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                    in_shell0, *, spp: int, eps: float, max_depth: int,
                    d_stack: int = 48, n_stack: int = 48, step_fn=None,
@@ -788,41 +853,14 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
 
     interrupted = False
     budget_mode = time_budget_s is not None
-    # walk-steps/s estimate for budget slicing: seeded by rate0 (a prior
-    # phase's measurement), then EMA-updated from each round's own wall
-    rate = float(rate0) if rate0 else None
-    slice_s = None
+    slicer = BudgetSlicer(time_budget_s, start_time, rate0)
     for round_i in range(max_rounds):
         if rem.sum() == 0:
             break
-        rem_round = rem
-        if budget_mode:
-            remaining_s = time_budget_s - (_time.time() - start_time)
-            if remaining_s <= 0:
-                # round 0 still runs one probe slice: a zero-sample image
-                # would leave unresolved pixels biased to 0, while one
-                # sample/pixel keeps the rescaled estimate meaningful
-                if round_i > 0:
-                    interrupted = True
-                    break
-            if rate is None:
-                # no rate estimate at all: run a SMALL probe (its wall is
-                # unbounded without a rate, so keep its work minimal)
-                k_slice = min(spp_w, 2)
-            else:
-                # fill half the remaining budget: slices shrink
-                # geometrically toward the deadline, so a rate
-                # overestimate can only overshoot by the final slice
-                slice_s = 0.5 * remaining_s
-                # steps for one sample/pixel across unresolved pixels
-                cpp = float((cost * (rem > 0)).sum())
-                k_slice = int(slice_s * rate / max(cpp, 1.0))
-                if k_slice < 1:
-                    if round_i > 0:
-                        interrupted = True
-                        break
-                    k_slice = 1
-            rem_round = np.minimum(rem, k_slice)
+        rem_round, stop = slicer.plan(rem, cost, round_i, spp_w, have_cost0)
+        if stop:
+            interrupted = True
+            break
         # TIGHT per-round caps: a round run to completion idles every
         # finished lane while estimate-error stragglers drain (measured
         # ~40% occupancy); cutting at ~1.35x the balanced ideal keeps each
@@ -852,12 +890,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                 # exits as soon as quotas drain and all walks die, so a
                 # generous cap costs little at quarter width.
                 cap = min(max_depth + 2 * ideal + 64, ITER_DISPATCH_BUDGET)
-        if budget_mode and rate is not None and slice_s is not None:
-            # a dispatch cannot be interrupted from the host: bound its
-            # iteration count so its predicted wall fits the slice (floor
-            # at max_depth so committed walks can still finish)
-            cap_t = int(1.5 * slice_s * rate / max(n_round, 1))
-            cap = min(cap, max(cap_t, max_depth + 32))
+        cap = slicer.bound_cap(cap, n_round, max_depth + 32)
         if round_i > 0 or (have_cost0 and budget_mode):
             piece_pix, piece_quota = build_balanced_pieces(rem_round, cost,
                                                            n_round, S)
@@ -878,9 +911,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                                      jnp.asarray(piece_pix), n)
         total_steps += int(steps)
         if budget_mode:
-            round_rate = int(steps) / max(_time.time() - t_r, 1e-9)
-            rate = (round_rate if rate is None
-                    else 0.4 * rate + 0.6 * round_rate)
+            slicer.update(int(steps), _time.time() - t_r)
         if os.environ.get("ELAINA_BALANCE_DEBUG") == "1":
             import sys as _sys
             it_n = int(iters)
@@ -912,9 +943,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             frac_done = 1.0 - rem.sum() / max(
                 float(np.sum(~resolved_np)) * spp, 1.0)
             progress(int(frac_done * 100), 100)
-        if (time_budget_s is not None
-                and _time.time() - start_time > time_budget_s
-                and rem.sum() > 0):
+        if slicer.expired() and rem.sum() > 0:
             interrupted = True
             break
 

@@ -86,6 +86,9 @@ def main():
     ap.add_argument("--budgets", default="256,64")
     ap.add_argument("--scene", default="ladybug")
     ap.add_argument("--equal-time", action="store_true")
+    ap.add_argument("--out", default="/root/repo/BENCH_parity.json",
+                    help="output JSON path (point ad-hoc runs elsewhere so "
+                         "they don't clobber the recorded TPU rows)")
     a = ap.parse_args()
 
     from bench import _build_ladybug_problem
@@ -167,9 +170,12 @@ def main():
                          "rmse_ratio_vs_uniform": r_gt_ / r_u})
             print(rows[-1], flush=True)
             # (b) uniform extended to guided's wall-clock (the paper's
-            #     equal-time protocol: same wall budget for both)
+            #     equal-time protocol: same wall budget for both).  The
+            #     spp ceiling scales with the measured wall ratio so the
+            #     budget — not the sample count — is what stops the run.
+            u_cap = max(4 * spp, int(2 * spp * gms / max(ums, 1)))
             ui2, uems, _, _ = solve_image(
-                problem, UniformIntegrator, settings(4 * spp),
+                problem, UniformIntegrator, settings(u_cap),
                 time_budget_s=gms / 1e3)
             r_u2 = rmse(ui2, gt)
             rows.append({"estimator": "uniform_equal_time",
@@ -178,7 +184,7 @@ def main():
             print(rows[-1], flush=True)
 
     out = {"scene": a.scene, "res": res, "gt_spp": a.gt_spp, "rows": rows}
-    with open("/root/repo/BENCH_parity.json", "w") as f:
+    with open(a.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
