@@ -92,6 +92,15 @@ def _build_bumpy3d_problem(accel: str):
 
 
 def main() -> int:
+    # honor JAX_PLATFORMS at runtime: jax is pre-imported (sitecustomize)
+    # and a PJRT plugin may hook backend resolution, so the env var alone
+    # is read too late — and with the TPU tunnel down, initializing the
+    # plugin's backend retries forever instead of failing over.  Done in
+    # main(), NOT at import: library importers (tools/tpu_parity, tests,
+    # ad-hoc probes) pick their own platform via jax.config.update.
+    from elaina_tpu.exec import _apply_platform_env
+    _apply_platform_env()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small CPU-friendly run")
     ap.add_argument("--res", type=int, default=0)

@@ -721,8 +721,10 @@ class GuidedIntegrator(BaseIntegrator):
                 total, spp0, _ = load_solve_state(sol_path)
 
         spp = spp0
+        train_skipped = False
         while spp < s.samplesPerPixel:
             if (spp < s.trainSppCount and not metrics_on
+                    and not train_skipped
                     and not (checkpoint_path and checkpoint_every > 0)):
                 # training phase: balanced worklists + in-chunk records
                 # + per-round optimizer passes (make_balanced_train_chunk).
@@ -734,6 +736,17 @@ class GuidedIntegrator(BaseIntegrator):
                 # the sample loss outweighed the variance win.
                 train_budget = (0.2 * time_budget_s if time_budget_s
                                 else None)
+                if train_budget and self._train_wont_fit(train_budget):
+                    # the training phase's minimum quantum (one spp across
+                    # all unresolved pixels) already exceeds its budget:
+                    # hand EVERY sample to the guiding phase instead (the
+                    # untrained guide is MIS-blended, so still unbiased)
+                    from ..core.logger import log_warning
+                    log_warning(
+                        "time budget too small for even one training spp; "
+                        "skipping the training phase")
+                    train_skipped = True
+                    continue
                 total, spp, interrupted = self._training_persistent(
                     scene, total, spp, start, train_budget)
                 if interrupted and (time_budget_s
@@ -741,7 +754,7 @@ class GuidedIntegrator(BaseIntegrator):
                                     > time_budget_s):
                     break
                 continue
-            if (spp >= s.trainSppCount and not metrics_on
+            if ((spp >= s.trainSppCount or train_skipped) and not metrics_on
                     and not (checkpoint_path and checkpoint_every > 0)):
                 # guiding phase: no training, no records — balanced
                 # persistent worklists (wost.balanced_solve)
@@ -793,6 +806,20 @@ class GuidedIntegrator(BaseIntegrator):
         film.reset()
         film.put_frame(np.asarray(total) / max(spp, 1))
         return duration_ms
+
+    def _train_wont_fit(self, train_budget: float) -> bool:
+        """True when one training spp across all pixels is predicted to
+        exceed the training budget (needs BOTH priors from an earlier
+        solve on this problem; without them the phase probes normally)."""
+        s = self.settings
+        rp = self.problem.__dict__.get("_rate_cache", {}).get(self.n_pixels)
+        cp = self.problem.__dict__.get("_cost_cache", {}).get(
+            (self.n_pixels, float(s.epsilonShell), int(s.maxWalkingDepth)))
+        if not rp or cp is None:
+            return False
+        cpp = float(np.sum(np.maximum(np.asarray(cp), 1.0)))
+        # 0.4*rp mirrors the training phase's optimizer-overhead scaling
+        return cpp / (0.4 * rp) > train_budget
 
     def _train_chunk_get(self):
         """Memoized balanced training chunk (re-creating the closure
@@ -849,7 +876,16 @@ class GuidedIntegrator(BaseIntegrator):
 
         image = jnp.where(in_shell0[:, None], remaining * contrib0, 0.0)
         rem = np.where(resolved, 0, remaining).astype(np.int64)
-        cost = np.ones(n)
+        # per-pixel walk cost from a prior solve on this problem (uniform
+        # GT runs, earlier guided solves): skips the unbalanced probe round
+        cost_prior = self.problem.__dict__.get("_cost_cache", {}).get(
+            (n, float(s.epsilonShell), int(s.maxWalkingDepth)))
+        have_cost0 = cost_prior is not None
+        if have_cost0:
+            cost = np.maximum(np.asarray(cost_prior, np.float64), 1.0)
+            self._pixel_cost = cost
+        else:
+            cost = np.ones(n)
         trainer = self.trainer
         uf = jnp.float32(s.uniformFractionInTrainingPhase)
         mgd = jnp.int32(s.maxGuidedDepthInTrainingPhase)
@@ -872,25 +908,30 @@ class GuidedIntegrator(BaseIntegrator):
         t_t = time.time()
         # time-slice quotas like wost.balanced_solve: pixels progress in
         # lockstep, so a budget interrupt degrades to a uniform lower
-        # effective training spp (shared policy: wost.BudgetSlicer)
-        slicer = BudgetSlicer(time_budget_s, start, None)
+        # effective training spp (shared policy: wost.BudgetSlicer).
+        # A prior solve's walk rate (problem rate cache) seeds the slicer,
+        # scaled down for the in-loop optimizer overhead (an underestimate
+        # only makes the first slice smaller — safe).
+        rate_prior = self.problem.__dict__.get("_rate_cache", {}).get(n)
+        slicer = BudgetSlicer(time_budget_s, start,
+                              0.4 * rate_prior if rate_prior else None)
         max_rounds = 16 + 4 * (1 + remaining * int(s.maxWalkingDepth) // 48)
         for round_i in range(max_rounds):
             if rem.sum() == 0:
                 break
             rem_round, stop = slicer.plan(rem, cost, round_i, spp_w,
-                                          have_cost=round_i > 0)
+                                          have_cost=have_cost0 or round_i > 0)
             if stop:
                 interrupted = True
                 break
-            if round_i > 0:
+            if round_i > 0 or have_cost0:
                 piece_pix, piece_quota = build_balanced_pieces(rem_round,
                                                                cost, n, S)
             ppos = tuple(jnp.asarray(pts_np[piece_pix, d])
                          for d in range(pts_np.shape[1]))
             prd = jnp.asarray(rd0_np[piece_pix])
             tail = False
-            if round_i == 0:
+            if round_i == 0 and not have_cost0:
                 cap = 8 * spp_w
             else:
                 ideal = int(np.ceil(float((rem_round * cost).sum()) / max(n, 1)))
@@ -934,7 +975,9 @@ class GuidedIntegrator(BaseIntegrator):
             self.loss_history.append(float(metric))
             done_np = np.asarray(done_pix).astype(np.int64)
             rem = np.maximum(rem - done_np, 0)
-            if round_i == 0:
+            if round_i == 0 and not have_cost0:
+                # identity lane<->pixel partition: lane steps over pixel
+                # dones IS the per-pixel cost (invalid once balanced)
                 per_lane = np.asarray(lsteps).astype(np.float64)
                 c = per_lane / np.maximum(done_np, 1)
                 have = done_np > 0
@@ -1008,7 +1051,12 @@ class GuidedIntegrator(BaseIntegrator):
             spp=remaining, eps=eps, max_depth=int(s.maxWalkingDepth),
             d_stack=d_stack, n_stack=n_stack, chunk=self._guide_chunk,
             key=jax.random.PRNGKey(1), time_budget_s=time_budget_s,
-            start_time=start, rate0=getattr(self, "_walk_rate", None),
+            start_time=start,
+            rate0=(getattr(self, "_walk_rate", None)
+                   or self.problem.__dict__.get("_rate_cache", {}).get(
+                       self.n_pixels)),
+            rate_sink=lambda r: self.problem.__dict__.setdefault(
+                "_rate_cache", {}).__setitem__(self.n_pixels, r),
             cost0=getattr(self, "_pixel_cost", None) if hasattr(
                 self, "_pixel_cost")
             else self.problem.__dict__.get("_cost_cache", {}).get(

@@ -313,6 +313,9 @@ class UniformIntegrator(BaseIntegrator):
         # instead of paying an unbalanced probe round
         cache = self.problem.__dict__.setdefault("_cost_cache", {})
         ckey = (self.n_pixels, float(s.epsilonShell), int(s.maxWalkingDepth))
+        # walk-rate cache (steps/s at this lane count): lets a later
+        # budgeted solve on the same problem time-slice its FIRST round
+        rcache = self.problem.__dict__.setdefault("_rate_cache", {})
 
         total, steps = balanced_solve(
             scene, None, np.asarray(self.eval_points), np.asarray(rd0),
@@ -323,7 +326,9 @@ class UniformIntegrator(BaseIntegrator):
             progress=_progress, chunk=self._chunk(),
             cost0=cache.get(ckey),
             cost_sink=lambda c: cache.__setitem__(ckey, c),
-            time_budget_s=time_budget_s, start_time=start)
+            time_budget_s=time_budget_s, start_time=start,
+            rate0=rcache.get(self.n_pixels),
+            rate_sink=lambda r: rcache.__setitem__(self.n_pixels, r))
         self.total_walk_steps = steps
         total.block_until_ready()
         duration_ms = int((time.time() - start) * 1000)

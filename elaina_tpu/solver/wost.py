@@ -799,7 +799,8 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                    d_stack: int = 48, n_stack: int = 48, step_fn=None,
                    key=None, time_budget_s=None, start_time=None,
                    progress=None, max_rounds: int | None = None,
-                   cost0=None, chunk=None, cost_sink=None, rate0=None):
+                   cost0=None, chunk=None, cost_sink=None, rate0=None,
+                   rate_sink=None):
     """Round-based balanced persistent solve (see make_balanced_chunk).
 
     Round 0 runs an identity partition for a few samples to measure
@@ -910,8 +911,9 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         image, done_pix = _flush_jit(image, acc, done,
                                      jnp.asarray(piece_pix), n)
         total_steps += int(steps)
-        if budget_mode:
-            slicer.update(int(steps), _time.time() - t_r)
+        # measured even without a budget: rate_sink shares it so later
+        # budgeted solves on the same problem can slice their first round
+        slicer.update(int(steps), _time.time() - t_r)
         if os.environ.get("ELAINA_BALANCE_DEBUG") == "1":
             import sys as _sys
             it_n = int(iters)
@@ -947,6 +949,8 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             interrupted = True
             break
 
+    if rate_sink is not None and slicer.rate is not None:
+        rate_sink(slicer.rate)
     if interrupted or rem.sum() > 0:
         from ..core.logger import log_warning
         done_total = np.where(resolved_np, spp, spp - rem)

@@ -18,6 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jaxcache")
 import jax
 
+from elaina_tpu.exec import _apply_platform_env
+
+# honor JAX_PLATFORMS at runtime (jax may be pre-imported / plugin-overridden
+# before this process's environment is consulted)
+_apply_platform_env()
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 
