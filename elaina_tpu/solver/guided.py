@@ -592,7 +592,7 @@ class GuidedIntegrator(BaseIntegrator):
 
             self._guide_chunk = make_balanced_chunk(
                 g_step, eps=eps, max_depth=int(s.maxWalkingDepth),
-                d_stack=d_stack, n_stack=n_stack)
+                d_stack=d_stack, n_stack=n_stack, mesh=self.mesh)
         extra = (self.trainer.ema_params,
                  jnp.float32(s.uniformFractionInGuidingPhase),
                  jnp.int32(s.maxGuidedDepthInGuidingPhase))
@@ -1039,7 +1039,7 @@ class GuidedIntegrator(BaseIntegrator):
 
             self._guide_chunk = make_balanced_chunk(
                 g_step, eps=eps, max_depth=int(s.maxWalkingDepth),
-                d_stack=d_stack, n_stack=n_stack)
+                d_stack=d_stack, n_stack=n_stack, mesh=self.mesh)
 
         extra = (self.trainer.ema_params,
                  jnp.float32(s.uniformFractionInGuidingPhase),

@@ -41,6 +41,12 @@ def _progress(i, n, label="Solving"):
 
 
 class BaseIntegrator:
+    # optional 1-D jax.sharding.Mesh: shards the persistent-solve LANE
+    # axis across devices (each device drains its own worklist loop; see
+    # wost.make_balanced_chunk).  Set BEFORE the first solve/prepare call
+    # (the compiled chunks are memoized).  None = single device.
+    mesh = None
+
     def __init__(self, problem: Problem, settings: IntegratorSettings,
                  base_path: str):
         self.problem = problem
@@ -247,7 +253,8 @@ class UniformIntegrator(BaseIntegrator):
             self._uni_chunk = make_balanced_chunk(
                 None, eps=float(s.epsilonShell),
                 max_depth=int(s.maxWalkingDepth),
-                d_stack=self.problem.d_stack, n_stack=self.problem.n_stack)
+                d_stack=self.problem.d_stack, n_stack=self.problem.n_stack,
+                mesh=self.mesh)
         return self._uni_chunk
 
     def _step0(self):

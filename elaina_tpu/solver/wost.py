@@ -594,7 +594,7 @@ def build_balanced_pieces(rem: np.ndarray, cost: np.ndarray,
 
 
 def make_balanced_chunk(step_fn=None, *, eps: float, max_depth: int,
-                        d_stack: int = 48, n_stack: int = 48):
+                        d_stack: int = 48, n_stack: int = 48, mesh=None):
     """Balanced persistent solve chunk: per-lane worklists of (pixel, quota)
     pieces, run to completion (while_loop exits when every lane drained its
     worklist and all walks died; ``iter_cap`` is a safety bound).
@@ -612,6 +612,14 @@ def make_balanced_chunk(step_fn=None, *, eps: float, max_depth: int,
     customizes the walk step (the guided integrator passes its inference
     step); default is the uniform wost_depth_step.  ``extra`` is an
     arbitrary pytree threaded to step_fn (e.g. network params).
+
+    With ``mesh`` (a 1-D jax.sharding.Mesh), the LANE axis shards across
+    devices via shard_map: every device runs its OWN while_loop over its
+    own worklist slice, so there is no per-iteration cross-chip sync at
+    all — devices drain independently and only the scalar step/iter
+    counters are psum/pmax-reduced at the end.  Scene and extra replicate
+    (boundary data is MBs, SURVEY.md §2.2).  Per-shard RNG streams fold in
+    the device index.  Requires lane count divisible by the mesh size.
     """
     S = N_PIECES
 
@@ -709,7 +717,30 @@ def make_balanced_chunk(step_fn=None, *, eps: float, max_depth: int,
                        jnp.where(slot == k, scnt, 0)) for k in range(S)])
         return acc, done, lsteps, steps, it
 
-    return jax.jit(chunk)
+    if mesh is None:
+        return jax.jit(chunk)
+
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def local(scene, extra, piece_pos, piece_rd0, piece_quota, key,
+              iter_cap):
+        # decorrelate per-shard RNG streams (identical keys would draw the
+        # same uniforms on every device)
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        acc, done, lsteps, steps, it = chunk(
+            scene, extra, piece_pos, piece_rd0, piece_quota, key, iter_cap)
+        return (acc, done, lsteps, jax.lax.psum(steps, axis),
+                jax.lax.pmax(it, axis))
+
+    lane = P(None, axis)
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), lane, lane, lane, P(), P()),
+        out_specs=(P(None, None, axis), lane, P(axis), P(), P()),
+        check_vma=False)
+    return jax.jit(sharded)
 
 
 def flush_balanced(image, acc, done, piece_pix, n_pixels: int):
