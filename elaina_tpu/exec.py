@@ -89,6 +89,21 @@ def run_expr(conf_path: str) -> dict:
     else:
         raise ValueError(f"Unrecognized integrator type: {cfg.integrator_type!r}")
 
+    # ELAINA_DEVICES=N shards the persistent-solve lane axis over the
+    # first N local devices (extension; the reference is single-GPU)
+    n_dev = int(os.environ.get("ELAINA_DEVICES", "1"))
+    if n_dev > 1:
+        import jax
+
+        from .parallel.dp import make_mesh
+        avail = len(jax.devices())
+        if avail < n_dev:
+            log_error("ELAINA_DEVICES=%d but only %d device(s) available; "
+                      "running single-device", n_dev, avail)
+        else:
+            integrator.mesh = make_mesh(n_dev)
+            log_success("Sharding lanes over %d devices", n_dev)
+
     result: dict = {}
     for channel in sorted(set(cfg.channels), key=lambda c: CHANNELS.index(c)):
         if channel == "SOLUTION":
