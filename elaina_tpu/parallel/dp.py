@@ -142,11 +142,12 @@ def sharded_train_on_records(mesh: Mesh, trainer: TrainerState,
         x = G.normalize_coord(pos, scene.aabb_lo, scene.aabb_hi)
         wi = rec.dir.reshape(total, dim)
         dir_pdf = rec.dir_pdf.reshape(total)
-        thp = rec.thp.reshape(total, 3)
+        thp = rec.thp.reshape(total)
         sol = rec.sol.reshape(total, 3)
         on_b = rec.on_neumann.reshape(total)
         normal = rec.normal.reshape(total, dim)
-        sol_n = jnp.where(jnp.abs(thp) > 1e-5, sol / thp, 0.0)
+        sol_n = jnp.where(jnp.abs(thp)[:, None] > 1e-5,
+                          sol / thp[:, None], 0.0)
         Li = jnp.mean(jnp.abs(sol_n), axis=-1)
         in_aabb = jnp.all((pos >= scene.aabb_lo) & (pos <= scene.aabb_hi), -1)
         valid = (base_valid & in_aabb & (dir_pdf > 0) & jnp.isfinite(Li))

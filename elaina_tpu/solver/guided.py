@@ -77,7 +77,7 @@ class WalkRecords(NamedTuple):
     pos: jnp.ndarray         # (R, N, D)
     dir: jnp.ndarray         # (R, N, D)
     dir_pdf: jnp.ndarray     # (R, N)
-    thp: jnp.ndarray         # (R, N, 3)
+    thp: jnp.ndarray         # (R, N) — scalar throughput (see WalkState.thp)
     sol: jnp.ndarray         # (R, N, 3)
     on_neumann: jnp.ndarray  # (R, N) bool
     normal: jnp.ndarray      # (R, N, D)
@@ -88,7 +88,7 @@ def init_records(n: int, dim: int) -> WalkRecords:
     R = MAX_TRAIN_DEPTH
     return WalkRecords(
         pos=jnp.zeros((R, n, dim)), dir=jnp.zeros((R, n, dim)),
-        dir_pdf=jnp.zeros((R, n)), thp=jnp.zeros((R, n, 3)),
+        dir_pdf=jnp.zeros((R, n)), thp=jnp.zeros((R, n)),
         sol=jnp.zeros((R, n, 3)), on_neumann=jnp.zeros((R, n), bool),
         normal=jnp.zeros((R, n, dim)), cur=jnp.zeros((n,), jnp.int32),
     )
@@ -127,7 +127,8 @@ def _increment(records: WalkRecords, state: WalkState, direction, pdf,
         dir=put(records.dir, direction),
         dir_pdf=put(records.dir_pdf, pdf),
         thp=put(records.thp, state.thp),
-        sol=put(records.sol, jnp.zeros_like(state.thp)),
+        sol=put(records.sol,
+                jnp.zeros((state.thp.shape[0], 3), state.thp.dtype)),
         on_neumann=put(records.on_neumann, state.on_neumann),
         normal=put(records.normal, state.n_normal),
         cur=records.cur + w.astype(jnp.int32),
@@ -340,7 +341,7 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
             rd0 = sel(slot, piece_rd0)
             st = WalkState(
                 pos=jnp.where(restart[:, None], pos0, st.pos),
-                thp=jnp.where(restart[:, None], 1.0, st.thp),
+                thp=jnp.where(restart, 1.0, st.thp),
                 active=st.active | restart,
                 on_neumann=jnp.where(restart, False, st.on_neumann),
                 n_normal=jnp.where(restart[:, None], 0.0, st.n_normal),
@@ -478,14 +479,15 @@ def train_on_records(trainer: TrainerState, spec: NetworkSpec,
     x = normalize_coord(pos, scene.aabb_lo, scene.aabb_hi)
     wi = records.dir.reshape(total, dim)
     dir_pdf = records.dir_pdf.reshape(total)
-    thp = records.thp.reshape(total, 3)
+    thp = records.thp.reshape(total)
     sol = records.sol.reshape(total, 3)
     on_neumann = records.on_neumann.reshape(total)
     normal = records.normal.reshape(total, dim)
 
     # per-channel solution normalization + NaN/AABB filter
-    # (generate_training_data, train.h:422-471)
-    sol_n = jnp.where(jnp.abs(thp) > M_EPSILON, sol / thp, 0.0)
+    # (generate_training_data, train.h:422-471); thp is scalar per record
+    sol_n = jnp.where(jnp.abs(thp)[:, None] > M_EPSILON,
+                      sol / thp[:, None], 0.0)
     Li = jnp.mean(jnp.abs(sol_n), axis=-1)
     in_aabb = jnp.all((pos >= scene.aabb_lo) & (pos <= scene.aabb_hi), axis=-1)
     valid = (base_valid.reshape(total) & in_aabb & (dir_pdf > 0)

@@ -52,7 +52,11 @@ from .sampling import (
 
 class WalkState(NamedTuple):
     pos: jnp.ndarray         # (N, D)
-    thp: jnp.ndarray         # (N, 3) throughput (Color)
+    thp: jnp.ndarray         # (N,) throughput — the reference carries a
+    #   Color (workitem.h:25) but only ever updates it by SCALAR divisions
+    #   (pdf, alpha, sphere measure; integrator.cu:521), so channels stay
+    #   identical for a walk's whole life: a scalar is exact and cuts the
+    #   per-step state + record traffic 3x on this member
     active: jnp.ndarray      # (N,) walk still alive
     on_neumann: jnp.ndarray  # (N,) currently on the Neumann boundary
     n_normal: jnp.ndarray    # (N, D) boundary normal when on_neumann
@@ -63,7 +67,7 @@ def init_walk_state(eval_points, active):
     d = eval_points.shape[1]
     return WalkState(
         pos=eval_points,
-        thp=jnp.ones((n, 3), jnp.float32),
+        thp=jnp.ones((n,), jnp.float32),
         active=active,
         on_neumann=jnp.zeros((n,), bool),
         n_normal=jnp.zeros((n, d), jnp.float32),
@@ -317,7 +321,7 @@ def _boundary_term(scene: Scene, state: WalkState, in_shell, bcolor):
     import os
     if os.environ.get("ELAINA_DEBUG_NO_COLOR") == "1":  # cost-profiling aid
         bcolor = jnp.ones((state.pos.shape[0], 3), jnp.float32)
-    contrib = bcolor * scene.dirichlet_intensity * state.thp
+    contrib = bcolor * scene.dirichlet_intensity * state.thp[:, None]
     return jnp.where((state.active & in_shell)[:, None], contrib, 0.0)
 
 
@@ -358,7 +362,7 @@ def _source_term(scene: Scene, state: WalkState, live, R_B, key, eps: float,
     # conditionalSampleSpherePDF ratio (integrator.cu:313): the r-powers
     # cancel, leaving uniform-sphere-pdf / dir-pdf / alpha.
     scale = green_norm(R_B, dim) * (uniform_sample_sphere_pdf(dim) / dir_pdf) / alpha
-    contrib = state.thp * value * scale[:, None]
+    contrib = state.thp[:, None] * value * scale[:, None]
     ok = live & (r <= dist)
     return jnp.where(ok[:, None], contrib, 0.0)
 
@@ -400,7 +404,8 @@ def _neumann_term(scene: Scene, state: WalkState, live, R_B, key, eps: float,
     color = _surface_color(dim, scene.neumann.colors, gs, pid, side, uv)
     alpha = jnp.where(state.on_neumann, 0.5, 1.0)
     weight = green_eval(jnp.maximum(r, 1e-20), R_B, dim) / alpha / jnp.maximum(pdf, 1e-30)
-    contrib = color * scene.neumann_intensity * state.thp * weight[:, None]
+    contrib = (color * scene.neumann_intensity
+               * (state.thp * weight)[:, None])
     ok = live & valid
     return jnp.where(ok[:, None], -contrib, 0.0)
 
@@ -430,10 +435,10 @@ def _walk(scene: Scene, state: WalkState, live, R_B, key, eps: float,
         next_pos = jnp.where(hit[:, None], current + t[:, None] * direction,
                              next_pos)
 
-    thp = state.thp / (pdf * alpha * sphere_measure(dim))[:, None]
+    thp = state.thp / (pdf * alpha * sphere_measure(dim))
     return WalkState(
         pos=jnp.where(live[:, None], next_pos, state.pos),
-        thp=jnp.where(live[:, None], thp, state.thp),
+        thp=jnp.where(live, thp, state.thp),
         active=state.active,  # caller narrows to the live set
         on_neumann=jnp.where(live, hit, state.on_neumann),
         n_normal=jnp.where(live[:, None], normal, state.n_normal),
@@ -508,7 +513,7 @@ def make_persistent_chunk(*, eps: float, max_depth: int,
             restart = (~st.active) & (sidx < spp) & mask
             st = WalkState(
                 pos=jnp.where(restart[:, None], eval_points, st.pos),
-                thp=jnp.where(restart[:, None], 1.0, st.thp),
+                thp=jnp.where(restart, 1.0, st.thp),
                 active=st.active | restart,
                 on_neumann=jnp.where(restart, False, st.on_neumann),
                 n_normal=jnp.where(restart[:, None], 0.0, st.n_normal),
@@ -679,7 +684,7 @@ def make_balanced_chunk(step_fn=None, *, eps: float, max_depth: int,
             rd0 = sel(slot, piece_rd0)
             st = WalkState(
                 pos=jnp.where(restart[:, None], pos0, st.pos),
-                thp=jnp.where(restart[:, None], 1.0, st.thp),
+                thp=jnp.where(restart, 1.0, st.thp),
                 active=st.active | restart,
                 on_neumann=jnp.where(restart, False, st.on_neumann),
                 n_normal=jnp.where(restart[:, None], 0.0, st.n_normal),
