@@ -91,7 +91,12 @@ def run_expr(conf_path: str) -> dict:
 
     # ELAINA_DEVICES=N shards the persistent-solve lane axis over the
     # first N local devices (extension; the reference is single-GPU)
-    n_dev = int(os.environ.get("ELAINA_DEVICES", "1"))
+    try:
+        n_dev = int(os.environ.get("ELAINA_DEVICES") or "1")
+    except ValueError:
+        log_error("ELAINA_DEVICES=%r is not an integer; running "
+                  "single-device", os.environ.get("ELAINA_DEVICES"))
+        n_dev = 1
     if n_dev > 1:
         import jax
 
@@ -100,6 +105,10 @@ def run_expr(conf_path: str) -> dict:
         if avail < n_dev:
             log_error("ELAINA_DEVICES=%d but only %d device(s) available; "
                       "running single-device", n_dev, avail)
+        elif integrator.n_pixels % n_dev != 0:
+            log_error("frame has %d lanes, not divisible by "
+                      "ELAINA_DEVICES=%d; running single-device",
+                      integrator.n_pixels, n_dev)
         else:
             integrator.mesh = make_mesh(n_dev)
             log_success("Sharding lanes over %d devices", n_dev)

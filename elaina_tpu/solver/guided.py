@@ -604,8 +604,10 @@ class GuidedIntegrator(BaseIntegrator):
         if n >= 4 * 32768:
             # quarter-width tail-round shape (balanced_solve packs tail
             # rounds into n/4 lanes)
-            zf4 = jnp.zeros((S, n // 4), jnp.float32)
-            zi4 = jnp.zeros((S, n // 4), jnp.int32)
+            m = self.mesh.devices.size if self.mesh else 1
+            n4 = (n // 4) // m * m
+            zf4 = jnp.zeros((S, n4), jnp.float32)
+            zi4 = jnp.zeros((S, n4), jnp.int32)
             out = self._guide_chunk(scene, extra, (zf4,) * scene.dim, zf4,
                                     zi4, key, jnp.int32(0))
             jax.block_until_ready(out)
@@ -809,19 +811,33 @@ class GuidedIntegrator(BaseIntegrator):
         film.put_frame(np.asarray(total) / max(spp, 1))
         return duration_ms
 
+    def _train_rate_prior(self):
+        """Training-phase steps/s estimate: a prior TRAINING rate if this
+        problem has one, else 0.4x the walk rate (the in-loop optimizer
+        overhead; measured train/walk ratio ~0.33-0.5 on TPU)."""
+        rc = self.problem.__dict__.get("_rate_cache", {})
+        tr = rc.get(("train", self.n_pixels))
+        if tr:
+            return tr
+        rp = rc.get(self.n_pixels)
+        return 0.4 * rp if rp else None
+
     def _train_wont_fit(self, train_budget: float) -> bool:
-        """True when one training spp across all pixels is predicted to
-        exceed the training budget (needs BOTH priors from an earlier
-        solve on this problem; without them the phase probes normally)."""
+        """True when one training spp across the UNRESOLVED pixels is
+        predicted to exceed the training budget (needs BOTH priors from an
+        earlier solve on this problem; without them the phase probes
+        normally)."""
         s = self.settings
-        rp = self.problem.__dict__.get("_rate_cache", {}).get(self.n_pixels)
+        rp = self._train_rate_prior()
         cp = self.problem.__dict__.get("_cost_cache", {}).get(
             (self.n_pixels, float(s.epsilonShell), int(s.maxWalkingDepth)))
         if not rp or cp is None:
             return False
-        cpp = float(np.sum(np.maximum(np.asarray(cp), 1.0)))
-        # 0.4*rp mirrors the training phase's optimizer-overhead scaling
-        return cpp / (0.4 * rp) > train_budget
+        # only unresolved pixels walk (in-shell / masked ones are baked)
+        _, in_shell0, _ = self._step0(self.problem.scene)
+        unresolved = ~(np.asarray(in_shell0) | ~np.asarray(self.mask))
+        cpp = float(np.sum(np.maximum(np.asarray(cp), 1.0) * unresolved))
+        return cpp / rp > train_budget
 
     def _train_chunk_get(self):
         """Memoized balanced training chunk (re-creating the closure
@@ -911,12 +927,11 @@ class GuidedIntegrator(BaseIntegrator):
         # time-slice quotas like wost.balanced_solve: pixels progress in
         # lockstep, so a budget interrupt degrades to a uniform lower
         # effective training spp (shared policy: wost.BudgetSlicer).
-        # A prior solve's walk rate (problem rate cache) seeds the slicer,
-        # scaled down for the in-loop optimizer overhead (an underestimate
-        # only makes the first slice smaller — safe).
-        rate_prior = self.problem.__dict__.get("_rate_cache", {}).get(n)
-        slicer = BudgetSlicer(time_budget_s, start,
-                              0.4 * rate_prior if rate_prior else None)
+        # A prior TRAINING rate (or 0.4x a prior walk rate) seeds the
+        # slicer; the geometric half-slices bound any residual
+        # overestimate to one slice.
+        slicer = BudgetSlicer(time_budget_s, start, self._train_rate_prior())
+        sink_rate = None
         max_rounds = 16 + 4 * (1 + remaining * int(s.maxWalkingDepth) // 48)
         for round_i in range(max_rounds):
             if rem.sum() == 0:
@@ -974,6 +989,12 @@ class GuidedIntegrator(BaseIntegrator):
             self.total_walk_steps += int(steps)
             self.phase_stats["train_steps"] += int(steps)
             slicer.update(int(steps), time.time() - t_r)
+            if round_i > 0:
+                # post-round-0 only: a fresh process's first round can
+                # include XLA compile wall (see wost.balanced_solve)
+                rr = int(steps) / max(time.time() - t_r, 1e-9)
+                sink_rate = (rr if sink_rate is None
+                             else 0.4 * sink_rate + 0.6 * rr)
             self.loss_history.append(float(metric))
             done_np = np.asarray(done_pix).astype(np.int64)
             rem = np.maximum(rem - done_np, 0)
@@ -999,6 +1020,9 @@ class GuidedIntegrator(BaseIntegrator):
             # seed the guiding phase's budget slicer (training's rate
             # includes optimizer passes, so it underestimates — safe)
             self._walk_rate = slicer.rate
+        if sink_rate is not None:
+            self.problem.__dict__.setdefault("_rate_cache", {})[
+                ("train", n)] = sink_rate
         if interrupted or rem.sum() > 0:
             from ..core.logger import log_warning
             done_total = np.where(resolved, remaining, remaining - rem)
@@ -1059,10 +1083,11 @@ class GuidedIntegrator(BaseIntegrator):
                        self.n_pixels)),
             rate_sink=lambda r: self.problem.__dict__.setdefault(
                 "_rate_cache", {}).__setitem__(self.n_pixels, r),
-            cost0=getattr(self, "_pixel_cost", None) if hasattr(
-                self, "_pixel_cost")
-            else self.problem.__dict__.get("_cost_cache", {}).get(
-                (self.n_pixels, eps, int(s.maxWalkingDepth))))
+            lane_multiple=self.mesh.devices.size if self.mesh else 1,
+            cost0=(getattr(self, "_pixel_cost", None)
+                   if getattr(self, "_pixel_cost", None) is not None
+                   else self.problem.__dict__.get("_cost_cache", {}).get(
+                       (self.n_pixels, eps, int(s.maxWalkingDepth)))))
         self.total_walk_steps += steps
         if hasattr(self, "phase_stats"):
             self.phase_stats["guide_steps"] += steps

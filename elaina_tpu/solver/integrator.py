@@ -287,11 +287,14 @@ class UniformIntegrator(BaseIntegrator):
                     jnp.int32(0))
         jax.block_until_ready(out)
         if n >= 4 * 32768:
-            zf4 = jnp.zeros((S, n // 4), jnp.float32)
-            zi4 = jnp.zeros((S, n // 4), jnp.int32)
-            out = chunk(scene, None, (zf4,) * scene.dim, zf4, zi4, key,
-                        jnp.int32(0))
-            jax.block_until_ready(out)
+            m = self.mesh.devices.size if self.mesh else 1
+            n4 = (n // 4) // m * m
+            if n4 > 0:
+                zf4 = jnp.zeros((S, n4), jnp.float32)
+                zi4 = jnp.zeros((S, n4), jnp.int32)
+                out = chunk(scene, None, (zf4,) * scene.dim, zf4, zi4, key,
+                            jnp.int32(0))
+                jax.block_until_ready(out)
         img = jnp.zeros((n, 3), jnp.float32)
         out = _flush_jit(img, jnp.zeros((S, 3, n), jnp.float32), zi,
                          jnp.zeros((S, n), jnp.int32), n)
@@ -335,7 +338,8 @@ class UniformIntegrator(BaseIntegrator):
             cost_sink=lambda c: cache.__setitem__(ckey, c),
             time_budget_s=time_budget_s, start_time=start,
             rate0=rcache.get(self.n_pixels),
-            rate_sink=lambda r: rcache.__setitem__(self.n_pixels, r))
+            rate_sink=lambda r: rcache.__setitem__(self.n_pixels, r),
+            lane_multiple=self.mesh.devices.size if self.mesh else 1)
         self.total_walk_steps = steps
         total.block_until_ready()
         duration_ms = int((time.time() - start) * 1000)

@@ -836,7 +836,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                    key=None, time_budget_s=None, start_time=None,
                    progress=None, max_rounds: int | None = None,
                    cost0=None, chunk=None, cost_sink=None, rate0=None,
-                   rate_sink=None):
+                   rate_sink=None, lane_multiple: int = 1):
     """Round-based balanced persistent solve (see make_balanced_chunk).
 
     Round 0 runs an identity partition for a few samples to measure
@@ -891,6 +891,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
     interrupted = False
     budget_mode = time_budget_s is not None
     slicer = BudgetSlicer(time_budget_s, start_time, rate0)
+    sink_rate = None
     for round_i in range(max_rounds):
         if rem.sum() == 0:
             break
@@ -916,9 +917,13 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                 # not, so pack the leftovers into 1/4-width lane arrays
                 # (the jitted chunk retraces once per shape, cached).
                 # Measured: the two tail rounds drop from ~5.5s at 8-36%
-                # occupancy to ~2s at quarter width.
-                n_round = n // 4
-                ideal = 4 * ideal
+                # occupancy to ~2s at quarter width.  Under a mesh the
+                # tail width must stay divisible by the mesh size
+                # (lane_multiple); skip the shrink when it can't.
+                n4 = (n // 4) // lane_multiple * lane_multiple
+                if n4 > 0:
+                    n_round = n4
+                    ideal = int(np.ceil(ideal * n / n4))
             cap = min(int(1.35 * ideal) + 24, ITER_DISPATCH_BUDGET)
             if ideal <= max_depth:
                 # final tail: give every remaining walk room to finish in
@@ -950,6 +955,12 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         # measured even without a budget: rate_sink shares it so later
         # budgeted solves on the same problem can slice their first round
         slicer.update(int(steps), _time.time() - t_r)
+        if round_i > 0:
+            # round 0 of a fresh process can include XLA compile wall (a
+            # 10-50x underestimate); only post-round-0 rates are cached
+            round_rate = int(steps) / max(_time.time() - t_r, 1e-9)
+            sink_rate = (round_rate if sink_rate is None
+                         else 0.4 * sink_rate + 0.6 * round_rate)
         if os.environ.get("ELAINA_BALANCE_DEBUG") == "1":
             import sys as _sys
             it_n = int(iters)
@@ -985,8 +996,8 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             interrupted = True
             break
 
-    if rate_sink is not None and slicer.rate is not None:
-        rate_sink(slicer.rate)
+    if rate_sink is not None and sink_rate is not None:
+        rate_sink(sink_rate)
     if interrupted or rem.sum() > 0:
         from ..core.logger import log_warning
         done_total = np.where(resolved_np, spp, spp - rem)

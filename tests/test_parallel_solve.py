@@ -48,9 +48,47 @@ def test_sharded_uniform_solve_matches_analytic():
     assert np.isfinite(img).all()
     # same estimator, different RNG streams: means agree within MC noise
     assert abs(img.mean() - ref.mean()) < 0.08 * max(abs(ref.mean()), 1e-3)
-    # per-shard RNG decorrelation: shards must not produce identical rows
-    rows = img.reshape(8, -1)
-    assert not np.allclose(rows[0], rows[1])
+
+
+def test_sharded_chunk_rng_decorrelated():
+    """Per-shard RNG streams must differ: give every shard an IDENTICAL
+    worklist (same pixels, same quotas) — with correlated streams each
+    shard would execute identical walks and report identical per-lane
+    step counts."""
+    import jax.numpy as jnp
+
+    from elaina_tpu.solver.wost import (N_PIECES, compute_step0,
+                                        make_balanced_chunk)
+
+    problem = _problem(16)
+    scene = problem.scene
+    pts16 = np.asarray(
+        UniformIntegrator(problem, IntegratorSettings(
+            frameSize=(16, 16), samplesPerPixel=1, maxWalkingDepth=16,
+            epsilonShell=1.0), "/tmp/psolve_rng").eval_points)[:32]
+    pts = np.tile(pts16, (8, 1))                     # identical per shard
+    n = pts.shape[0]
+    rd0, _, _ = compute_step0(scene, jnp.asarray(pts),
+                              jnp.ones((n,), bool), eps=1.0,
+                              d_stack=problem.d_stack,
+                              n_stack=problem.n_stack)
+
+    S = N_PIECES
+    piece_pos = tuple(
+        jnp.tile(jnp.asarray(pts[:, d])[None], (S, 1)) for d in range(2))
+    piece_rd0 = jnp.tile(jnp.asarray(rd0)[None], (S, 1))
+    quota = jnp.zeros((S, n), jnp.int32).at[0].set(2)
+
+    chunk = make_balanced_chunk(
+        None, eps=1.0, max_depth=16, d_stack=problem.d_stack,
+        n_stack=problem.n_stack, mesh=make_mesh(8))
+    _, _, lsteps, steps, _ = chunk(scene, None, piece_pos, piece_rd0,
+                                   quota, jax.random.PRNGKey(0),
+                                   jnp.int32(64))
+    rows = np.asarray(lsteps).reshape(8, 32)
+    assert int(steps) > 0
+    # identical worklists, so any row inequality is purely RNG-driven
+    assert any(not np.array_equal(rows[0], rows[i]) for i in range(1, 8))
 
 
 def test_sharded_guided_guiding_phase():

@@ -129,7 +129,7 @@ def main():
         pos=jax.random.uniform(key, (G.MAX_TRAIN_DEPTH, N, 2)) * 500.0,
         dir=jnp.tile(d[None], (G.MAX_TRAIN_DEPTH, 1, 1)),
         dir_pdf=jnp.full((G.MAX_TRAIN_DEPTH, N), 0.2),
-        thp=jnp.ones((G.MAX_TRAIN_DEPTH, N, 3)),
+        thp=jnp.ones((G.MAX_TRAIN_DEPTH, N)),
         sol=jnp.ones((G.MAX_TRAIN_DEPTH, N, 3)) * 0.5,
         on_neumann=jnp.zeros((G.MAX_TRAIN_DEPTH, N), bool),
         normal=jnp.zeros((G.MAX_TRAIN_DEPTH, N, 2)))
