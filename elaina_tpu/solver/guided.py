@@ -931,7 +931,7 @@ class GuidedIntegrator(BaseIntegrator):
         # slicer; the geometric half-slices bound any residual
         # overestimate to one slice.
         slicer = BudgetSlicer(time_budget_s, start, self._train_rate_prior())
-        sink_rate = None
+        sink_steps, sink_wall = 0, 0.0
         max_rounds = 16 + 4 * (1 + remaining * int(s.maxWalkingDepth) // 48)
         for round_i in range(max_rounds):
             if rem.sum() == 0:
@@ -990,11 +990,11 @@ class GuidedIntegrator(BaseIntegrator):
             self.phase_stats["train_steps"] += int(steps)
             slicer.update(int(steps), time.time() - t_r)
             if round_i > 0:
-                # post-round-0 only: a fresh process's first round can
-                # include XLA compile wall (see wost.balanced_solve)
-                rr = int(steps) / max(time.time() - t_r, 1e-9)
-                sink_rate = (rr if sink_rate is None
-                             else 0.4 * sink_rate + 0.6 * rr)
+                # post-round-0 only (first-round XLA compile wall), as a
+                # cumulative steps/wall ratio so low-occupancy tail rounds
+                # cannot dominate (see wost.balanced_solve)
+                sink_steps += int(steps)
+                sink_wall += time.time() - t_r
             self.loss_history.append(float(metric))
             done_np = np.asarray(done_pix).astype(np.int64)
             rem = np.maximum(rem - done_np, 0)
@@ -1020,9 +1020,9 @@ class GuidedIntegrator(BaseIntegrator):
             # seed the guiding phase's budget slicer (training's rate
             # includes optimizer passes, so it underestimates — safe)
             self._walk_rate = slicer.rate
-        if sink_rate is not None:
+        if sink_wall > 0:
             self.problem.__dict__.setdefault("_rate_cache", {})[
-                ("train", n)] = sink_rate
+                ("train", n)] = sink_steps / sink_wall
         if interrupted or rem.sum() > 0:
             from ..core.logger import log_warning
             done_total = np.where(resolved, remaining, remaining - rem)

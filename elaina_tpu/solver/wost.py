@@ -803,12 +803,35 @@ class BudgetSlicer:
             k = min(probe_spp, 2)
         else:
             self.slice_s = 0.5 * remaining_s
-            cpp = float((cost * (rem > 0)).sum())
+            unresolved = rem > 0
+            cpp = float((cost * unresolved).sum())
             k = int(self.slice_s * self.rate / max(cpp, 1.0))
             if k < 1:
-                if round_i > 0:
-                    return rem, True
-                k = 1
+                if round_i == 0:
+                    k = 1
+                else:
+                    # a whole sample/pixel doesn't fit the slice: run ONE
+                    # sample on the pixel subset that does (the end-of-
+                    # solve rescale handles non-uniform counts) — stopping
+                    # here instead would strand the remaining budget
+                    # whenever the rate estimate runs low (each executed
+                    # round also corrects the estimate).  Stop only when
+                    # even ~1% of the unresolved pixels wouldn't fit.
+                    idx = np.flatnonzero(unresolved)
+                    if idx.size == 0:
+                        return rem, True
+                    mean_c = float(np.maximum(cost[idx], 1.0).mean())
+                    npix = int(self.slice_s * self.rate / mean_c)
+                    if npix < max(1, int(0.01 * idx.size)):
+                        return rem, True
+                    # rotate the subset by round so repeated partial
+                    # rounds spread across pixels
+                    off = (round_i * npix) % idx.size
+                    take = idx[(off + np.arange(min(npix, idx.size)))
+                               % idx.size]
+                    out = np.zeros_like(rem)
+                    out[take] = np.minimum(rem[take], 1)
+                    return out, False
         return np.minimum(rem, k), False
 
     def bound_cap(self, cap: int, n_lanes: int, floor: int) -> int:
@@ -891,7 +914,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
     interrupted = False
     budget_mode = time_budget_s is not None
     slicer = BudgetSlicer(time_budget_s, start_time, rate0)
-    sink_rate = None
+    sink_steps, sink_wall = 0, 0.0
     for round_i in range(max_rounds):
         if rem.sum() == 0:
             break
@@ -957,10 +980,11 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         slicer.update(int(steps), _time.time() - t_r)
         if round_i > 0:
             # round 0 of a fresh process can include XLA compile wall (a
-            # 10-50x underestimate); only post-round-0 rates are cached
-            round_rate = int(steps) / max(_time.time() - t_r, 1e-9)
-            sink_rate = (round_rate if sink_rate is None
-                         else 0.4 * sink_rate + 0.6 * round_rate)
+            # 10-50x underestimate); only post-round-0 work is cached, as
+            # a cumulative steps/wall ratio so low-occupancy tail rounds
+            # (few steps) cannot dominate the cached rate
+            sink_steps += int(steps)
+            sink_wall += _time.time() - t_r
         if os.environ.get("ELAINA_BALANCE_DEBUG") == "1":
             import sys as _sys
             it_n = int(iters)
@@ -996,8 +1020,8 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             interrupted = True
             break
 
-    if rate_sink is not None and sink_rate is not None:
-        rate_sink(sink_rate)
+    if rate_sink is not None and sink_wall > 0:
+        rate_sink(sink_steps / sink_wall)
     if interrupted or rem.sum() > 0:
         from ..core.logger import log_warning
         done_total = np.where(resolved_np, spp, spp - rem)
