@@ -21,6 +21,12 @@ timeout 3000 python bench.py --scene bumpy3d > /tmp/rm_bench3d.log 2>&1
 echo "bench3d rc=$? $(date +%H:%M:%S)" | tee -a /tmp/remeasure.log
 sleep 120
 
+echo "=== budget probe $(date +%H:%M:%S)" | tee -a /tmp/remeasure.log
+timeout 1800 python tools/budget_probe.py --res 256 --budget 10 \
+    > /tmp/rm_budget.log 2>&1
+echo "budget rc=$? $(date +%H:%M:%S)" | tee -a /tmp/remeasure.log
+sleep 120
+
 echo "=== coldstart fille $(date +%H:%M:%S)" | tee -a /tmp/remeasure.log
 timeout 2400 python tools/coldstart.py --scene fille > /tmp/rm_coldstart.log 2>&1
 echo "coldstart rc=$? $(date +%H:%M:%S)" | tee -a /tmp/remeasure.log
