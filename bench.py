@@ -133,9 +133,37 @@ def main() -> int:
 
     signal.signal(signal.SIGALRM, _die)
 
-    # pre-flight: a tiny computation must complete or the device is wedged.
+    # pre-flight 1 (subprocess, hard-bounded): with the TPU tunnel down the
+    # axon plugin's backend init retries forever inside C code, where a
+    # SIGALRM Python handler never runs — so probe init in a child process
+    # that an OS timeout CAN kill, and fall back to CPU if it dies.
     # Generous deadline: the tunneled chip takes minutes (sometimes >10)
     # to come back after a previous heavy process was killed mid-dispatch.
+    if (os.environ.get("ELAINA_BENCH_FALLBACK") != "1"
+            and os.environ.get("JAX_PLATFORMS", "") != "cpu"):
+        import subprocess
+        alive = False
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "jnp.ones((8, 8)).sum().block_until_ready(); "
+                 "print(jax.default_backend())"],
+                capture_output=True, text=True,
+                timeout=float(os.environ.get("ELAINA_PROBE_TIMEOUT", 600)))
+            alive = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            pass
+        if not alive:
+            os.environ["ELAINA_BENCH_FALLBACK"] = "1"
+            os.environ["JAX_PLATFORM_NAME"] = "cpu"
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            sys.stderr.write("bench: backend probe failed; re-exec on CPU\n")
+            os.execv(sys.executable,
+                     [sys.executable, os.path.abspath(__file__), "--quick"])
+
+    # pre-flight 2 (in-process): a tiny computation must complete or the
+    # device is wedged.
     import jax.numpy as jnp
     signal.alarm(900)
     _ = float(jnp.ones((8, 8)).sum())
