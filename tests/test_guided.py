@@ -203,3 +203,40 @@ def test_train_pixel_stride_masks_records():
     # identical RNG stream -> identical walk contributions
     np.testing.assert_allclose(np.asarray(c_sel), np.asarray(c_all),
                                rtol=1e-6, atol=1e-7)
+
+def test_untrained_net_fallback_in_phase_and_checkpoint(tmp_path):
+    """ADVICE r2 #2/#3: with no optimizer step run, BOTH dispatch paths
+    (persistent and chunked `_phase`) must fall back to uniform sampling
+    (max_guided_depth == 0), and the trained flag must round-trip through
+    checkpoints instead of being assumed True on load."""
+    from bench import _build_square_problem
+    from elaina_tpu.core.checkpoint import load_trainer, save_trainer
+    from elaina_tpu.core.config import IntegratorSettings
+    from elaina_tpu.solver.guided import GuidedIntegrator
+
+    problem = _build_square_problem(8, "grid")
+    settings = IntegratorSettings(
+        frameSize=(8, 8), samplesPerPixel=4, maxWalkingDepth=16,
+        epsilonShell=1.0, trainSppCount=0,
+        uniformFractionInGuidingPhase=0.5,
+        maxGuidedDepthInGuidingPhase=6)
+    net = {"encoding": {"base_resolution": 4, "n_levels": 2,
+                        "n_features_per_level": 2, "per_level_scale": 1.5},
+           "network": {"n_neurons": 16, "n_hidden_layers": 1}}
+    integ = GuidedIntegrator(problem, settings, str(tmp_path))
+    integ.reset_network(net)
+    assert not integ._net_trained
+    _, mgd, training = integ._phase(0)           # trainSppCount=0 -> guiding
+    assert not training and int(mgd) == 0        # uniform fallback
+    integ._net_trained = True
+    _, mgd, _ = integ._phase(0)
+    assert int(mgd) == 6                         # trained: guiding enabled
+
+    # checkpoint round-trip of the trained flag
+    ck = str(tmp_path / "ck.npz")
+    save_trainer(ck, integ.trainer, {"spp": 0, "net_trained": False})
+    _, meta = load_trainer(ck)
+    assert meta["net_trained"] is False
+    save_trainer(ck, integ.trainer, {"spp": 0, "net_trained": True})
+    _, meta = load_trainer(ck)
+    assert meta["net_trained"] is True
