@@ -279,8 +279,7 @@ class Problem:
                                              attach_coords, attach_shading)
                 if _use_pallas() or _pallas_interpret():
                     d_grid = attach_coords(d_grid, v, idx)
-                    if dim == 2:
-                        d_grid = attach_shading(d_grid, colors, idx)
+                    d_grid = attach_shading(d_grid, colors, idx)
         if json_get_optional(mesh, "neumann_path"):
             v, idx = load_obj(resolve(mesh["neumann_path"]), dim)
             gs, depth = make_geom_set(v, idx)

@@ -382,8 +382,21 @@ def build_candidate_grid(
     lbound = None
     coverage = 1.0
 
+    # native C++ band passes (BVH-pruned, O(log P + band) per cell) replace
+    # the O(cells x prims) device passes when the shared library is present
+    # — fille's level passes drop from 192 s to seconds (VERDICT r2 #3).
+    # ELAINA_NATIVE_GRID=0 forces the device path (oracle for tests).
+    from .native import (grid_band_counts_native, grid_band_rows_native,
+                         grid_bands_available)
+    use_native = (grid_bands_available()
+                  and os.environ.get("ELAINA_NATIVE_GRID", "1") == "1")
+
     for lvl in range(max_levels):
-        counts, lcell = _count_pass(pv, dim, centers, hcell)
+        if use_native:
+            counts, lcell = grid_band_counts_native(verts, indices, centers,
+                                                    hcell)
+        else:
+            counts, lcell = _count_pass(pv, dim, centers, hcell)
         if lvl == 0:
             lbound = lcell
         last = lvl == max_levels - 1
@@ -403,7 +416,11 @@ def build_candidate_grid(
         metas.append(meta)
 
         if fit_idx.shape[0]:
-            rows, row_lb = _band_pass(pv, dim, centers[fit_idx], hcell, K)
+            if use_native:
+                rows, row_lb = grid_band_rows_native(
+                    verts, indices, centers[fit_idx], hcell, K)
+            else:
+                rows, row_lb = _band_pass(pv, dim, centers[fit_idx], hcell, K)
             row_blocks.append(rows)
             row_lb_blocks.append(row_lb)
             diam = np.float32(2.0 * np.linalg.norm(hcell))
@@ -551,21 +568,21 @@ def attach_shading(grid: CandidateGrid, colors: np.ndarray,
                    indices: np.ndarray) -> CandidateGrid:
     """Attach the pallas_resolve fetch tables: candidate-id tiles
     (winner-pid extraction in the sweep kernel) and per-(prim, side)
-    endpoint color rows [c0.rgb, 0, c1.rgb, 0, 0...] in a (2P_pad8, 128)
-    layout so one 8-row-aligned DMA covers any row
-    (computeSurfaceColor data, integrator/common.h:242-260)."""
+    corner color rows in a (2P_pad8, 128) layout so one 8-row-aligned DMA
+    covers any row (computeSurfaceColor data,
+    integrator/common.h:242-260).  Row layout: [c0.rgb, 0, c1.rgb, 0]
+    for segments; [ca.rgb, 0, cb.rgb, 0, cc.rgb, 0] for triangles."""
     from ..ops.pallas_resolve import kprime_for
     if grid.crows is not None:
         return grid
     colors = np.asarray(colors, np.float32)
     indices = np.asarray(indices)
-    P = indices.shape[0]
+    P, corners = indices.shape
     rows = -(-2 * P // 8) * 8
     cr = np.zeros((rows, 128), np.float32)
-    v0, v1 = indices[:, 0], indices[:, 1]
     for side in range(2):
-        cr[side:2 * P:2, 0:3] = colors[v0, side]
-        cr[side:2 * P:2, 4:7] = colors[v1, side]
+        for k in range(corners):
+            cr[side:2 * P:2, 4 * k:4 * k + 3] = colors[indices[:, k], side]
     return replace(grid,
                    cpack=_pack_cand(grid.cand,
                                     kprime_for(grid.cand.shape[1])),
@@ -782,7 +799,8 @@ def build_fine_pack(grid: CandidateGrid, eps: float,
 
 
 def attach_fine(grid: CandidateGrid, eps: float) -> CandidateGrid:
-    """Return a copy of the grid with the FinePack attached (2D only)."""
+    """Return a copy of the grid with the FinePack attached (2D and 3D,
+    subject to build_fine_pack's dense-cell caps)."""
     if grid.fine is not None and grid.fine.eps == float(eps):
         return grid
     fp = build_fine_pack(grid, eps)

@@ -71,6 +71,17 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32]
     lib.silhouettes_free.argtypes = [ctypes.POINTER(_SilOut)]
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    if hasattr(lib, "grid_band_counts"):
+        lib.grid_band_counts.restype = None
+        lib.grid_band_counts.argtypes = [
+            fp, ctypes.c_int64, ip, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, fp, ctypes.c_int64, fp, ip, fp]
+        lib.grid_band_rows.restype = None
+        lib.grid_band_rows.argtypes = [
+            fp, ctypes.c_int64, ip, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, fp, ctypes.c_int64, fp, ctypes.c_int32, ip, fp]
     _LIB = lib
     return lib
 
@@ -152,3 +163,55 @@ def silhouette_entities_native(verts: np.ndarray, indices: np.ndarray):
         )
     finally:
         lib.silhouettes_free(out)
+
+
+def grid_bands_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "grid_band_counts")
+
+
+def grid_band_counts_native(verts: np.ndarray, indices: np.ndarray,
+                            centers: np.ndarray, hcell: np.ndarray):
+    """Native _count_pass: (counts (n,) int32, lcell (n,) float32).
+
+    BVH-pruned per-cell band counting — the device pass is
+    O(cells x prims) per level (192 s of the fille cold start)."""
+    lib = _load()
+    v = np.ascontiguousarray(verts, np.float32)
+    idx = np.ascontiguousarray(indices, np.int32)
+    c = np.ascontiguousarray(centers, np.float32)
+    h = np.ascontiguousarray(hcell, np.float32)
+    dim = v.shape[1]
+    n = c.shape[0]
+    counts = np.empty((n,), np.int32)
+    lcell = np.empty((n,), np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    lib.grid_band_counts(
+        v.ctypes.data_as(fp), v.shape[0], idx.ctypes.data_as(ip),
+        idx.shape[0], idx.shape[1], dim, c.ctypes.data_as(fp), n,
+        h.ctypes.data_as(fp), counts.ctypes.data_as(ip),
+        lcell.ctypes.data_as(fp))
+    return counts, lcell
+
+
+def grid_band_rows_native(verts: np.ndarray, indices: np.ndarray,
+                          centers: np.ndarray, hcell: np.ndarray, K: int):
+    """Native _band_pass: (rows (n, K) int32 -1-padded, lcell (n,) f32)."""
+    lib = _load()
+    v = np.ascontiguousarray(verts, np.float32)
+    idx = np.ascontiguousarray(indices, np.int32)
+    c = np.ascontiguousarray(centers, np.float32)
+    h = np.ascontiguousarray(hcell, np.float32)
+    dim = v.shape[1]
+    n = c.shape[0]
+    rows = np.empty((n, int(K)), np.int32)
+    lcell = np.empty((n,), np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    lib.grid_band_rows(
+        v.ctypes.data_as(fp), v.shape[0], idx.ctypes.data_as(ip),
+        idx.shape[0], idx.shape[1], dim, c.ctypes.data_as(fp), n,
+        h.ctypes.data_as(fp), int(K), rows.ctypes.data_as(ip),
+        lcell.ctypes.data_as(fp))
+    return rows, lcell

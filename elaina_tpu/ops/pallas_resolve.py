@@ -274,68 +274,214 @@ def sweep_resolve(mask_words, row, q, coords, cpack, *, rpp: int,
     return tuple(o.reshape(-1)[:n] for o in outs)
 
 
-def _color_kernel(mask_ref, cfi_ref, cnt_ref, cfiv_ref, crows_ref, c0r_ref,
-                  c0g_ref, c0b_ref, c1r_ref, c1g_ref, c1b_ref, cbuf, sem):
-    """Per in-shell lane: one (8, 128) DMA of the 8-row-aligned block of
-    the (2P, 128) color table containing row cfi = 2*pid + side, then a
-    one-hot row select.  Row layout: [c0.rgb, pad, c1.rgb, pad, 0...]."""
+def _sweep_kernel_3d(mask_ref, row_ref, cnt_ref, q_ref, rowv_ref,
+                     coords_ref, cpack_ref, dex_ref, pid_ref, *rest,
+                     rpp: int, kprime: int):
+    """3D variant of _sweep_kernel: 9 coordinate planes (triangle
+    corners), point-triangle distance (_tri_d2_tile), winner corners out
+    (uv / side / interior run in XLA on the compacted lanes — unlike the
+    2D kernel there are 9 of them, past the profitable in-kernel width)."""
+    from .pallas_queries import _tri_d2_tile
+
+    corner_refs = rest[:9]
+    cbuf, kbuf, sem_c, sem_k = rest[9:13]
     b = pl.program_id(0)
 
     @pl.when(cnt_ref[b] != 0)
     def _():
-        ngrp = CBL // GROUP
+        ngrp = RBL // GROUP
         base_word = b * ngrp
+        rows_per_tile = 1024 // kprime
 
         def issue(l):
-            base = (cfi_ref[b * CBL + l] // 8) * 8
-            base = pl.multiple_of(base, 8)
-            pltpu.make_async_copy(crows_ref.at[pl.ds(base, 8)], cbuf.at[l],
-                                  sem).start()
+            r = row_ref[b * RBL + l]
+            pltpu.make_async_copy(coords_ref.at[r], cbuf.at[l],
+                                  sem_c).start()
+            pltpu.make_async_copy(cpack_ref.at[r // rows_per_tile],
+                                  kbuf.at[l], sem_k).start()
 
         _scan_bits(mask_ref, base_word, ngrp, issue)
 
         def wait(l):
-            base = (cfi_ref[b * CBL + l] // 8) * 8
-            base = pl.multiple_of(base, 8)
-            pltpu.make_async_copy(crows_ref.at[pl.ds(base, 8)], cbuf.at[l],
-                                  sem).wait()
+            r = row_ref[b * RBL + l]
+            pltpu.make_async_copy(coords_ref.at[r], cbuf.at[l],
+                                  sem_c).wait()
+            pltpu.make_async_copy(cpack_ref.at[r // rows_per_tile],
+                                  kbuf.at[l], sem_k).wait()
 
         _scan_bits(mask_ref, base_word, ngrp, wait)
 
-        sub = (cfiv_ref[:, 0] % 8)[:, None]
-        acc = jnp.zeros((CBL, 128), jnp.float32)
-        for s in range(8):
-            acc = acc + cbuf[:, s, :] * (sub == s).astype(jnp.float32)
-        # static integer indexing of the lane axis lowers to a gather
-        # Mosaic rejects; extract each column as a one-hot masked reduction
-        lanecol = jax.lax.broadcasted_iota(jnp.int32, (CBL, 128), 1)
+        qx = q_ref[:, 0:1]
+        qy = q_ref[:, 1:2]
+        qz = q_ref[:, 2:3]
+        K = rpp * 128
+        best_d2 = jnp.full((RBL, 128), jnp.float32(jnp.inf))
+        best_flat = jnp.full((RBL, 128), K, jnp.int32)
+        best_c = [jnp.zeros((RBL, 128), jnp.float32) for _ in range(9)]
+        lanecol = jax.lax.broadcasted_iota(jnp.int32, (RBL, 128), 1)
+        for r in range(rpp):
+            c = tuple(cbuf[:, p * rpp + r, :] for p in range(9))
+            d2 = _tri_d2_tile(qx, qy, qz, c)
+            better = d2 < best_d2
+            best_d2 = jnp.where(better, d2, best_d2)
+            best_flat = jnp.where(better, r * 128 + lanecol, best_flat)
+            best_c = [jnp.where(better, c[p], best_c[p]) for p in range(9)]
+        best = jnp.min(best_d2, axis=1)
+        hit = best_d2 <= best[:, None]
+        slot = jnp.min(jnp.where(hit, best_flat, K), axis=1)
+        slot = jnp.minimum(slot, K - 1)
+        wcol = slot - (slot // 128) * 128
+        sel = (lanecol == wcol[:, None]) & hit
 
-        def col(c):
-            return jnp.sum(jnp.where(lanecol == c, acc, 0.0),
-                           axis=1)[None, :]
+        rowv = rowv_ref[:, 0]
+        flat = (rowv % rows_per_tile) * kprime + slot
+        pid = _onehot_pick(kbuf, flat)
 
-        c0r_ref[pl.ds(b, 1), :] = col(0)
-        c0g_ref[pl.ds(b, 1), :] = col(1)
-        c0b_ref[pl.ds(b, 1), :] = col(2)
-        c1r_ref[pl.ds(b, 1), :] = col(4)
-        c1g_ref[pl.ds(b, 1), :] = col(5)
-        c1b_ref[pl.ds(b, 1), :] = col(6)
+        dex_ref[pl.ds(b, 1), :] = jnp.sqrt(best)[None, :]
+        pid_ref[pl.ds(b, 1), :] = pid[None, :]
+        for p in range(9):
+            corner_refs[p][pl.ds(b, 1), :] = jnp.sum(
+                jnp.where(sel, best_c[p], 0.0), axis=1)[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fetch_colors(mask_words, cfi, color_rows, *, interpret: bool = False):
-    """Side-selected endpoint colors of the winning candidate primitive.
+@functools.partial(jax.jit,
+                   static_argnames=("rpp", "kprime", "interpret"))
+def sweep_resolve_3d(mask_words, row, q, coords, cpack, *, rpp: int,
+                     kprime: int, interpret: bool = False):
+    """Exact 3D Dirichlet closest-triangle resolve for bit-masked lanes.
 
-    mask_words: (N/GROUP,) int32 (in-shell lanes); cfi: (N,) int32 color
-    row 2*pid + side; color_rows: (2P_pad8, 128) f32 rows
-    [c0.rgb, pad, c1.rgb, pad, 0...] per (prim, side).
-
-    Returns (c0, c1): (N, 3) endpoint colors (garbage on unmasked lanes).
+    Same contract as sweep_resolve but for triangle boundaries: coords is
+    the 9-plane table (corner k, axis d at plane k*3+d).  Returns
+    (d_exact, pid, pv) with pv a 3-tuple of per-corner (N, 3) arrays
+    (the prim_project verts convention; garbage on unmasked lanes).
     """
+    n = row.shape[0]
+    n_rows = coords.shape[1]
+    LC = min(LANE_CHUNK, -(-n // RBL) * RBL)
+    n_pad = -(-n // LC) * LC
+    nw = n // GROUP
+
+    mask_p = jnp.zeros((n_pad // GROUP,), jnp.int32).at[:nw].set(mask_words)
+    row_p = jnp.zeros((n_pad,), jnp.int32).at[:n].set(row)
+    q_p = jnp.zeros((n_pad, 3), jnp.float32).at[:n].set(q)
+    G = LC // RBL
+
+    out_spec = pl.BlockSpec((G, RBL), lambda i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out_f32 = jax.ShapeDtypeStruct((G, RBL), jnp.float32)
+    out_i32 = jax.ShapeDtypeStruct((G, RBL), jnp.int32)
+    call = pl.pallas_call(
+        functools.partial(_sweep_kernel_3d, rpp=rpp, kprime=kprime),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((RBL, 3), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((RBL, 1), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(out_spec,) * 11,
+            scratch_shapes=[
+                pltpu.VMEM((RBL, n_rows, 128), jnp.float32),
+                pltpu.VMEM((RBL, 8, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=(out_f32, out_i32) + (out_f32,) * 9,
+        cost_estimate=pl.CostEstimate(
+            flops=60 * LC * rpp * 128,
+            bytes_accessed=LC * (n_rows * 128 // 8) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    def one(m_c, r_c, q_c):
+        cnt = _block_any(m_c, RBL)
+        return call(m_c, r_c, cnt, q_c, r_c.reshape(-1, 1), coords, cpack)
+
+    if n_pad == LC:
+        mask_p, row_p, q_p = jax.lax.optimization_barrier(
+            (mask_p, row_p, q_p))
+        outs = jax.lax.optimization_barrier(one(mask_p, row_p, q_p))
+    else:
+        mask_r = mask_p.reshape(-1, LC // GROUP)
+        row_r = row_p.reshape(-1, LC)
+        q_r = q_p.reshape(-1, LC, 3)
+
+        def body(carry, xs):
+            m_c, r_c, q_c = jax.lax.optimization_barrier(xs)
+            return carry, jax.lax.optimization_barrier(one(m_c, r_c, q_c))
+
+        _, outs = jax.lax.scan(body, 0, (mask_r, row_r, q_r))
+    flat = tuple(o.reshape(-1)[:n] for o in outs)
+    # 3-tuple of per-corner (N, 3) arrays — the prim_project/prim_side
+    # verts convention (geometry/primitives.py)
+    pv = tuple(jnp.stack(flat[2 + 3 * k:2 + 3 * k + 3], axis=-1)
+               for k in range(3))
+    return flat[0], flat[1], pv
+
+
+def _make_color_kernel(cols: tuple):
+    """Color-fetch kernel extracting the given row columns (2D: 2 corner
+    colors at cols 0-2/4-6; 3D: 3 corners at 0-2/4-6/8-10)."""
+
+    def kernel(mask_ref, cfi_ref, cnt_ref, cfiv_ref, crows_ref, *rest):
+        out_refs = rest[:len(cols)]
+        cbuf, sem = rest[len(cols)], rest[len(cols) + 1]
+        b = pl.program_id(0)
+
+        @pl.when(cnt_ref[b] != 0)
+        def _():
+            ngrp = CBL // GROUP
+            base_word = b * ngrp
+
+            def issue(l):
+                base = (cfi_ref[b * CBL + l] // 8) * 8
+                base = pl.multiple_of(base, 8)
+                pltpu.make_async_copy(crows_ref.at[pl.ds(base, 8)],
+                                      cbuf.at[l], sem).start()
+
+            _scan_bits(mask_ref, base_word, ngrp, issue)
+
+            def wait(l):
+                base = (cfi_ref[b * CBL + l] // 8) * 8
+                base = pl.multiple_of(base, 8)
+                pltpu.make_async_copy(crows_ref.at[pl.ds(base, 8)],
+                                      cbuf.at[l], sem).wait()
+
+            _scan_bits(mask_ref, base_word, ngrp, wait)
+
+            sub = (cfiv_ref[:, 0] % 8)[:, None]
+            acc = jnp.zeros((CBL, 128), jnp.float32)
+            for s in range(8):
+                acc = acc + cbuf[:, s, :] * (sub == s).astype(jnp.float32)
+            # static integer indexing of the lane axis lowers to a gather
+            # Mosaic rejects; extract each column as a one-hot masked
+            # reduction
+            lanecol = jax.lax.broadcasted_iota(jnp.int32, (CBL, 128), 1)
+
+            for oi, c in enumerate(cols):
+                out_refs[oi][pl.ds(b, 1), :] = jnp.sum(
+                    jnp.where(lanecol == c, acc, 0.0), axis=1)[None, :]
+
+    return kernel
+
+
+_color_kernel = _make_color_kernel((0, 1, 2, 4, 5, 6))
+
+
+def _fetch_colors_impl(mask_words, cfi, color_rows, cols: tuple,
+                       interpret: bool):
     n = cfi.shape[0]
     LC = min(LANE_CHUNK, -(-n // CBL) * CBL)
     n_pad = -(-n // LC) * LC
     nw = n // GROUP
+    n_out = len(cols)
 
     mask_p = jnp.zeros((n_pad // GROUP,), jnp.int32).at[:nw].set(mask_words)
     cfi_p = jnp.zeros((n_pad,), jnp.int32).at[:n].set(cfi)
@@ -345,7 +491,7 @@ def fetch_colors(mask_words, cfi, color_rows, *, interpret: bool = False):
     out_spec = pl.BlockSpec((G, CBL), lambda i, *_: (0, 0),
                             memory_space=pltpu.VMEM)
     call = pl.pallas_call(
-        _color_kernel,
+        _make_color_kernel(cols),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(G,),
@@ -354,13 +500,13 @@ def fetch_colors(mask_words, cfi, color_rows, *, interpret: bool = False):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=(out_spec,) * 6,
+            out_specs=(out_spec,) * n_out,
             scratch_shapes=[
                 pltpu.VMEM((CBL, 8, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
-        out_shape=(out_f32,) * 6,
+        out_shape=(out_f32,) * n_out,
         cost_estimate=pl.CostEstimate(
             flops=n, bytes_accessed=n * 40, transcendentals=0),
         interpret=interpret,
@@ -383,9 +529,30 @@ def fetch_colors(mask_words, cfi, color_rows, *, interpret: bool = False):
 
         _, outs = jax.lax.scan(body, 0, (mask_r, cfi_r))
     outs = [o.reshape(-1)[:n] for o in outs]
-    c0 = jnp.stack(outs[0:3], axis=-1)
-    c1 = jnp.stack(outs[3:6], axis=-1)
-    return c0, c1
+    return tuple(jnp.stack(outs[3 * k:3 * k + 3], axis=-1)
+                 for k in range(n_out // 3))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fetch_colors(mask_words, cfi, color_rows, *, interpret: bool = False):
+    """Side-selected endpoint colors of the winning candidate primitive.
+
+    mask_words: (N/GROUP,) int32 (in-shell lanes); cfi: (N,) int32 color
+    row 2*pid + side; color_rows: (2P_pad8, 128) f32 rows
+    [c0.rgb, pad, c1.rgb, pad, 0...] per (prim, side).
+
+    Returns (c0, c1): (N, 3) endpoint colors (garbage on unmasked lanes).
+    """
+    return _fetch_colors_impl(mask_words, cfi, color_rows,
+                              (0, 1, 2, 4, 5, 6), interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fetch_colors3(mask_words, cfi, color_rows, *, interpret: bool = False):
+    """3D variant: three corner colors per (prim, side) row
+    [ca.rgb, 0, cb.rgb, 0, cc.rgb, 0, ...].  Returns (ca, cb, cc)."""
+    return _fetch_colors_impl(mask_words, cfi, color_rows,
+                              (0, 1, 2, 4, 5, 6, 8, 9, 10), interpret)
 
 
 # --------------------------------------------------------------------------- #

@@ -344,4 +344,323 @@ void silhouettes_free(SilOut* s) {
   delete s;
 }
 
+// ---------------------------------------------------------------------------
+// Candidate-grid band passes (geometry/grid.py _count_pass/_band_pass
+// equivalents).  The device passes are O(cells x prims) per refinement
+// level — 192 s of the fille cold start; here a per-level BVH prunes each
+// cell's work to O(log P + band), mirroring how the reference builds its
+// LBVH natively in seconds (core/problem.cu:29-54).
+//
+// Bound semantics match _cell_prim_bounds exactly:
+//   2D: lower = exact box-segment distance (0 when overlapping; otherwise
+//       the min over cell corners vs segment / segment endpoints vs box);
+//       upper = max over the 4 cell corners of corner->segment distance.
+//   3D: d = point(center)->triangle distance; lower = max(d - h, 0),
+//       upper = d + h with h = |hcell|.
+// A prim is in-band iff lower <= M * (1 + 1e-6) + 1e-9 with
+// M = min over prims of upper; rows keep the first K band prims in
+// ascending prim order (-1 padded).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BandBvh {
+  std::vector<float> bmin, bmax;   // M * dim (node boxes)
+  std::vector<int32_t> left, right, start, count, order;
+  int dim;
+};
+
+inline float clampf(float x, float lo, float hi) {
+  return x < lo ? lo : (x > hi ? hi : x);
+}
+
+inline float pt_seg_d2_2d(float qx, float qy, const float* a,
+                          const float* b) {
+  float ex = b[0] - a[0], ey = b[1] - a[1];
+  float wx = qx - a[0], wy = qy - a[1];
+  float den = ex * ex + ey * ey;
+  float t = den > 1e-30f ? clampf((wx * ex + wy * ey) / den, 0.f, 1.f) : 0.f;
+  float dx = wx - t * ex, dy = wy - t * ey;
+  return dx * dx + dy * dy;
+}
+
+inline float pt_box_dist(const float* q, const float* lo, const float* hi,
+                         int dim) {
+  float d2 = 0.f;
+  for (int d = 0; d < dim; ++d) {
+    float v = q[d] < lo[d] ? lo[d] - q[d] : (q[d] > hi[d] ? q[d] - hi[d] : 0.f);
+    d2 += v * v;
+  }
+  return std::sqrt(d2);
+}
+
+inline float box_box_dist(const float* alo, const float* ahi,
+                          const float* blo, const float* bhi, int dim) {
+  float d2 = 0.f;
+  for (int d = 0; d < dim; ++d) {
+    float v = blo[d] > ahi[d] ? blo[d] - ahi[d]
+                              : (alo[d] > bhi[d] ? alo[d] - bhi[d] : 0.f);
+    d2 += v * v;
+  }
+  return std::sqrt(d2);
+}
+
+inline bool seg_box_overlap_2d(const float* a, const float* b,
+                               const float* lo, const float* hi) {
+  // either endpoint inside, or the segment crosses a box edge (slab clip)
+  auto inside = [&](const float* p) {
+    return p[0] >= lo[0] && p[0] <= hi[0] && p[1] >= lo[1] && p[1] <= hi[1];
+  };
+  if (inside(a) || inside(b)) return true;
+  float t0 = 0.f, t1 = 1.f;
+  float d[2] = {b[0] - a[0], b[1] - a[1]};
+  for (int k = 0; k < 2; ++k) {
+    if (std::fabs(d[k]) < 1e-30f) {
+      if (a[k] < lo[k] || a[k] > hi[k]) return false;
+    } else {
+      float u0 = (lo[k] - a[k]) / d[k], u1 = (hi[k] - a[k]) / d[k];
+      if (u0 > u1) std::swap(u0, u1);
+      t0 = std::max(t0, u0);
+      t1 = std::min(t1, u1);
+      if (t0 > t1) return false;
+    }
+  }
+  return true;
+}
+
+inline float pt_tri_dist_3d(const float* q, const float* a, const float* b,
+                            const float* c) {
+  float e1[3], e2[3], w[3];
+  for (int d = 0; d < 3; ++d) {
+    e1[d] = b[d] - a[d];
+    e2[d] = c[d] - a[d];
+    w[d] = q[d] - a[d];
+  }
+  auto dot = [](const float* u, const float* v) {
+    return u[0] * v[0] + u[1] * v[1] + u[2] * v[2];
+  };
+  float d11 = dot(e1, e1), d12 = dot(e1, e2), d22 = dot(e2, e2);
+  float w1 = dot(w, e1), w2 = dot(w, e2);
+  float den = std::max(d11 * d22 - d12 * d12, 1e-30f);
+  float u = (d22 * w1 - d12 * w2) / den;
+  float v = (d11 * w2 - d12 * w1) / den;
+  if (u >= 0.f && v >= 0.f && u + v <= 1.f) {
+    float diff[3] = {w[0] - u * e1[0] - v * e2[0],
+                     w[1] - u * e1[1] - v * e2[1],
+                     w[2] - u * e1[2] - v * e2[2]};
+    return std::sqrt(dot(diff, diff));
+  }
+  auto edge_d2 = [&](const float* p0, const float* p1) {
+    float e[3] = {p1[0] - p0[0], p1[1] - p0[1], p1[2] - p0[2]};
+    float wp[3] = {q[0] - p0[0], q[1] - p0[1], q[2] - p0[2]};
+    float dd = dot(e, e);
+    float t = dd > 1e-30f ? clampf(dot(wp, e) / dd, 0.f, 1.f) : 0.f;
+    float r[3] = {wp[0] - t * e[0], wp[1] - t * e[1], wp[2] - t * e[2]};
+    return dot(r, r);
+  };
+  float m = std::min(edge_d2(a, b), std::min(edge_d2(b, c), edge_d2(c, a)));
+  return std::sqrt(m);
+}
+
+struct BandCtx {
+  const float* verts;
+  const int32_t* indices;
+  int arity;
+  int dim;
+  const BandBvh* bvh;
+  float hnorm;                       // |hcell| (3D bounds)
+};
+
+// exact per-prim bounds for one cell
+inline void prim_bounds(const BandCtx& ctx, int32_t p, const float* c,
+                        const float* h, float* lower, float* upper) {
+  if (ctx.dim == 2) {
+    const float* a = ctx.verts + (int64_t)ctx.indices[p * 2] * 2;
+    const float* b = ctx.verts + (int64_t)ctx.indices[p * 2 + 1] * 2;
+    float lo[2] = {c[0] - h[0], c[1] - h[1]};
+    float hi[2] = {c[0] + h[0], c[1] + h[1]};
+    float d2a = pt_seg_d2_2d(lo[0], lo[1], a, b);
+    float d2b = pt_seg_d2_2d(lo[0], hi[1], a, b);
+    float d2c = pt_seg_d2_2d(hi[0], lo[1], a, b);
+    float d2d = pt_seg_d2_2d(hi[0], hi[1], a, b);
+    *upper = std::sqrt(std::max(std::max(d2a, d2b), std::max(d2c, d2d)));
+    float corner_min =
+        std::sqrt(std::min(std::min(d2a, d2b), std::min(d2c, d2d)));
+    float d_end = std::min(pt_box_dist(a, lo, hi, 2), pt_box_dist(b, lo, hi, 2));
+    *lower = seg_box_overlap_2d(a, b, lo, hi) ? 0.f
+                                              : std::min(corner_min, d_end);
+  } else {
+    const float* a = ctx.verts + (int64_t)ctx.indices[p * 3] * 3;
+    const float* b = ctx.verts + (int64_t)ctx.indices[p * 3 + 1] * 3;
+    const float* cc = ctx.verts + (int64_t)ctx.indices[p * 3 + 2] * 3;
+    float d = pt_tri_dist_3d(c, a, b, cc);
+    *lower = std::max(d - ctx.hnorm, 0.f);
+    *upper = d + ctx.hnorm;
+  }
+}
+
+// exact M = min over prims of upper(p), BVH-pruned
+float min_upper(const BandCtx& ctx, const float* c, const float* h) {
+  const BandBvh& bvh = *ctx.bvh;
+  int dim = ctx.dim;
+  float corners[4][2];
+  if (dim == 2) {
+    corners[0][0] = c[0] - h[0]; corners[0][1] = c[1] - h[1];
+    corners[1][0] = c[0] - h[0]; corners[1][1] = c[1] + h[1];
+    corners[2][0] = c[0] + h[0]; corners[2][1] = c[1] - h[1];
+    corners[3][0] = c[0] + h[0]; corners[3][1] = c[1] + h[1];
+  }
+  float best = 1e30f;
+  int32_t stack[128];
+  int sp = 0;
+  stack[sp++] = 0;
+  while (sp) {
+    int32_t nid = stack[--sp];
+    const float* blo = bvh.bmin.data() + (int64_t)nid * dim;
+    const float* bhi = bvh.bmax.data() + (int64_t)nid * dim;
+    // lower bound on upper(p) for any prim inside this node box
+    float lb;
+    if (dim == 2) {
+      lb = 0.f;
+      for (int k = 0; k < 4; ++k)
+        lb = std::max(lb, pt_box_dist(corners[k], blo, bhi, 2));
+    } else {
+      lb = pt_box_dist(c, blo, bhi, 3) + ctx.hnorm;
+    }
+    if (lb >= best) continue;
+    if (bvh.left[nid] < 0) {
+      for (int32_t i = 0; i < bvh.count[nid]; ++i) {
+        int32_t p = bvh.order[bvh.start[nid] + i];
+        float lo_p, up_p;
+        prim_bounds(ctx, p, c, h, &lo_p, &up_p);
+        best = std::min(best, up_p);
+      }
+    } else {
+      if (sp + 2 <= 128) {
+        stack[sp++] = bvh.left[nid];
+        stack[sp++] = bvh.right[nid];
+      }
+    }
+  }
+  return best;
+}
+
+// collect in-band prims (lower <= thresh); returns count, fills band
+// (ascending order applied by caller), tracks min lower
+int64_t collect_band(const BandCtx& ctx, const float* c, const float* h,
+                     float thresh, std::vector<int32_t>* band,
+                     float* min_lower) {
+  const BandBvh& bvh = *ctx.bvh;
+  int dim = ctx.dim;
+  float clo[3], chi[3];
+  for (int d = 0; d < dim; ++d) {
+    clo[d] = c[d] - h[d];
+    chi[d] = c[d] + h[d];
+  }
+  int64_t cnt = 0;
+  float ml = 1e30f;
+  int32_t stack[128];
+  int sp = 0;
+  stack[sp++] = 0;
+  while (sp) {
+    int32_t nid = stack[--sp];
+    const float* blo = bvh.bmin.data() + (int64_t)nid * dim;
+    const float* bhi = bvh.bmax.data() + (int64_t)nid * dim;
+    float lb = dim == 2 ? box_box_dist(clo, chi, blo, bhi, 2)
+                        : std::max(pt_box_dist(c, blo, bhi, 3) - ctx.hnorm,
+                                   0.f);
+    if (lb > thresh) continue;
+    if (bvh.left[nid] < 0) {
+      for (int32_t i = 0; i < bvh.count[nid]; ++i) {
+        int32_t p = bvh.order[bvh.start[nid] + i];
+        float lo_p, up_p;
+        prim_bounds(ctx, p, c, h, &lo_p, &up_p);
+        if (lo_p <= thresh) {
+          ++cnt;
+          ml = std::min(ml, lo_p);
+          if (band) band->push_back(p);
+        }
+      }
+    } else {
+      if (sp + 2 <= 128) {
+        stack[sp++] = bvh.left[nid];
+        stack[sp++] = bvh.right[nid];
+      }
+    }
+  }
+  *min_lower = ml;
+  return cnt;
+}
+
+BandBvh* band_bvh_build(const float* verts, const int32_t* indices,
+                        int64_t n_prims, int arity, int dim) {
+  BvhOut* raw = bvh_build(verts, 0, indices, n_prims, arity, dim, 4);
+  BandBvh* b = new BandBvh();
+  b->dim = dim;
+  b->bmin.assign(raw->bb_min, raw->bb_min + raw->n_nodes * dim);
+  b->bmax.assign(raw->bb_max, raw->bb_max + raw->n_nodes * dim);
+  b->left.assign(raw->left, raw->left + raw->n_nodes);
+  b->right.assign(raw->right, raw->right + raw->n_nodes);
+  b->start.assign(raw->start, raw->start + raw->n_nodes);
+  b->count.assign(raw->count, raw->count + raw->n_nodes);
+  b->order.assign(raw->order, raw->order + n_prims);
+  bvh_free(raw);
+  return b;
+}
+
+}  // namespace
+
+// counts (n_cells) + cell-min lower bound (n_cells): _count_pass parity
+void grid_band_counts(const float* verts, int64_t n_verts,
+                      const int32_t* indices, int64_t n_prims,
+                      int32_t arity, int32_t dim, const float* centers,
+                      int64_t n_cells, const float* hcell,
+                      int32_t* counts_out, float* lcell_out) {
+  (void)n_verts;
+  BandBvh* bvh = band_bvh_build(verts, indices, n_prims, arity, dim);
+  float hn = 0.f;
+  for (int d = 0; d < dim; ++d) hn += hcell[d] * hcell[d];
+  BandCtx ctx{verts, indices, arity, dim, bvh, std::sqrt(hn)};
+  for (int64_t i = 0; i < n_cells; ++i) {
+    const float* c = centers + i * dim;
+    float M = min_upper(ctx, c, hcell);
+    float thresh = M * (1.f + 1e-6f) + 1e-9f;
+    float ml;
+    int64_t cnt = collect_band(ctx, c, hcell, thresh, nullptr, &ml);
+    counts_out[i] = (int32_t)std::min<int64_t>(cnt, 0x7FFFFFFF);
+    lcell_out[i] = ml;
+  }
+  delete bvh;
+}
+
+// rows (n_cells * K, -1 pad, first K band prims ascending) + min lower:
+// _band_pass parity (callers pass the FIT subset of cells)
+void grid_band_rows(const float* verts, int64_t n_verts,
+                    const int32_t* indices, int64_t n_prims, int32_t arity,
+                    int32_t dim, const float* centers, int64_t n_cells,
+                    const float* hcell, int32_t K, int32_t* rows_out,
+                    float* lcell_out) {
+  (void)n_verts;
+  BandBvh* bvh = band_bvh_build(verts, indices, n_prims, arity, dim);
+  float hn = 0.f;
+  for (int d = 0; d < dim; ++d) hn += hcell[d] * hcell[d];
+  BandCtx ctx{verts, indices, arity, dim, bvh, std::sqrt(hn)};
+  std::vector<int32_t> band;
+  for (int64_t i = 0; i < n_cells; ++i) {
+    const float* c = centers + i * dim;
+    float M = min_upper(ctx, c, hcell);
+    float thresh = M * (1.f + 1e-6f) + 1e-9f;
+    band.clear();
+    float ml;
+    collect_band(ctx, c, hcell, thresh, &band, &ml);
+    std::sort(band.begin(), band.end());
+    int32_t* row = rows_out + i * K;
+    int64_t n = std::min<int64_t>((int64_t)band.size(), K);
+    for (int64_t k = 0; k < n; ++k) row[k] = band[k];
+    for (int64_t k = n; k < K; ++k) row[k] = -1;
+    lcell_out[i] = ml;
+  }
+  delete bvh;
+}
+
 }  // extern "C"

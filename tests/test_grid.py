@@ -490,3 +490,92 @@ def test_fine_pack_3d_matches_meta_chain():
     assert np.all(rl_f <= d_true + 1e-5)
     # no point in the true shell may be missed
     assert np.all(~(d_true < eps) | need_f)
+
+
+def _fast_path_scene_3d(eps, K=64, colors_seed=13):
+    """Triangle-soup 3D scene with ALL fast-path attachments (fine pack,
+    coordinate planes, candidate-id tiles, 3-corner color rows)."""
+    from elaina_tpu.core.problem import Boundary, Scene
+    from elaina_tpu.geometry.geomset import make_geom_set
+    from elaina_tpu.geometry.grid import (attach_coords, attach_fine,
+                                          attach_shading)
+
+    rng = np.random.default_rng(23)
+    centers = rng.uniform(-3, 3, (120, 3)).astype(np.float32)
+    offs = rng.uniform(-0.6, 0.6, (120, 3, 3)).astype(np.float32)
+    verts = (centers[:, None] + offs).reshape(-1, 3)
+    idx = np.arange(360, dtype=np.int32).reshape(-1, 3)
+    lo = np.full(3, -4.5, np.float32)
+    hi = np.full(3, 4.5, np.float32)
+    grid = build_candidate_grid(verts, idx, lo, hi, K=K, max_res=32)
+    colors = np.asarray(
+        np.random.default_rng(colors_seed).uniform(0, 1, (len(verts), 2, 3)),
+        np.float32)
+
+    g_fast = attach_shading(attach_fine(attach_coords(grid, verts, idx), eps),
+                            colors, idx)
+    assert (g_fast.fine is not None and g_fast.cpack is not None
+            and g_fast.crows is not None)
+
+    def scene_of(g):
+        return Scene(
+            dirichlet=Boundary(gs=make_geom_set(verts, idx)[0],
+                               colors=jnp.asarray(colors)),
+            neumann=None, d_grid=g, source=None,
+            aabb_lo=jnp.asarray(lo), aabb_hi=jnp.asarray(hi), dim=3,
+            source_intensity=1.0, dirichlet_intensity=1.0,
+            neumann_intensity=1.0)
+
+    return scene_of(g_fast), scene_of(grid), verts, idx
+
+
+@pytest.mark.parametrize("n", [1024, 4096])
+def test_fused_resolve_3d_matches_chain_path(n):
+    """The 3D bitmask resolve (sweep_resolve_3d + fetch_colors3, interpret
+    mode) agrees with the chain path: in-shell classification, exact R_D on
+    resolved lanes, valid bounds elsewhere, interpolated triangle colors.
+    n=1024 drives the direct sweep, n=4096 the lane-compacted path
+    (VERDICT r2 next #4: lift the 2D-only fast-path gate)."""
+    import os
+
+    from elaina_tpu.solver.wost import (_separate, fast_dirichlet_available,
+                                        init_walk_state)
+
+    eps = 0.3
+    scene_fast, scene_ref, verts, idx = _fast_path_scene_3d(eps)
+    q = jnp.asarray(np.random.default_rng(29).uniform(-4.5, 4.5, (n, 3)),
+                    jnp.float32)
+    active = jnp.arange(n) % 5 != 0
+    state = init_walk_state(q, active)
+
+    os.environ["ELAINA_PALLAS_INTERPRET"] = "1"
+    try:
+        assert fast_dirichlet_available(scene_fast, eps)
+        in_f, RB_f, col_f, RD_f = _separate(scene_fast, state, eps, 32,
+                                            shrink=True)
+    finally:
+        os.environ["ELAINA_PALLAS_INTERPRET"] = "0"
+    in_r, RB_r, col_r, RD_r = _separate(scene_ref, state, eps, 32,
+                                        shrink=True)
+
+    a = verts[idx[:, 0]][None]
+    b = verts[idx[:, 1]][None]
+    c = verts[idx[:, 2]][None]
+    d_true = np.asarray(jnp.min(
+        tri_closest_point(np.asarray(q)[:, None, :], a, b, c)[0], axis=1))
+
+    in_f, in_r = np.asarray(in_f), np.asarray(in_r)
+    RD_f = np.asarray(RD_f)
+    act = np.asarray(active)
+
+    np.testing.assert_array_equal(in_f & act, in_r & act)
+    np.testing.assert_allclose(RD_f[in_f & act], d_true[in_f & act],
+                               rtol=1e-4, atol=1e-4)
+    assert np.all(RD_f[act] <= d_true[act] + 1e-4)
+    assert np.all(~(act & (d_true < eps * 0.999) & in_r) | in_f)
+    assert (in_f & act).sum() > 0          # the test exercises in-shell lanes
+    np.testing.assert_allclose(np.asarray(col_f)[in_f & act],
+                               np.asarray(col_r)[in_f & act],
+                               rtol=1e-4, atol=1e-4)
+    RB_f, RB_r = np.asarray(RB_f), np.asarray(RB_r)
+    assert np.all(RB_f[act] <= RB_r[act] + 1e-4)

@@ -87,3 +87,71 @@ def test_native_obj_roundtrip(tmp_path):
     v_n3, i_n3 = NT.load_obj_native(str(path), 3)
     v_p3, i_p3 = py_load(str(path), 3)
     np.testing.assert_array_equal(i_n3, i_p3)  # fan triangulation
+
+
+def test_native_grid_bands_match_device_passes():
+    """Native BVH-pruned band passes (grid_band_counts/rows) agree with the
+    device O(cells x prims) passes, and the resulting grid stays EXACT for
+    closest-point queries (VERDICT r2 #3: cold-start grid build)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from elaina_tpu.geometry.grid import build_candidate_grid, grid_closest_point
+    from elaina_tpu.geometry.native import grid_bands_available
+    from elaina_tpu.geometry.primitives import seg_closest_point, tri_closest_point
+
+    if not grid_bands_available():
+        import pytest
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(31)
+
+    # 2D segments
+    t = np.linspace(0, 2 * np.pi, 200, endpoint=False)
+    r = 3 + np.sin(7 * t)
+    verts2 = np.stack([r * np.cos(t), r * np.sin(t)], -1).astype(np.float32)
+    idx2 = np.stack([np.arange(200), (np.arange(200) + 1) % 200],
+                    -1).astype(np.int32)
+    # 3D triangles
+    centers3 = rng.uniform(-3, 3, (80, 3)).astype(np.float32)
+    offs3 = rng.uniform(-0.5, 0.5, (80, 3, 3)).astype(np.float32)
+    verts3 = (centers3[:, None] + offs3).reshape(-1, 3)
+    idx3 = np.arange(240, dtype=np.int32).reshape(-1, 3)
+
+    for verts, idx, dim in ((verts2, idx2, 2), (verts3, idx3, 3)):
+        lo = np.full(dim, -4.5, np.float32)
+        hi = np.full(dim, 4.5, np.float32)
+        os.environ["ELAINA_NATIVE_GRID"] = "1"
+        try:
+            g_nat = build_candidate_grid(verts, idx, lo, hi, K=48, max_res=64)
+            os.environ["ELAINA_NATIVE_GRID"] = "0"
+            g_dev = build_candidate_grid(verts, idx, lo, hi, K=48, max_res=64)
+        finally:
+            os.environ["ELAINA_NATIVE_GRID"] = "1"
+
+        # identical refinement structure and near-identical bands: tie
+        # prims at the exact band threshold may differ in f32, so compare
+        # per-row SETS allowing the boundary prim
+        assert g_nat.res == g_dev.res
+        assert len(g_nat.meta) == len(g_dev.meta)
+        cn = np.asarray(g_nat.cand)
+        cd = np.asarray(g_dev.cand)
+        assert cn.shape == cd.shape
+        same = (np.sort(cn, 1) == np.sort(cd, 1)).all(1)
+        assert same.mean() > 0.98, f"dim={dim}: {1 - same.mean():.3%} differ"
+
+        # the property that matters: closest-point through the native grid
+        # is exact against brute force
+        q = jnp.asarray(rng.uniform(-4.5, 4.5, (400, dim)), jnp.float32)
+        d, _ = grid_closest_point(g_nat, jnp.asarray(verts),
+                                  jnp.asarray(idx), q)
+        if dim == 2:
+            a, b = verts[idx[:, 0]][None], verts[idx[:, 1]][None]
+            db = np.asarray(jnp.min(seg_closest_point(
+                np.asarray(q)[:, None, :], a, b)[0], axis=1))
+        else:
+            a, b, c = (verts[idx[:, k]][None] for k in range(3))
+            db = np.asarray(jnp.min(tri_closest_point(
+                np.asarray(q)[:, None, :], a, b, c)[0], axis=1))
+        np.testing.assert_allclose(np.asarray(d), db, rtol=2e-5, atol=2e-5)
