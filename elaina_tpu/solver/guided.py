@@ -300,7 +300,7 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
                               batch_size: int, n_batches: int,
                               train_every: int = 10,
                               d_stack: int = 48, n_stack: int = 48,
-                              dim: int = 2):
+                              dim: int = 2, mesh=None):
     """Cost-balanced TRAINING-phase chunk (see wost.make_balanced_chunk for
     the worklist scheme; completed walks' records flush per lane to the
     ready buffer on restart).
@@ -322,8 +322,20 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
     phase's walks at single-digit occupancy) pass iter_cap+1 so the
     optimizer cond never fires — an optimizer pass costs as much as ~10
     full-lane walk iterations, pure overhead when almost no walks run.
+
+    With ``mesh`` (a 1-D jax.sharding.Mesh), the LANE axis shards across
+    devices (VERDICT r2 missing #3).  Unlike the no-training balanced
+    chunk — where devices drain fully independent while_loops — the
+    in-loop optimizer forces LOCKSTEP iterations: the loop condition is
+    psum'd so every device runs the same trip count, the per-iteration
+    optimizer cond fires simultaneously everywhere, gradients pmean over
+    the mesh (SURVEY §2.2's training-grad all-reduce), and the replicated
+    trainer carries stay bit-identical.  Cost-balanced worklists make the
+    per-device trip counts nearly equal, so lockstep idling is small.
     """
     from .wost import N_PIECES as S
+
+    axis = mesh.axis_names[0] if mesh is not None else None
 
     def sel(slot, arr):
         out = jnp.zeros_like(arr[0])
@@ -353,8 +365,12 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
             (st, acc, pend, scnt, slot, sidx, wstep, it, steps, lsteps, rec,
              ready, tr, m) = c
             quota = sel(slot, piece_quota)
-            return (it < iter_cap) & (jnp.any(st.active)
-                                      | jnp.any((slot < S) & (sidx < quota)))
+            more = jnp.any(st.active) | jnp.any((slot < S) & (sidx < quota))
+            if axis is not None:
+                # global termination: all devices iterate while ANY has
+                # work, so the in-loop collectives stay in lockstep
+                more = jax.lax.psum(more.astype(jnp.int32), axis) > 0
+            return (it < iter_cap) & more
 
         def body(c):
             (st, acc, pend, scnt, slot, sidx, wstep, it, steps, lsteps, rec,
@@ -402,7 +418,8 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
                 tr, ready = args
                 tr, metric = train_on_records(tr, spec, adam_cfg, scene,
                                               ready, batch_size=batch_size,
-                                              n_batches=n_batches)
+                                              n_batches=n_batches,
+                                              axis_name=axis)
                 # consume the generation: zeroing cur invalidates the
                 # trained records so the next window only sees walks that
                 # completed since (the reference trains each record once —
@@ -434,13 +451,37 @@ def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,
         ready = _records_where(done_walk, rec, ready)
         trainer, metric2 = train_on_records(
             trainer, spec, adam_cfg, scene, ready, batch_size=batch_size,
-            n_batches=1)
+            n_batches=1, axis_name=axis)
         done = jnp.stack(
             [jnp.where(slot > k, piece_quota[k],
                        jnp.where(slot == k, scnt, 0)) for k in range(S)])
         return acc, done, lsteps, steps, it, trainer, metric
 
-    return jax.jit(chunk)
+    if mesh is None:
+        return jax.jit(chunk)
+
+    from jax.sharding import PartitionSpec as P
+
+    def local(scene, trainer, uf, mgd, piece_pos, piece_rd0, piece_quota,
+              key, iter_cap, train_every=jnp.int32(train_every),
+              piece_train=None):
+        # decorrelate per-shard walk RNG (the trainer update itself is
+        # deterministic given the pmean'd gradients, so replicas agree)
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        acc, done, lsteps, steps, it, trainer, metric = chunk(
+            scene, trainer, uf, mgd, piece_pos, piece_rd0, piece_quota,
+            key, iter_cap, train_every, piece_train)
+        return (acc, done, lsteps, jax.lax.psum(steps, axis), it, trainer,
+                metric)
+
+    lane = P(None, axis)
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), lane, lane, lane, P(), P(), P(),
+                  lane),
+        out_specs=(P(None, None, axis), lane, P(axis), P(), P(), P(), P()),
+        check_vma=False)
+    return jax.jit(sharded)
 
 
 def run_one_guided_sample(scene: Scene, spec: NetworkSpec, infer_params,
@@ -500,10 +541,17 @@ def _train_loss(params, spec: NetworkSpec, dim: int, x, wi, Li, dir_pdf,
 def train_on_records(trainer: TrainerState, spec: NetworkSpec,
                      adam_cfg: AdamConfig, scene: Scene,
                      records: WalkRecords, *, batch_size: int,
-                     n_batches: int, min_valid: int = 1):
+                     n_batches: int, min_valid: int = 1,
+                     axis_name: str | None = None):
     """Up to ``n_batches`` optimizer steps over the flattened records
     (trainStepImpl, guided/integrator.cu:617-668).  Returns
-    (trainer', mean KL metric)."""
+    (trainer', mean KL metric).
+
+    ``axis_name``: inside a shard_map over a device mesh, records are
+    lane-sharded; per-shard mean gradients are pmean'd over the axis (the
+    SURVEY §2.2 grad all-reduce point) and the valid-count/metric
+    reductions go global, so replicated trainer copies stay bit-identical
+    across devices."""
     dim = scene.dim
     R, N = records.dir_pdf.shape
     total = R * N
@@ -546,7 +594,12 @@ def train_on_records(trainer: TrainerState, spec: NetworkSpec,
         v = sl(valid)
         grads, metric = grad_fn(tr.params, spec, dim, sl(x), sl(wi), sl(Li),
                                 sl(dir_pdf), sl(on_neumann), sl(normal), v)
-        enough = jnp.sum(v) >= min_valid
+        vcount = jnp.sum(v)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metric = jax.lax.pmean(metric, axis_name)
+            vcount = jax.lax.psum(vcount, axis_name)
+        enough = vcount >= min_valid
         grads = jax.tree.map(lambda g: jnp.where(enough, g, 0.0), grads)
         tr2 = adam_ema_step(tr, grads, adam_cfg)
         tr = jax.tree.map(lambda a, b: jnp.where(enough, b, a), tr, tr2)
@@ -661,6 +714,16 @@ class GuidedIntegrator(BaseIntegrator):
         img = jnp.zeros((n, 3), jnp.float32)
         out = _flush_jit(img, jnp.zeros((S, 3, n), jnp.float32), zi,
                          jnp.zeros((S, n), jnp.int32), n)
+        jax.block_until_ready(out)
+
+        # image-algebra helpers (shape-keyed; compiling them here keeps a
+        # time-budgeted solve's first interrupt from paying a remote
+        # compile inside the budget)
+        from .wost import _add_images_jit, _image_init_jit, _scale_image_jit
+        sc = jnp.zeros((n,), jnp.float32)
+        out = _scale_image_jit(
+            _add_images_jit(img, _image_init_jit(jnp.zeros((n,), bool), img,
+                                                 jnp.float32(0.0))), sc)
         jax.block_until_ready(out)
 
     def _phase(self, spp: int):
@@ -924,11 +987,20 @@ class GuidedIntegrator(BaseIntegrator):
             s = self.settings
             n = self.n_pixels
             batch_size, n_batches = _train_batch_policy(n)
+            mesh = self.mesh
+            if mesh is not None and n % mesh.devices.size != 0:
+                from ..core.logger import log_warning
+                log_warning(
+                    "pixel count %d not divisible by mesh size %d: the "
+                    "training phase runs single-device", n,
+                    mesh.devices.size)
+                mesh = None
             self._train_chunk = make_balanced_train_chunk(
                 self.spec, self.adam_cfg, eps=float(s.epsilonShell),
                 max_depth=int(s.maxWalkingDepth), batch_size=batch_size,
                 n_batches=n_batches, d_stack=self.problem.d_stack,
-                n_stack=self.problem.n_stack, dim=self.problem.scene.dim)
+                n_stack=self.problem.n_stack, dim=self.problem.scene.dim,
+                mesh=mesh)
         return self._train_chunk
 
     def _step0(self, scene):
@@ -953,16 +1025,29 @@ class GuidedIntegrator(BaseIntegrator):
         s = self.settings
         n = self.n_pixels
         remaining = int(s.trainSppCount) - spp0
+        _dbg = (os.environ.get("ELAINA_PHASE_DEBUG") == "1")
 
+        def _m(tag):
+            if _dbg:
+                import sys as _sys
+                _sys.stderr.write(
+                    f"[trainphase] +{time.time()-start:7.2f}s {tag}\n")
+
+        _m("enter")
         rd0, in_shell0, contrib0 = self._step0(scene)
+        _m("step0")
         resolved = np.asarray(in_shell0 | ~self.mask)
         pts_np = np.asarray(self.eval_points)
         rd0_np = np.asarray(rd0)
+        _m("asarray")
 
         chunk = self._train_chunk_get()
         from .wost import _flush_jit as flush
+        from .wost import _image_init_jit
 
-        image = jnp.where(in_shell0[:, None], remaining * contrib0, 0.0)
+        _m("chunk_get")
+        image = _image_init_jit(in_shell0, contrib0, jnp.float32(remaining))
+        _m("image_init")
         rem = np.where(resolved, 0, remaining).astype(np.int64)
         # per-pixel walk cost from a prior solve on this problem (uniform
         # GT runs, earlier guided solves): skips the unbalanced probe round
@@ -1004,10 +1089,13 @@ class GuidedIntegrator(BaseIntegrator):
         sink_steps, sink_wall = 0, 0.0
         max_rounds = 16 + 4 * (1 + remaining * int(s.maxWalkingDepth) // 48)
         for round_i in range(max_rounds):
+            _m(f"round{round_i}_top")
             if rem.sum() == 0:
                 break
-            rem_round, stop = slicer.plan(rem, cost, round_i, spp_w,
-                                          have_cost=have_cost0 or round_i > 0)
+            rem_round, stop = slicer.plan(
+                rem, cost, round_i, spp_w,
+                have_cost=have_cost0 or round_i > 0,
+                n_lanes=n, floor=int(s.maxWalkingDepth) + 32)
             if stop:
                 interrupted = True
                 break
@@ -1084,6 +1172,7 @@ class GuidedIntegrator(BaseIntegrator):
             if slicer.expired() and rem.sum() > 0:
                 interrupted = True
                 break
+        _m("loop_done")
         self.phase_stats["train_s"] += time.time() - t_t
         self.trainer = trainer
         if self.phase_stats["train_steps"] > 0:
@@ -1103,8 +1192,13 @@ class GuidedIntegrator(BaseIntegrator):
                 "partial pixel sums by completed-sample counts",
                 int(rem.sum()))
             scale = remaining / np.maximum(done_total, 1)
-            image = image * jnp.asarray(scale, jnp.float32)[:, None]
-        return total + image, spp0 + remaining, interrupted
+            from .wost import _scale_image_jit
+            image = _scale_image_jit(image, jnp.asarray(scale, jnp.float32))
+        _m("rescaled")
+        from .wost import _add_images_jit
+        out = _add_images_jit(total, image)
+        _m("summed")
+        return out, spp0 + remaining, interrupted
 
     def _guiding_persistent(self, scene, total, spp0, start,
                             time_budget_s) -> tuple:
@@ -1175,7 +1269,8 @@ class GuidedIntegrator(BaseIntegrator):
         if hasattr(self, "phase_stats"):
             self.phase_stats["guide_steps"] += steps
             self.phase_stats["guide_s"] += time.time() - t_g
-        return total + acc, int(s.samplesPerPixel)
+        from .wost import _add_images_jit
+        return _add_images_jit(total, acc), int(s.samplesPerPixel)
 
     def query_network(self, p):
         """queryNetworkImpl (guided/integrator.cu:565-615): print the VMM at

@@ -299,6 +299,14 @@ class UniformIntegrator(BaseIntegrator):
         out = _flush_jit(img, jnp.zeros((S, 3, n), jnp.float32), zi,
                          jnp.zeros((S, n), jnp.int32), n)
         jax.block_until_ready(out)
+        # image-algebra helpers (shape-keyed; keeps a budgeted solve's
+        # first interrupt from paying a remote compile inside the budget)
+        from .wost import _add_images_jit, _image_init_jit, _scale_image_jit
+        out = _scale_image_jit(
+            _add_images_jit(img, _image_init_jit(jnp.zeros((n,), bool), img,
+                                                 jnp.float32(0.0))),
+            jnp.zeros((n,), jnp.float32))
+        jax.block_until_ready(out)
         self._step0()
 
     def _solve_persistent(self, time_budget_s: float | None = None) -> int:

@@ -167,13 +167,20 @@ def dirichlet_distance_masked(scene: Scene, q, active, eps, stack_size: int,
 
 
 def fast_dirichlet_available(scene: Scene, eps: float) -> bool:
-    """Static gate for the bitmask-kernel fast path (ops/pallas_resolve)."""
+    """Static gate for the bitmask-kernel fast path (ops/pallas_resolve).
+
+    3D caps the candidate count at 512: the sweep scratch holds 9 corner
+    planes per candidate tile (RBL * 9 * rpp * 128 * 4 B), so K=512 uses
+    ~4.7 MB of the ~16 MB VMEM; 2D (4 planes) allows 1024."""
     from ..geometry.grid import _pallas_interpret, _use_pallas
     g = scene.d_grid
-    return (g is not None and g.fine is not None
+    if g is None:
+        return False
+    k_cap = 1024 if len(g.res) == 2 else 512
+    return (g.fine is not None
             and g.fine.eps == float(eps) and g.coords is not None
             and g.crows is not None and g.cpack is not None
-            and len(g.res) == 2 and g.cand.shape[1] <= 1024
+            and len(g.res) in (2, 3) and g.cand.shape[1] <= k_cap
             and (_use_pallas() or _pallas_interpret()))
 
 
@@ -192,10 +199,12 @@ def _fast_dirichlet(scene: Scene, q, active, eps: float, step0=None):
     """
     from ..geometry.grid import _pallas_interpret, fine_decode
     from ..ops.pallas_resolve import (compact_lanes, fetch_colors,
-                                      kprime_for, pack_groups,
-                                      sweep_resolve)
+                                      fetch_colors3, kprime_for,
+                                      pack_groups, sweep_resolve,
+                                      sweep_resolve_3d)
     g = scene.d_grid
     fp = g.fine
+    dim = scene.dim
 
     row, need_f, rl, outside = fine_decode(fp, q)
     need = active & (need_f | outside)
@@ -211,19 +220,37 @@ def _fast_dirichlet(scene: Scene, q, active, eps: float, step0=None):
     n = q.shape[0]
 
     def resolve(mask, row_m, q_m, m_eps):
-        """sweep + in-shell test + color lerp on any lane layout.
-        Returns (N_m, 7): [d_exact, t, side, col.rgb, in_shell]."""
-        d_e, t, side, pid = sweep_resolve(
+        """sweep + in-shell test + color interpolation on any lane layout.
+        Returns (N_m, 7): [d_exact, uv..., col.rgb, in_shell]."""
+        if dim == 2:
+            d_e, t, side, pid = sweep_resolve(
+                pack_groups(mask), row_m, q_m, g.coords, g.cpack, rpp=rpp,
+                kprime=kprime_for(K), interpret=interp)
+            ins = mask & (d_e < m_eps) & (t > 0.0) & (t < 1.0)
+            cfi = 2 * jnp.maximum(pid, 0) + jnp.where(side < 0, 1, 0)
+            c0, c1 = fetch_colors(pack_groups(ins), jnp.where(ins, cfi, 0),
+                                  g.crows, interpret=interp)
+            col = c0 * (1.0 - t[:, None]) + c1 * t[:, None]
+            return jnp.concatenate(
+                [d_e[:, None], t[:, None], side[:, None], col,
+                 ins.astype(jnp.float32)[:, None]], axis=-1)
+        # 3D: the kernel returns the winner's corner coordinates; uv /
+        # side / interior run in XLA on the (compacted) lanes
+        d_e, pid, pv = sweep_resolve_3d(
             pack_groups(mask), row_m, q_m, g.coords, g.cpack, rpp=rpp,
             kprime=kprime_for(K), interpret=interp)
-        ins = mask & (d_e < m_eps) & (t > 0.0) & (t < 1.0)
+        uv = prim_project(3, q_m, pv)
+        side = prim_side(3, q_m, pv)
+        interior = ((uv[..., 0] > 0.0) & (uv[..., 1] > 0.0)
+                    & (uv[..., 0] + uv[..., 1] < 1.0))
+        ins = mask & (d_e < m_eps) & interior
         cfi = 2 * jnp.maximum(pid, 0) + jnp.where(side < 0, 1, 0)
-        c0, c1 = fetch_colors(pack_groups(ins), jnp.where(ins, cfi, 0),
-                              g.crows, interpret=interp)
-        col = c0 * (1.0 - t[:, None]) + c1 * t[:, None]
+        ca, cb, cc = fetch_colors3(pack_groups(ins), jnp.where(ins, cfi, 0),
+                                   g.crows, interpret=interp)
+        col = geometric_interpolate(3, (ca, cb, cc), uv)
         return jnp.concatenate(
-            [d_e[:, None], t[:, None], side[:, None], col,
-             ins.astype(jnp.float32)[:, None]], axis=-1)
+            [d_e[:, None], uv, col, ins.astype(jnp.float32)[:, None]],
+            axis=-1)
 
     if n >= 2048:
         # compact the scattered need lanes into a dense prefix first:
@@ -765,15 +792,45 @@ def _flush_jit(image, acc, done, piece_pix, n_pixels: int):
     return flush_balanced(image, acc, done, piece_pix, n_pixels)
 
 
+# Small jitted helpers for the solve-path image algebra.  These MUST take
+# the sample count / scale as traced ARGUMENTS: the eager forms
+# (`spp * contrib0`, `image * scale`) bake the python int into the XLA
+# computation, so every distinct spp triggers a fresh compile — measured
+# ~10s through the remote-compile tunnel, paid INSIDE a time-budgeted
+# solve (the round-2 guided_equal_time 33% overshoot with 0 guiding steps).
+# Shape-keyed jit caching makes them compile once per problem size, and
+# ``prepare()`` warms them outside the timed region.
+
+
+@jax.jit
+def _image_init_jit(in_shell0, contrib0, spp_f):
+    return jnp.where(in_shell0[:, None], spp_f * contrib0, 0.0)
+
+
+@jax.jit
+def _scale_image_jit(image, scale):
+    return image * scale[:, None]
+
+
+@jax.jit
+def _add_images_jit(a, b):
+    return a + b
+
+
 class BudgetSlicer:
     """Shared time-budget slicing for round-based persistent solves.
 
     Used by both ``balanced_solve`` and the guided training phase so the
-    policy lives in ONE place: each round's quota fills HALF the remaining
-    budget (slices shrink geometrically toward the deadline, bounding
-    overshoot to the last slice), the steps/s estimate is a per-round EMA
-    seeded by ``rate0``, and dispatch iteration caps are bounded so an
-    (uninterruptible) dispatch's predicted wall fits the slice.
+    policy lives in ONE place.  With a measured steps/s rate, budgeted
+    rounds keep FULL per-pixel quotas and are cut by an ITERATION CAP
+    sized to fill half the remaining budget: lanes never drain their
+    worklists early, so every budgeted dispatch runs in the steady-state
+    ~95%-occupancy regime (per-round quota throttling measured only
+    54-57% — lanes idled while stragglers finished the round's few
+    samples).  Slices shrink geometrically toward the deadline, bounding
+    overshoot to one minimum dispatch; uneven per-pixel completion is
+    rescaled by the caller (unbiased).  The steps/s estimate is a
+    per-round EMA seeded by ``rate0``.
     """
 
     def __init__(self, time_budget_s, start_time, rate0=None):
@@ -783,14 +840,18 @@ class BudgetSlicer:
         self.slice_s = None
 
     def plan(self, rem, cost, round_i: int, probe_spp: int,
-             have_cost: bool):
+             have_cost: bool, n_lanes: int | None = None,
+             floor: int | None = None):
         """Per-round quota decision: returns (rem_round, stop).
 
         Round 0 always runs at least a one-sample probe slice (a
         zero-sample image would leave unresolved pixels biased to 0).
         Without a rate — or with a rate but no per-pixel cost, where cpp
         would undercount steps by the mean walk length — the probe is
-        kept minimal (its wall is unbounded either way).
+        kept minimal (its wall is unbounded either way).  With a rate,
+        quotas stay FULL (the iteration cap from ``bound_cap`` does the
+        slicing); ``n_lanes``/``floor`` let the stop test compare the
+        remaining budget against the minimum dispatch wall.
         """
         import time as _time
 
@@ -800,46 +861,25 @@ class BudgetSlicer:
         if remaining_s <= 0 and round_i > 0:
             return rem, True
         if self.rate is None or (round_i == 0 and not have_cost):
-            k = min(probe_spp, 2)
-        else:
-            self.slice_s = 0.5 * remaining_s
-            unresolved = rem > 0
-            cpp = float((cost * unresolved).sum())
-            k = int(self.slice_s * self.rate / max(cpp, 1.0))
-            if k < 1:
-                if round_i == 0:
-                    k = 1
-                else:
-                    # a whole sample/pixel doesn't fit the slice: run ONE
-                    # sample on the pixel subset that does (the end-of-
-                    # solve rescale handles non-uniform counts) — stopping
-                    # here instead would strand the remaining budget
-                    # whenever the rate estimate runs low (each executed
-                    # round also corrects the estimate).  Stop only when
-                    # even ~1% of the unresolved pixels wouldn't fit.
-                    idx = np.flatnonzero(unresolved)
-                    if idx.size == 0:
-                        return rem, True
-                    mean_c = float(np.maximum(cost[idx], 1.0).mean())
-                    npix = int(self.slice_s * self.rate / mean_c)
-                    if npix < max(1, int(0.01 * idx.size)):
-                        return rem, True
-                    # rotate the subset by round so repeated partial
-                    # rounds spread across pixels
-                    off = (round_i * npix) % idx.size
-                    take = idx[(off + np.arange(min(npix, idx.size)))
-                               % idx.size]
-                    out = np.zeros_like(rem)
-                    out[take] = np.minimum(rem[take], 1)
-                    return out, False
-        return np.minimum(rem, k), False
+            return np.minimum(rem, min(probe_spp, 2)), False
+        # stop when even the minimum dispatch (floor iterations at full
+        # lane width) would blow the remaining budget by more than half
+        # its own wall
+        if n_lanes and floor and round_i > 0:
+            min_wall = floor * n_lanes / self.rate
+            if remaining_s < 0.5 * min_wall:
+                return rem, True
+        self.slice_s = 0.5 * remaining_s
+        return rem, False
 
     def bound_cap(self, cap: int, n_lanes: int, floor: int) -> int:
         """Bound an iteration cap so the dispatch's predicted wall fits
-        the slice (floor keeps committed walks able to finish)."""
+        the slice (floor keeps committed walks able to finish).  The
+        per-iteration wall model is n_lanes/rate — exact in the full-
+        quota, full-occupancy regime."""
         if self.budget is None or self.rate is None or self.slice_s is None:
             return cap
-        cap_t = int(1.5 * self.slice_s * self.rate / max(n_lanes, 1))
+        cap_t = int(self.slice_s * self.rate / max(n_lanes, 1))
         return min(cap, max(cap_t, floor))
 
     def update(self, steps: int, wall_s: float):
@@ -889,7 +929,8 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         # large while_loop program: ~10s+ per call)
         chunk = make_balanced_chunk(step_fn, eps=eps, max_depth=max_depth,
                                     d_stack=d_stack, n_stack=n_stack)
-    image = jnp.where(jnp.asarray(in_shell0)[:, None], spp * contrib0, 0.0)
+    image = _image_init_jit(jnp.asarray(in_shell0), contrib0,
+                            jnp.float32(spp))
     rem = np.where(resolved_np, 0, spp).astype(np.int64)
     cost = np.ones(n)
     key = jax.random.PRNGKey(3) if key is None else key
@@ -918,7 +959,8 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
     for round_i in range(max_rounds):
         if rem.sum() == 0:
             break
-        rem_round, stop = slicer.plan(rem, cost, round_i, spp_w, have_cost0)
+        rem_round, stop = slicer.plan(rem, cost, round_i, spp_w, have_cost0,
+                                      n_lanes=n, floor=max_depth + 32)
         if stop:
             interrupted = True
             break
@@ -1031,7 +1073,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             "expectation, but per-pixel variance is no longer uniform)",
             int(rem.sum()), int(np.sum(~resolved_np)) * spp)
         scale = spp / np.maximum(done_total, 1)
-        image = image * jnp.asarray(scale, jnp.float32)[:, None]
+        image = _scale_image_jit(image, jnp.asarray(scale, jnp.float32))
     return image, total_steps
 
 

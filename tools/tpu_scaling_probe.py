@@ -32,6 +32,15 @@ def steady_state(problem, n, spp=1_000_000, iters=192):
     from elaina_tpu.solver.wost import (N_PIECES, compute_step0,
                                         make_balanced_chunk)
 
+    # attach the FinePack the integrator would (the fast-path gate needs
+    # fine.eps == eps) — without it this probe measures the slow chain path
+    import dataclasses
+
+    from elaina_tpu.geometry.grid import attach_fine
+    if problem.scene.d_grid is not None and problem.scene.d_grid.coords is not None:
+        g2 = attach_fine(problem.scene.d_grid, 1.0)
+        if g2 is not problem.scene.d_grid:
+            problem.scene = dataclasses.replace(problem.scene, d_grid=g2)
     scene = problem.scene
     res = int(np.sqrt(n))
     pts = problem.probe.points(jnp.arange(n), (res, res))
