@@ -79,16 +79,20 @@ def _build_square_problem(res: int, accel: str):
     return p
 
 
-def _build_bumpy3d_problem(accel: str):
-    """3D variant: deformed icosphere, harmonic Dirichlet BC
-    (tools/make_scene3d.py; exact analytic interior solution)."""
+def _build_conf_problem(conf_name: str, accel: str, dim: int = 3):
     from elaina_tpu.core.problem import Problem
 
     conf = json.load(open(os.path.join(os.path.dirname(__file__),
-                                       "configs", "bumpy3d_u.json")))["scene"]
-    return Problem(3, verbose=False).load_config(
+                                       "configs", conf_name)))["scene"]
+    return Problem(dim, verbose=False).load_config(
         conf, cache_dir=os.path.join(os.path.dirname(__file__), ".cache"),
         accel=accel)
+
+
+def _build_bumpy3d_problem(accel: str):
+    """3D variant: deformed icosphere, harmonic Dirichlet BC
+    (tools/make_scene3d.py; exact analytic interior solution)."""
+    return _build_conf_problem("bumpy3d_u.json", accel)
 
 
 def main() -> int:
@@ -189,6 +193,13 @@ def main() -> int:
     eps = 1.0
     if args.scene == "bumpy3d":
         problem = _build_bumpy3d_problem(accel)
+        eps = 0.01
+    elif args.scene == "neumann3d":
+        # Neumann-heavy mixed-BC scene: 768-tri Dirichlet cube + 20,480-tri
+        # insulated blob — exercises the hierarchical silhouette / in-ball
+        # / ray paths at a primitive count where dense sweeps are
+        # infeasible (VERDICT r2 next #5)
+        problem = _build_conf_problem("neumann3d_u.json", accel)
         eps = 0.01
     elif args.scene == "ladybug" and os.path.exists(
             "/root/reference/data/ladybug/model.obj"):

@@ -49,3 +49,34 @@ def test_bumpy3d_uniform_matches_analytic(quick_conf):
     assert abs(bias) < 0.02, bias
     # all channels identical (grayscale BC)
     np.testing.assert_allclose(img[..., 0], img[..., 1], atol=1e-6)
+
+
+def test_exec_neumann_heavy_3d():
+    """Neumann-heavy mixed-BC scene (768-tri Dirichlet cube + 20,480-tri
+    insulated blob): the hierarchical silhouette / in-ball / ray paths run
+    end-to-end through the CLI and produce a finite, plausible solution
+    (VERDICT r2 next #5; reference mixed-BC 3D: uniform/integrator.cu:318-445)."""
+    import json
+
+    import numpy as np
+
+    conf = json.load(open(os.path.join(REPO, "configs",
+                                       "neumann3d_quick.json")))
+    conf["exp_name"] = "neumann3d_test"
+    conf["base_path"] = "/tmp/exec3d_neumann/"
+    conf["integrator"]["setting"]["frameSize"] = [12, 12]
+    conf["integrator"]["setting"]["samplesPerPixel"] = 2
+    conf["integrator"]["setting"]["maxWalkingDepth"] = 12
+    p = "/tmp/exec3d_neumann/conf.json"
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    json.dump(conf, open(p, "w"))
+    from elaina_tpu.exec import run_expr
+    run_expr(p)
+
+    from elaina_tpu.output.image_io import read_exr
+    img = read_exr("/tmp/exec3d_neumann/neumann3d_test/solution.exr")
+    assert np.isfinite(img).all()
+    # harmonic BC is 0.5 +/- 0.4 (x^2 - y^2)/s^2: the blob perturbs but the
+    # mean must stay in the BC hull
+    m = float(img[..., :3].mean())
+    assert 0.2 < m < 0.8, m
