@@ -89,7 +89,7 @@ class SourceGrid:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["dirichlet", "neumann", "d_grid", "source",
-                      "aabb_lo", "aabb_hi"],
+                      "aabb_lo", "aabb_hi", "n_sgrid"],
          meta_fields=["dim", "source_intensity", "dirichlet_intensity",
                       "neumann_intensity"])
 @dataclass
@@ -106,6 +106,9 @@ class Scene:
     source_intensity: float
     dirichlet_intensity: float
     neumann_intensity: float
+    # silhouette candidate grid for LARGE Neumann sets (grid.SilGrid):
+    # replaces the per-lane coned-BVH descent in the R_N query
+    n_sgrid: Optional[object] = None
 
 
 def _parse_vertex_colors(path: str, n_verts: int) -> np.ndarray:
@@ -223,6 +226,61 @@ class Problem:
         self.n_stack = 48
         self.stats: dict = {}
 
+    # -- persistent load-balancing hints ------------------------------------
+    # Per-pixel walk costs and steps/s rates measured by earlier solves.
+    # Pure HINTS (correctness never depends on them): with them, a fresh
+    # process skips the unbalanced probe round (~1.6 s at 2.1M/s on the
+    # 512² headline) and time-budgeted solves slice their first round.
+
+    def _hint_path(self) -> str | None:
+        cd = getattr(self, "cache_dir", None)
+        if not cd or self.scene is None or self.scene.dirichlet is None:
+            return None
+        import hashlib
+        v = np.asarray(self.scene.dirichlet.gs.verts)
+        key = hashlib.sha1(
+            v[:64].tobytes() + np.int64([v.shape[0], self.dim]).tobytes()
+        ).hexdigest()[:16]
+        return os.path.join(cd, f"hints_{key}.npz")
+
+    def hint_cache_load(self):
+        path = self._hint_path()
+        if not path or not os.path.exists(path) or getattr(
+                self, "_hints_loaded", False):
+            return
+        self._hints_loaded = True
+        try:
+            z = np.load(path, allow_pickle=False)
+        except Exception:
+            return
+        cost = self.__dict__.setdefault("_cost_cache", {})
+        rate = self.__dict__.setdefault("_rate_cache", {})
+        for k in z.files:
+            parts = k.split("_")
+            if k.startswith("cost_"):
+                cost.setdefault((int(parts[1]), float(parts[2]),
+                                 int(parts[3])), np.asarray(z[k]))
+            elif k.startswith("ratetrain_"):
+                rate.setdefault(("train", int(parts[1])), float(z[k]))
+            elif k.startswith("rate_"):
+                rate.setdefault(int(parts[1]), float(z[k]))
+
+    def hint_cache_save(self):
+        path = self._hint_path()
+        if not path:
+            return
+        payload = {}
+        for k, v in self.__dict__.get("_cost_cache", {}).items():
+            payload[f"cost_{k[0]}_{k[1]}_{k[2]}"] = np.asarray(v, np.float32)
+        for k, v in self.__dict__.get("_rate_cache", {}).items():
+            if isinstance(k, tuple):
+                payload[f"ratetrain_{k[1]}"] = np.float64(v)
+            else:
+                payload[f"rate_{k}"] = np.float64(v)
+        if payload:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            np.savez_compressed(path, **payload)
+
     # -- flags (problem.h:104-171) ------------------------------------------
     @property
     def is_dirichlet_enabled(self):
@@ -245,6 +303,9 @@ class Problem:
         dim = self.dim
         if accel == "auto":
             accel = "bvh" if jax.default_backend() == "cpu" else "grid"
+        # remembered for solver-side persistent caches (per-pixel walk
+        # costs etc. — load-balancing hints only, never correctness)
+        self.cache_dir = cache_dir
 
         aabb_min = np.asarray(json_get_or_throw(conf, "aabb/min"), np.float32)
         aabb_max = np.asarray(json_get_or_throw(conf, "aabb/max"), np.float32)
@@ -302,7 +363,33 @@ class Problem:
             img = np.asarray(Image.open(resolve(mask_path)).convert("RGB"))
             self.mask = np.any(img != 0, axis=-1)  # (H, W), problem.cu:226-239
 
+        # silhouette candidate grid for large Neumann sets: the dense R_N
+        # sweep is O(E x lanes) per depth step and the coned-BVH descent is
+        # a divergent per-lane loop — the banded grid is the TPU shape
+        # (grid.SilGrid; same design as the Dirichlet candidate grid)
+        n_sgrid = None
+        if neumann is not None and accel == "grid":
+            from ..geometry.queries import CHUNKED_DENSE_MAX
+            gs = neumann.gs
+            if int(gs.sil_p0.shape[0]) > CHUNKED_DENSE_MAX:
+                from ..geometry.grid import build_silhouette_grid
+                p0 = np.asarray(gs.sil_p0)
+                p1 = np.asarray(gs.sil_p1)
+                margin = 0.05 * (aabb_max - aabb_min)
+                s_lo = np.minimum(np.minimum(aabb_min, p0.min(0)),
+                                  p1.min(0)) - margin
+                s_hi = np.maximum(np.maximum(aabb_max, p0.max(0)),
+                                  p1.max(0)) + margin
+                n_sgrid = build_silhouette_grid(
+                    p0, p1, np.asarray(gs.sil_n1), np.asarray(gs.sil_n2),
+                    np.asarray(gs.sil_always), s_lo, s_hi,
+                    cache_dir=cache_dir)
+                if n_sgrid is not None:
+                    self.stats["neumann_sil_grid"] = (
+                        f"res={n_sgrid.res} K={n_sgrid.rows.shape[1]}")
+
         self.scene = Scene(
+            n_sgrid=n_sgrid,
             dirichlet=dirichlet,
             neumann=neumann,
             d_grid=d_grid,

@@ -386,15 +386,15 @@ def build_candidate_grid(
     # the O(cells x prims) device passes when the shared library is present
     # — fille's level passes drop from 192 s to seconds (VERDICT r2 #3).
     # ELAINA_NATIVE_GRID=0 forces the device path (oracle for tests).
-    from .native import (grid_band_counts_native, grid_band_rows_native,
-                         grid_bands_available)
+    from .native import grid_band_full_native, grid_bands_available
     use_native = (grid_bands_available()
                   and os.environ.get("ELAINA_NATIVE_GRID", "1") == "1")
 
     for lvl in range(max_levels):
+        nat_rows = None
         if use_native:
-            counts, lcell = grid_band_counts_native(verts, indices, centers,
-                                                    hcell)
+            counts, nat_rows, lcell = grid_band_full_native(
+                verts, indices, centers, hcell, K)
         else:
             counts, lcell = _count_pass(pv, dim, centers, hcell)
         if lvl == 0:
@@ -416,9 +416,8 @@ def build_candidate_grid(
         metas.append(meta)
 
         if fit_idx.shape[0]:
-            if use_native:
-                rows, row_lb = grid_band_rows_native(
-                    verts, indices, centers[fit_idx], hcell, K)
+            if nat_rows is not None:
+                rows, row_lb = nat_rows[fit_idx], lcell[fit_idx]
             else:
                 rows, row_lb = _band_pass(pv, dim, centers[fit_idx], hcell, K)
             row_blocks.append(rows)
@@ -467,6 +466,89 @@ def build_candidate_grid(
 # --------------------------------------------------------------------------- #
 # Pallas coordinate table
 # --------------------------------------------------------------------------- #
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["origin", "inv_cell", "rows", "r_cap", "lbound",
+                      "ent_lo", "ent_hi"],
+         meta_fields=["res"])
+@dataclass
+class SilGrid:
+    """Single-level silhouette candidate grid (TPU-native SNCH query).
+
+    Per cell: the K nearest (by distance lower bound) entities not
+    certified non-silhouette over the cell, a validity cap ``r_cap``
+    (min over excluded entities' lower bounds and the certified-silhouette
+    upper-bound threshold), and a lazy-skip ``lbound``.  The query returns
+    min(best found, r_cap): EXACT when the true silhouette distance is
+    below r_cap, a valid LOWER bound otherwise — star radii only need
+    lower bounds (WoSt R_N semantics, uniform/integrator.cu:189), so
+    K-truncation trades step size, never correctness.  Built natively
+    (native/scene_build.cpp sil_band_rows).
+    """
+
+    origin: jnp.ndarray      # (D,)
+    inv_cell: jnp.ndarray    # (D,)
+    rows: jnp.ndarray        # (C, K) int32 entity ids, -1 pad
+    r_cap: jnp.ndarray       # (C,) f32 (1e30 = unbounded)
+    lbound: jnp.ndarray      # (C,) f32 min lower over kept entities
+    ent_lo: jnp.ndarray      # (D,) entity-set bbox (out-of-grid fallback)
+    ent_hi: jnp.ndarray      # (D,)
+    res: tuple = ()
+
+
+def build_silhouette_grid(p0, p1, n1, n2, always, lo, hi, K: int = 64,
+                          max_res: int = 2048,
+                          cache_dir: str | None = None) -> SilGrid | None:
+    """Build the silhouette candidate grid (native; None if unavailable)."""
+    from .native import sil_band_rows_native, sil_bands_available
+    if not sil_bands_available():
+        return None
+    p0 = np.asarray(p0, np.float32)
+    p1 = np.asarray(p1, np.float32)
+    dim = p0.shape[1]
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    span = hi - lo
+
+    key = hashlib.sha1(
+        b"sil1" + p0.tobytes() + p1.tobytes() + np.asarray(n1).tobytes()
+        + np.asarray(always, np.uint8).tobytes() + lo.tobytes()
+        + hi.tobytes() + np.int64([K, max_res]).tobytes()
+    ).hexdigest()[:16]
+    cache_path = (os.path.join(cache_dir, f"silgrid_{key}.npz")
+                  if cache_dir else None)
+    ent_lo = np.minimum(p0.min(0), p1.min(0))
+    ent_hi = np.maximum(p0.max(0), p1.max(0))
+    if cache_path and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        return SilGrid(
+            origin=jnp.asarray(z["origin"]), inv_cell=jnp.asarray(z["inv_cell"]),
+            rows=jnp.asarray(z["rows"]), r_cap=jnp.asarray(z["r_cap"]),
+            lbound=jnp.asarray(z["lbound"]), ent_lo=jnp.asarray(ent_lo),
+            ent_hi=jnp.asarray(ent_hi), res=tuple(int(r) for r in z["res"]))
+
+    base = 256 if dim == 2 else 48
+    res = tuple(int(np.clip(base * span[d] / max(span), 8, max_res))
+                for d in range(dim))
+    centers = _cell_centers(lo, hi, res)
+    hcell = 0.5 * span / np.asarray(res, np.float64)
+    rows, r_cap, lbound = sil_band_rows_native(
+        p0, p1, n1, n2, always, centers, hcell, K)
+    if cache_path:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez_compressed(cache_path, origin=lo,
+                            inv_cell=(np.asarray(res, np.float32)
+                                      / np.maximum(span, 1e-20)),
+                            rows=rows, r_cap=r_cap, lbound=lbound,
+                            res=np.asarray(res, np.int64))
+    return SilGrid(
+        origin=jnp.asarray(lo),
+        inv_cell=jnp.asarray(np.asarray(res, np.float32)
+                             / np.maximum(span, 1e-20)),
+        rows=jnp.asarray(rows), r_cap=jnp.asarray(r_cap),
+        lbound=jnp.asarray(lbound), ent_lo=jnp.asarray(ent_lo),
+        ent_hi=jnp.asarray(ent_hi), res=res)
 
 
 def coords_from_cand(cand: np.ndarray, verts: np.ndarray,
@@ -676,12 +758,44 @@ def build_fine_pack(grid: CandidateGrid, eps: float,
                     lin = lin * fine_res[d] + c[:, d] * blk + off[d]
                 deep_lin.append(lin)
                 deep_src.append(metas_np[lvl][idx])  # row ids (>= 0)
+    # ---- pow2 bucketing of every data-dependent shape ------------------ #
+    # The fused build program below is keyed on (res0, L) and the SHAPES of
+    # meta levels / row tables / deep-scatter lists.  Raw shapes are
+    # data-dependent, so every new scene recompiled the whole program —
+    # 267 s through the remote-compile tunnel on the fille cold start.
+    # Padding each to the next power of two makes the executable reusable
+    # across scenes (same res/levels -> at most a handful of variants).
+    def _pow2(n: int) -> int:
+        return 1 << max(int(n) - 1, 0).bit_length()
+
     if deep_lin:
-        deep_lin = jnp.asarray(np.concatenate(deep_lin), jnp.int32)
-        deep_src = jnp.asarray(np.concatenate(deep_src), jnp.int32)
+        deep_lin = np.concatenate(deep_lin).astype(np.int32)
+        deep_src = np.concatenate(deep_src).astype(np.int32)
     else:
-        deep_lin = jnp.zeros((0,), jnp.int32)
-        deep_src = jnp.zeros((0,), jnp.int32)
+        deep_lin = np.zeros((0,), np.int32)
+        deep_src = np.zeros((0,), np.int32)
+    n_deep = deep_lin.shape[0]
+    pad_deep = _pow2(n_deep) if n_deep else 0
+    oob = np.int64(np.prod(fine_res))        # mode="drop" discards these
+    deep_lin = jnp.asarray(np.pad(deep_lin, (0, pad_deep - n_deep),
+                                  constant_values=oob)
+                           if n_deep else deep_lin, jnp.int32)
+    deep_src = jnp.asarray(np.pad(deep_src, (0, pad_deep - n_deep))
+                           if n_deep else deep_src, jnp.int32)
+
+    n_rows = grid.row_lbound.shape[0]
+    pad_rows = _pow2(n_rows)
+    # pad with a LARGE FINITE bound: +inf maps to 1.0 inside the r0 min
+    # (the build's non-finite fallback) and would corrupt r0
+    row_lb_p = jnp.concatenate(
+        [grid.row_lbound,
+         jnp.full((pad_rows - n_rows,), 1e30, jnp.float32)])
+    meta_p = [grid.meta[0]]                  # level 0 is res0-shaped
+    for m in grid.meta[1:]:
+        pm = _pow2(m.shape[0])
+        # pad entries are unreferenced (no pointer targets them): leaf row 0
+        meta_p.append(jnp.concatenate(
+            [m, jnp.zeros((pm - m.shape[0],), m.dtype)]))
 
     def is_ptr(v):
         return ((v >> 20) & 0x7FF) == _PTR_BUCKET
@@ -787,10 +901,11 @@ def build_fine_pack(grid: CandidateGrid, eps: float,
                 cur = cur.reshape(sh)
         fine = cur.reshape(-1)
         if deep_src.shape[0]:
-            fine = fine.at[deep_lin].set(packed0[deep_src])
+            # padded scatter slots carry an out-of-bounds index: drop them
+            fine = fine.at[deep_lin].set(packed0[deep_src], mode="drop")
         return fine, r0
 
-    fine, r0 = build(grid.row_lbound, grid.row_diag, list(grid.meta),
+    fine, r0 = build(row_lb_p, grid.row_diag, meta_p,
                      jnp.float32(eps), deep_lin, deep_src)
 
     inv_cell_fine = grid.inv_cell * float(1 << (L - 1))

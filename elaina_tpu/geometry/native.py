@@ -82,6 +82,18 @@ def _load():
         lib.grid_band_rows.argtypes = [
             fp, ctypes.c_int64, ip, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32, fp, ctypes.c_int64, fp, ctypes.c_int32, ip, fp]
+    if hasattr(lib, "grid_band_full"):
+        lib.grid_band_full.restype = None
+        lib.grid_band_full.argtypes = [
+            fp, ctypes.c_int64, ip, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, fp, ctypes.c_int64, fp, ctypes.c_int32, ip, ip,
+            fp]
+    if hasattr(lib, "sil_band_rows"):
+        up = ctypes.POINTER(ctypes.c_uint8)
+        lib.sil_band_rows.restype = None
+        lib.sil_band_rows.argtypes = [
+            fp, fp, fp, fp, up, ctypes.c_int64, ctypes.c_int32, fp,
+            ctypes.c_int64, fp, ctypes.c_int32, ip, fp, fp]
     _LIB = lib
     return lib
 
@@ -215,3 +227,62 @@ def grid_band_rows_native(verts: np.ndarray, indices: np.ndarray,
         h.ctypes.data_as(fp), int(K), rows.ctypes.data_as(ip),
         lcell.ctypes.data_as(fp))
     return rows, lcell
+
+
+def sil_bands_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "sil_band_rows")
+
+
+def sil_band_rows_native(p0, p1, n1, n2, always, centers, hcell, K: int):
+    """Native silhouette band-grid pass: per cell the K nearest (by lower
+    bound) possibly-silhouette entities, the validity cap r_cap, and the
+    lazy-skip lower bound.  See native/scene_build.cpp sil_band_rows."""
+    lib = _load()
+    p0 = np.ascontiguousarray(p0, np.float32)
+    p1 = np.ascontiguousarray(p1, np.float32)
+    n1 = np.ascontiguousarray(n1, np.float32)
+    n2 = np.ascontiguousarray(n2, np.float32)
+    aw = np.ascontiguousarray(always, np.uint8)
+    c = np.ascontiguousarray(centers, np.float32)
+    h = np.ascontiguousarray(hcell, np.float32)
+    dim = p0.shape[1]
+    n = c.shape[0]
+    rows = np.empty((n, int(K)), np.int32)
+    rcap = np.empty((n,), np.float32)
+    lbound = np.empty((n,), np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    up = ctypes.POINTER(ctypes.c_uint8)
+    lib.sil_band_rows(
+        p0.ctypes.data_as(fp), p1.ctypes.data_as(fp), n1.ctypes.data_as(fp),
+        n2.ctypes.data_as(fp), aw.ctypes.data_as(up), p0.shape[0], dim,
+        c.ctypes.data_as(fp), n, h.ctypes.data_as(fp), int(K),
+        rows.ctypes.data_as(ip), rcap.ctypes.data_as(fp),
+        lbound.ctypes.data_as(fp))
+    return rows, rcap, lbound
+
+
+def grid_band_full_native(verts: np.ndarray, indices: np.ndarray,
+                          centers: np.ndarray, hcell: np.ndarray, K: int):
+    """Fused count+rows+lcell in one native pass (best-first min-upper):
+    (counts (n,) int32, rows (n, K) int32 -1-padded, lcell (n,) f32).
+    Rows are only meaningful where counts <= K (over-K cells subdivide)."""
+    lib = _load()
+    v = np.ascontiguousarray(verts, np.float32)
+    idx = np.ascontiguousarray(indices, np.int32)
+    c = np.ascontiguousarray(centers, np.float32)
+    h = np.ascontiguousarray(hcell, np.float32)
+    dim = v.shape[1]
+    n = c.shape[0]
+    counts = np.empty((n,), np.int32)
+    rows = np.empty((n, int(K)), np.int32)
+    lcell = np.empty((n,), np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    lib.grid_band_full(
+        v.ctypes.data_as(fp), v.shape[0], idx.ctypes.data_as(ip),
+        idx.shape[0], idx.shape[1], dim, c.ctypes.data_as(fp), n,
+        h.ctypes.data_as(fp), int(K), counts.ctypes.data_as(ip),
+        rows.ctypes.data_as(ip), lcell.ctypes.data_as(fp))
+    return counts, rows, lcell

@@ -635,3 +635,51 @@ def _sample_in_ball_chunked(gs: GeomSet, q, R, u, chunk: int = BRUTE_FORCE_MAX):
     pdf_area = jnp.where(
         ok, w_sel / (jnp.maximum(total, 1e-30) * jnp.maximum(m_sel, 1e-30)), 0.0)
     return jnp.where(ok, idx, -1), pdf_area
+
+
+def grid_closest_silhouette(sg, gs: GeomSet, q):
+    """Banded silhouette query via the SilGrid (grid.build_silhouette_grid).
+
+    q: (N, D) -> (N,) min(nearest-silhouette distance, cell r_cap): exact
+    below the cell's validity cap, a conservative LOWER bound otherwise —
+    a valid WoSt star radius either way (uniform/integrator.cu:189).
+    Replaces the per-lane coned-BVH descent with one row gather + a dense
+    K-entity sweep (the TPU-native shape; the Dirichlet path's design,
+    SURVEY.md §7 'hard parts' #1).  Out-of-grid queries fall back to the
+    distance to the entity-set bbox (the grid covers the scene AABB, so
+    those lanes are outside every entity's box: a valid lower bound).
+    """
+    res = jnp.asarray([r for r in sg.res], jnp.float32)
+    rel = (q - sg.origin) * sg.inv_cell
+    outside = jnp.any((rel < 0.0) | (rel >= res), axis=-1)
+    idx = jnp.clip(rel.astype(jnp.int32), 0,
+                   jnp.asarray([r - 1 for r in sg.res], jnp.int32))
+    lin = idx[..., 0]
+    for d in range(1, len(sg.res)):
+        lin = lin * sg.res[d] + idx[..., d]
+
+    ids = sg.rows[lin]                        # (N, K)
+    valid = ids >= 0
+    safe = jnp.maximum(ids, 0)
+    p0 = gs.sil_p0[safe]                      # (N, K, D)
+    n1 = gs.sil_n1[safe]
+    n2 = gs.sil_n2[safe]
+    always = gs.sil_always[safe]
+    if gs.dim == 2:
+        v = q[:, None, :] - p0
+        d = jnp.linalg.norm(v, axis=-1)
+    else:
+        p1 = gs.sil_p1[safe]
+        d, t = seg_closest_point(q[:, None, :], p0, p1)
+        c = p0 + t[..., None] * (p1 - p0)
+        v = q[:, None, :] - c
+    s1 = jnp.sum(n1 * v, axis=-1)
+    s2 = jnp.sum(n2 * v, axis=-1)
+    is_sil = always | (s1 * s2 <= 0.0)
+    found = jnp.min(jnp.where(valid & is_sil, d, jnp.inf), axis=-1)
+    capped = jnp.minimum(found, sg.r_cap[lin])
+    capped = jnp.where(capped >= 1e29, jnp.inf, capped)
+
+    delta = jnp.maximum(sg.ent_lo - q, 0.0) + jnp.maximum(q - sg.ent_hi, 0.0)
+    d_box = jnp.linalg.norm(delta, axis=-1)
+    return jnp.where(outside, d_box, capped)

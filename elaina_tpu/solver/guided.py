@@ -678,20 +678,7 @@ class GuidedIntegrator(BaseIntegrator):
         jax.block_until_ready(out)
 
         # guiding-phase chunk (matches _guiding_persistent)
-        if getattr(self, "_guide_chunk", None) is None:
-            spec = self.spec
-
-            def g_step(sc, extra, st, k, wstep, step0):
-                params, uf, mgd = extra
-                st, _, contrib = guided_depth_step(
-                    sc, spec, params, st, None, k, wstep, jnp.bool_(True),
-                    jnp.bool_(False), uf, mgd, eps=eps, d_stack=d_stack,
-                    n_stack=n_stack, step0=step0)
-                return st, contrib
-
-            self._guide_chunk = make_balanced_chunk(
-                g_step, eps=eps, max_depth=int(s.maxWalkingDepth),
-                d_stack=d_stack, n_stack=n_stack, mesh=self.mesh)
+        self._guide_chunk_get()
         extra = (self.trainer.ema_params,
                  jnp.float32(s.uniformFractionInGuidingPhase),
                  jnp.int32(s.maxGuidedDepthInGuidingPhase))
@@ -940,6 +927,8 @@ class GuidedIntegrator(BaseIntegrator):
         _mark("final sync")
         duration_ms = int((time.time() - start) * 1000)
         self.spp_done = spp - spp0
+        if hasattr(self.problem, "hint_cache_save"):
+            self.problem.hint_cache_save()
 
         film = self.films["SOLUTION"]
         film.reset()
@@ -1002,6 +991,30 @@ class GuidedIntegrator(BaseIntegrator):
                 n_stack=self.problem.n_stack, dim=self.problem.scene.dim,
                 mesh=mesh)
         return self._train_chunk
+
+    def _guide_chunk_get(self):
+        """Memoized no-records balanced chunk (guiding phase + training-
+        phase tail rounds)."""
+        if getattr(self, "_guide_chunk", None) is None:
+            from .wost import make_balanced_chunk
+
+            s = self.settings
+            spec = self.spec
+            eps = float(s.epsilonShell)
+            d_stack, n_stack = self.problem.d_stack, self.problem.n_stack
+
+            def g_step(sc, extra, st, k, wstep, step0):
+                params, uf, mgd = extra
+                st, _, contrib = guided_depth_step(
+                    sc, spec, params, st, None, k, wstep, jnp.bool_(True),
+                    jnp.bool_(False), uf, mgd, eps=eps, d_stack=d_stack,
+                    n_stack=n_stack, step0=step0)
+                return st, contrib
+
+            self._guide_chunk = make_balanced_chunk(
+                g_step, eps=eps, max_depth=int(s.maxWalkingDepth),
+                d_stack=d_stack, n_stack=n_stack, mesh=self.mesh)
+        return self._guide_chunk
 
     def _step0(self, scene):
         """Memoized step-0 separation (shared by both persistent phases)."""
@@ -1088,9 +1101,17 @@ class GuidedIntegrator(BaseIntegrator):
         slicer = BudgetSlicer(time_budget_s, start, self._train_rate_prior())
         sink_steps, sink_wall = 0, 0.0
         max_rounds = 16 + 4 * (1 + remaining * int(s.maxWalkingDepth) // 48)
+        total_sam = int(np.sum(~resolved)) * remaining
         for round_i in range(max_rounds):
             _m(f"round{round_i}_top")
             if rem.sum() == 0:
+                break
+            if round_i > 0 and rem.sum() < max(1, total_sam // 2000):
+                # drain-skip: a dispatch for <0.05% of the samples costs a
+                # near-full-second round committing almost nothing
+                # (measured 43 steps in 1.01 s on the 512² headline); the
+                # partial-sum rescale below is unbiased
+                interrupted = True
                 break
             rem_round, stop = slicer.plan(
                 rem, cost, round_i, spp_w,
@@ -1099,13 +1120,8 @@ class GuidedIntegrator(BaseIntegrator):
             if stop:
                 interrupted = True
                 break
-            if round_i > 0 or have_cost0:
-                piece_pix, piece_quota = build_balanced_pieces(rem_round,
-                                                               cost, n, S)
-            ppos = tuple(jnp.asarray(pts_np[piece_pix, d])
-                         for d in range(pts_np.shape[1]))
-            prd = jnp.asarray(rd0_np[piece_pix])
             tail = False
+            n_round = n
             if round_i == 0 and not have_cost0:
                 cap = 8 * spp_w
             else:
@@ -1117,30 +1133,56 @@ class GuidedIntegrator(BaseIntegrator):
                 if ideal <= int(s.maxWalkingDepth):
                     # tail rounds: let every remaining walk finish in one
                     # dispatch instead of re-rolling per round (the loop
-                    # exits early once quotas drain and walks die)
-                    cap = min(int(s.maxWalkingDepth) + 2 * ideal + 64, 512)
+                    # exits early once quotas drain and walks die).  They
+                    # run at single-digit occupancy and train almost
+                    # nothing, so dispatch the record-free GUIDE chunk at
+                    # quarter lane width instead — same sampling
+                    # distribution, reuses the prepared executables
+                    # (measured: 13%-occupancy tail cost 2.6 s of the
+                    # 22 s 512² training phase)
                     tail = True
-            cap = slicer.bound_cap(cap, n, int(s.maxWalkingDepth) + 32)
+                    m = self.mesh.devices.size if self.mesh else 1
+                    n4 = (n // 4) // m * m
+                    if n >= 4 * 32768 and n4 > 0:
+                        n_round = n4
+                        ideal = int(np.ceil(ideal * n / n4))
+                    cap = min(int(s.maxWalkingDepth) + 2 * ideal + 64,
+                              512 if n_round == n else 1024)
+            if round_i > 0 or have_cost0:
+                piece_pix, piece_quota = build_balanced_pieces(
+                    rem_round, cost, n_round, S)
+            ppos = tuple(jnp.asarray(pts_np[piece_pix, d])
+                         for d in range(pts_np.shape[1]))
+            prd = jnp.asarray(rd0_np[piece_pix])
+            cap = slicer.bound_cap(cap, n_round,
+                                   int(s.maxWalkingDepth) + 32)
             t_r = time.time()
             tbit = getattr(self, "_train_bit", None)
-            acc, done, lsteps, steps, iters, trainer, metric = chunk(
-                scene, trainer, uf, mgd, ppos, prd,
-                jnp.asarray(piece_quota), jax.random.fold_in(key, round_i),
-                jnp.int32(cap),
-                # tail rounds run at single-digit occupancy: skip the
-                # in-loop optimizer (its cost ~= 10 full-lane iterations);
-                # their few records still reach the end-of-chunk pass
-                jnp.int32(cap + 1 if tail else 10),
-                None if tbit is None else jnp.asarray(tbit[piece_pix]))
+            if tail and n_round < n:
+                extra = (trainer.ema_params, uf, mgd)
+                acc, done, lsteps, steps, iters = self._guide_chunk_get()(
+                    scene, extra, ppos, prd, jnp.asarray(piece_quota),
+                    jax.random.fold_in(key, round_i), jnp.int32(cap))
+                metric = jnp.float32(0.0)
+            else:
+                acc, done, lsteps, steps, iters, trainer, metric = chunk(
+                    scene, trainer, uf, mgd, ppos, prd,
+                    jnp.asarray(piece_quota),
+                    jax.random.fold_in(key, round_i), jnp.int32(cap),
+                    # full-width tail rounds skip the in-loop optimizer
+                    # (its cost ~= 10 full-lane iterations); their few
+                    # records still reach the end-of-chunk pass
+                    jnp.int32(cap + 1 if tail else 10),
+                    None if tbit is None else jnp.asarray(tbit[piece_pix]))
             image, done_pix = flush(image, acc, done,
                                     jnp.asarray(piece_pix), n)
             if os.environ.get("ELAINA_BALANCE_DEBUG") == "1":
                 import sys as _sys
                 it_n = int(iters)
                 _sys.stderr.write(
-                    f"[train-balance] round {round_i}: cap={cap} "
-                    f"iters={it_n} steps={int(steps)} occ="
-                    f"{int(steps)/max(it_n*n,1)*100:.0f}% "
+                    f"[train-balance] round {round_i}: lanes={n_round} "
+                    f"cap={cap} iters={it_n} steps={int(steps)} occ="
+                    f"{int(steps)/max(it_n*n_round,1)*100:.0f}% "
                     f"wall={time.time()-t_r:.2f}s "
                     f"rate={int(steps)/max(time.time()-t_r,1e-9)/1e6:.1f}"
                     f"M/s\n")
@@ -1153,7 +1195,8 @@ class GuidedIntegrator(BaseIntegrator):
                 # cannot dominate (see wost.balanced_solve)
                 sink_steps += int(steps)
                 sink_wall += time.time() - t_r
-            self.loss_history.append(float(metric))
+            if not (tail and n_round < n):
+                self.loss_history.append(float(metric))
             done_np = np.asarray(done_pix).astype(np.int64)
             rem = np.maximum(rem - done_np, 0)
             if round_i == 0 and not have_cost0:
@@ -1217,21 +1260,7 @@ class GuidedIntegrator(BaseIntegrator):
         d_stack, n_stack = self.problem.d_stack, self.problem.n_stack
 
         rd0, in_shell0, contrib0 = self._step0(scene)
-
-        if getattr(self, "_guide_chunk", None) is None:
-            from .wost import make_balanced_chunk
-
-            def g_step(sc, extra, st, k, wstep, step0):
-                params, uf, mgd = extra
-                st, _, contrib = guided_depth_step(
-                    sc, spec, params, st, None, k, wstep, jnp.bool_(True),
-                    jnp.bool_(False), uf, mgd, eps=eps, d_stack=d_stack,
-                    n_stack=n_stack, step0=step0)
-                return st, contrib
-
-            self._guide_chunk = make_balanced_chunk(
-                g_step, eps=eps, max_depth=int(s.maxWalkingDepth),
-                d_stack=d_stack, n_stack=n_stack, mesh=self.mesh)
+        self._guide_chunk_get()
 
         # untrained-net fallback: guiding with a freshly-initialized VMM is
         # strictly worse than uniform sampling (measured 1.6x RMSE on the

@@ -67,6 +67,10 @@ class BaseIntegrator:
             if g2 is not scene.d_grid:
                 problem.scene = dataclasses.replace(scene, d_grid=g2)
 
+        # persistent load-balancing hints from earlier processes
+        if hasattr(problem, "hint_cache_load"):
+            problem.hint_cache_load()
+
         w, h = settings.frameSize
         self.n_pixels = w * h
         probe: EvaluationGrid = problem.probe
@@ -351,6 +355,8 @@ class UniformIntegrator(BaseIntegrator):
         self.total_walk_steps = steps
         total.block_until_ready()
         duration_ms = int((time.time() - start) * 1000)
+        if hasattr(self.problem, "hint_cache_save"):
+            self.problem.hint_cache_save()
 
         film = self.films["SOLUTION"]
         film.reset()

@@ -333,7 +333,11 @@ def _separate(scene: Scene, state: WalkState, eps: float, stack_size: int,
                                 scene.dirichlet.gs, pid_d, side, uv)
 
     if scene.neumann is not None:
-        R_N = Q.closest_silhouette(scene.neumann.gs, q)
+        if scene.n_sgrid is not None:
+            R_N = Q.grid_closest_silhouette(scene.n_sgrid,
+                                            scene.neumann.gs, q)
+        else:
+            R_N = Q.closest_silhouette(scene.neumann.gs, q)
     else:
         R_N = jnp.full(q.shape[:1], jnp.inf)
 
@@ -956,8 +960,15 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
     budget_mode = time_budget_s is not None
     slicer = BudgetSlicer(time_budget_s, start_time, rate0)
     sink_steps, sink_wall = 0, 0.0
+    total_sam = int(np.sum(~resolved_np)) * spp
     for round_i in range(max_rounds):
         if rem.sum() == 0:
+            break
+        if round_i > 0 and rem.sum() < max(1, total_sam // 2000):
+            # drain-skip: a dispatch for <0.05% of the samples costs a
+            # near-full-second round committing almost nothing; the
+            # partial-sum rescale below is unbiased
+            interrupted = True
             break
         rem_round, stop = slicer.plan(rem, cost, round_i, spp_w, have_cost0,
                                       n_lanes=n, floor=max_depth + 32)

@@ -610,6 +610,91 @@ BandBvh* band_bvh_build(const float* verts, const int32_t* indices,
 
 }  // namespace
 
+// Fused count + rows + lcell in ONE pass per cell (best-first min-upper,
+// threshold-pruned collect): build_candidate_grid calls this once per
+// refinement level instead of a counts pass plus a rows pass — each of
+// which repeated the full traversal.
+void grid_band_full(const float* verts, int64_t n_verts,
+                    const int32_t* indices, int64_t n_prims, int32_t arity,
+                    int32_t dim, const float* centers, int64_t n_cells,
+                    const float* hcell, int32_t K, int32_t* counts_out,
+                    int32_t* rows_out, float* lcell_out) {
+  (void)n_verts;
+  BandBvh* bvh = band_bvh_build(verts, indices, n_prims, arity, dim);
+  float hn = 0.f;
+  for (int d = 0; d < dim; ++d) hn += hcell[d] * hcell[d];
+  BandCtx ctx{verts, indices, arity, dim, bvh, std::sqrt(hn)};
+
+  std::vector<std::pair<float, int32_t>> pq;  // min-heap by node bound
+  auto pq_cmp = [](const std::pair<float, int32_t>& a,
+                   const std::pair<float, int32_t>& b) {
+    return a.first > b.first;
+  };
+  std::vector<int32_t> band;
+
+  for (int64_t i = 0; i < n_cells; ++i) {
+    const float* c = centers + i * dim;
+    float corners[4][2];
+    if (dim == 2) {
+      corners[0][0] = c[0] - hcell[0]; corners[0][1] = c[1] - hcell[1];
+      corners[1][0] = c[0] - hcell[0]; corners[1][1] = c[1] + hcell[1];
+      corners[2][0] = c[0] + hcell[0]; corners[2][1] = c[1] - hcell[1];
+      corners[3][0] = c[0] + hcell[0]; corners[3][1] = c[1] + hcell[1];
+    }
+    auto lb_upper = [&](int32_t nid) {
+      const float* blo = bvh->bmin.data() + (int64_t)nid * dim;
+      const float* bhi = bvh->bmax.data() + (int64_t)nid * dim;
+      if (dim == 2) {
+        float lb = 0.f;
+        for (int k = 0; k < 4; ++k)
+          lb = std::max(lb, pt_box_dist(corners[k], blo, bhi, 2));
+        return lb;
+      }
+      return pt_box_dist(c, blo, bhi, 3) + ctx.hnorm;
+    };
+
+    // best-first min upper bound M
+    float best = 1e30f;
+    pq.clear();
+    pq.emplace_back(lb_upper(0), 0);
+    while (!pq.empty()) {
+      auto [lb, nid] = pq.front();
+      std::pop_heap(pq.begin(), pq.end(), pq_cmp);
+      pq.pop_back();
+      if (lb >= best) break;
+      if (bvh->left[nid] < 0) {
+        for (int32_t k = 0; k < bvh->count[nid]; ++k) {
+          int32_t p = bvh->order[bvh->start[nid] + k];
+          float lo_p, up_p;
+          prim_bounds(ctx, p, c, hcell, &lo_p, &up_p);
+          best = std::min(best, up_p);
+        }
+      } else {
+        for (int32_t ch : {bvh->left[nid], bvh->right[nid]}) {
+          float lbc = lb_upper(ch);
+          if (lbc < best) {
+            pq.emplace_back(lbc, ch);
+            std::push_heap(pq.begin(), pq.end(), pq_cmp);
+          }
+        }
+      }
+    }
+    float thresh = best * (1.f + 1e-6f) + 1e-9f;
+
+    band.clear();
+    float ml;
+    int64_t cnt = collect_band(ctx, c, hcell, thresh, &band, &ml);
+    counts_out[i] = (int32_t)std::min<int64_t>(cnt, 0x7FFFFFFF);
+    lcell_out[i] = ml;
+    std::sort(band.begin(), band.end());
+    int32_t* row = rows_out + i * K;
+    int64_t n = std::min<int64_t>((int64_t)band.size(), K);
+    for (int64_t k = 0; k < n; ++k) row[k] = band[k];
+    for (int64_t k = n; k < K; ++k) row[k] = -1;
+  }
+  delete bvh;
+}
+
 // counts (n_cells) + cell-min lower bound (n_cells): _count_pass parity
 void grid_band_counts(const float* verts, int64_t n_verts,
                       const int32_t* indices, int64_t n_prims,
@@ -659,6 +744,288 @@ void grid_band_rows(const float* verts, int64_t n_verts,
     for (int64_t k = 0; k < n; ++k) row[k] = band[k];
     for (int64_t k = n; k < K; ++k) row[k] = -1;
     lcell_out[i] = ml;
+  }
+  delete bvh;
+}
+
+// ---------------------------------------------------------------------------
+// Silhouette candidate grid (geometry/queries.grid_closest_silhouette's
+// build pass).  Unlike the Dirichlet band, silhouette-ness is
+// view-dependent, so per cell we compute:
+//   Mcert  = min upper-distance over entities CERTIFIED silhouette from
+//            every q in the cell (interval arithmetic on the two
+//            adjacent-normal dot products);
+//   rows   = the K nearest (by lower bound) entities not certified
+//            NON-silhouette over the cell;
+//   r_cap  = min(Mcert-threshold, smallest lower bound among excluded
+//            entities) — the query returns min(found, r_cap), which is
+//            exact when the true silhouette distance < r_cap and a valid
+//            LOWER bound otherwise (star radii only need lower bounds, so
+//            K-truncation costs step size, never correctness);
+//   lbound = min lower bound over kept entities (lazy-skip hint).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SilEnt {
+  const float* p0;
+  const float* p1;
+  const float* n1;
+  const float* n2;
+  const uint8_t* always;
+  int dim;
+};
+
+inline float pt_seg_dist(const float* q, const float* a, const float* b,
+                         int dim) {
+  float e[3], w[3];
+  float den = 0.f, dot = 0.f;
+  for (int d = 0; d < dim; ++d) {
+    e[d] = b[d] - a[d];
+    w[d] = q[d] - a[d];
+    den += e[d] * e[d];
+    dot += w[d] * e[d];
+  }
+  float t = den > 1e-30f ? clampf(dot / den, 0.f, 1.f) : 0.f;
+  float d2 = 0.f;
+  for (int d = 0; d < dim; ++d) {
+    float r = w[d] - t * e[d];
+    d2 += r * r;
+  }
+  return std::sqrt(d2);
+}
+
+// interval of dot(q - p0 - t*(p1-p0), n) over q in box(c, h), t in [0, 1]
+inline void sil_dot_interval(const SilEnt& E, int64_t e, const float* n,
+                             const float* c, const float* h, float* lo,
+                             float* hi) {
+  int dim = E.dim;
+  const float* p0 = E.p0 + e * dim;
+  const float* p1 = E.p1 + e * dim;
+  float m = 0.f, rq = 0.f, de = 0.f;
+  for (int d = 0; d < dim; ++d) {
+    m += (c[d] - p0[d]) * n[d];
+    rq += std::fabs(n[d]) * h[d];
+    de += (p1[d] - p0[d]) * n[d];
+  }
+  *lo = m - rq - std::max(de, 0.f);
+  *hi = m + rq - std::min(de, 0.f);
+}
+
+inline void sil_certify(const SilEnt& E, int64_t e, const float* c,
+                        const float* h, bool* cert_sil, bool* cert_nonsil) {
+  if (E.always[e]) {
+    *cert_sil = true;
+    *cert_nonsil = false;
+    return;
+  }
+  float lo1, hi1, lo2, hi2;
+  sil_dot_interval(E, e, E.n1 + e * E.dim, c, h, &lo1, &hi1);
+  sil_dot_interval(E, e, E.n2 + e * E.dim, c, h, &lo2, &hi2);
+  *cert_sil = (hi1 <= 0.f && lo2 >= 0.f) || (lo1 >= 0.f && hi2 <= 0.f);
+  *cert_nonsil = (lo1 > 0.f && lo2 > 0.f) || (hi1 < 0.f && hi2 < 0.f);
+}
+
+// exact bounds of d(q, entity-segment) over the cell box
+inline void sil_ent_bounds(const SilEnt& E, int64_t e, const float* c,
+                           const float* h, float hnorm, float* lower,
+                           float* upper) {
+  int dim = E.dim;
+  const float* a = E.p0 + e * dim;
+  const float* b = E.p1 + e * dim;
+  if (dim == 2) {
+    float lo[2] = {c[0] - h[0], c[1] - h[1]};
+    float hi[2] = {c[0] + h[0], c[1] + h[1]};
+    float up = 0.f;
+    for (int k = 0; k < 4; ++k) {
+      float corner[2] = {k & 1 ? hi[0] : lo[0], k & 2 ? hi[1] : lo[1]};
+      up = std::max(up, pt_seg_dist(corner, a, b, 2));
+    }
+    *upper = up;
+    float cm = 1e30f;
+    for (int k = 0; k < 4; ++k) {
+      float corner[2] = {k & 1 ? hi[0] : lo[0], k & 2 ? hi[1] : lo[1]};
+      cm = std::min(cm, pt_seg_dist(corner, a, b, 2));
+    }
+    float d_end = std::min(pt_box_dist(a, lo, hi, 2),
+                           pt_box_dist(b, lo, hi, 2));
+    *lower = seg_box_overlap_2d(a, b, lo, hi) ? 0.f : std::min(cm, d_end);
+  } else {
+    float d = pt_seg_dist(c, a, b, 3);
+    *lower = std::max(d - hnorm, 0.f);
+    *upper = d + hnorm;
+  }
+}
+
+}  // namespace
+
+// Single-level silhouette band grid.  rows_out: n_cells * K (-1 pad);
+// rcap_out / lbound_out: n_cells.
+void sil_band_rows(const float* p0, const float* p1, const float* n1,
+                   const float* n2, const uint8_t* always, int64_t n_ent,
+                   int32_t dim, const float* centers, int64_t n_cells,
+                   const float* hcell, int32_t K, int32_t* rows_out,
+                   float* rcap_out, float* lbound_out) {
+  SilEnt E{p0, p1, n1, n2, always, dim};
+  // BVH over entity segments (synthesize a 2-corner vertex/index layout)
+  std::vector<float> bverts((size_t)2 * n_ent * dim);
+  std::vector<int32_t> bidx((size_t)2 * n_ent);
+  for (int64_t e = 0; e < n_ent; ++e) {
+    for (int d = 0; d < dim; ++d) {
+      bverts[(2 * e) * dim + d] = p0[e * dim + d];
+      bverts[(2 * e + 1) * dim + d] = p1[e * dim + d];
+    }
+    bidx[2 * e] = (int32_t)(2 * e);
+    bidx[2 * e + 1] = (int32_t)(2 * e + 1);
+  }
+  BandBvh* bvh = band_bvh_build(bverts.data(), bidx.data(), n_ent, 2, dim);
+  float hn = 0.f;
+  for (int d = 0; d < dim; ++d) hn += hcell[d] * hcell[d];
+  hn = std::sqrt(hn);
+
+  std::vector<std::pair<float, int32_t>> heap;  // max-heap by lower
+  heap.reserve((size_t)K + 1);
+  auto cmp = [](const std::pair<float, int32_t>& a,
+                const std::pair<float, int32_t>& b) {
+    return a.first < b.first;
+  };
+  // best-first frontier (min-heap by node bound): certified-silhouette
+  // entities cluster on the silhouette ring — a DFS establishes its first
+  // bound only after scanning ~half the tree from far cells, where
+  // best-first reaches the ring in O(log E) pops
+  std::vector<std::pair<float, int32_t>> pq;
+  auto pq_cmp = [](const std::pair<float, int32_t>& a,
+                   const std::pair<float, int32_t>& b) {
+    return a.first > b.first;
+  };
+
+  for (int64_t i = 0; i < n_cells; ++i) {
+    const float* c = centers + i * dim;
+    float corners[4][2];
+    if (dim == 2) {
+      corners[0][0] = c[0] - hcell[0]; corners[0][1] = c[1] - hcell[1];
+      corners[1][0] = c[0] - hcell[0]; corners[1][1] = c[1] + hcell[1];
+      corners[2][0] = c[0] + hcell[0]; corners[2][1] = c[1] - hcell[1];
+      corners[3][0] = c[0] + hcell[0]; corners[3][1] = c[1] + hcell[1];
+    }
+    float clo[3], chi[3];
+    for (int d = 0; d < dim; ++d) {
+      clo[d] = c[d] - hcell[d];
+      chi[d] = c[d] + hcell[d];
+    }
+
+    auto lb_upper = [&](int32_t nid) {
+      const float* blo = bvh->bmin.data() + (int64_t)nid * dim;
+      const float* bhi = bvh->bmax.data() + (int64_t)nid * dim;
+      if (dim == 2) {
+        float lb = 0.f;
+        for (int k = 0; k < 4; ++k)
+          lb = std::max(lb, pt_box_dist(corners[k], blo, bhi, 2));
+        return lb;
+      }
+      return pt_box_dist(c, blo, bhi, 3) + hn;
+    };
+    auto lb_lower = [&](int32_t nid) {
+      const float* blo = bvh->bmin.data() + (int64_t)nid * dim;
+      const float* bhi = bvh->bmax.data() + (int64_t)nid * dim;
+      return dim == 2 ? box_box_dist(clo, chi, blo, bhi, 2)
+                      : std::max(pt_box_dist(c, blo, bhi, 3) - hn, 0.f);
+    };
+
+    // pass A (best-first): Mcert over certified-silhouette entities
+    float best = 1e30f;
+    pq.clear();
+    pq.emplace_back(lb_upper(0), 0);
+    while (!pq.empty()) {
+      auto [lb, nid] = pq.front();
+      std::pop_heap(pq.begin(), pq.end(), pq_cmp);
+      pq.pop_back();
+      if (lb >= best) break;                   // frontier is sorted: done
+      if (bvh->left[nid] < 0) {
+        for (int32_t k = 0; k < bvh->count[nid]; ++k) {
+          int32_t e = bvh->order[bvh->start[nid] + k];
+          bool cs, cn;
+          sil_certify(E, e, c, hcell, &cs, &cn);
+          if (!cs) continue;
+          float lo_e, up_e;
+          sil_ent_bounds(E, e, c, hcell, hn, &lo_e, &up_e);
+          best = std::min(best, up_e);
+        }
+      } else {
+        for (int32_t ch : {bvh->left[nid], bvh->right[nid]}) {
+          float lbc = lb_upper(ch);
+          if (lbc < best) {
+            pq.emplace_back(lbc, ch);
+            std::push_heap(pq.begin(), pq.end(), pq_cmp);
+          }
+        }
+      }
+    }
+    float T = best < 1e29f ? best * (1.f + 1e-6f) + 1e-9f : 1e30f;
+
+    // pass B (best-first): K nearest (by lower) possibly-sil entities —
+    // nearest nodes fill the heap first, so ``worst`` tightens in O(K)
+    heap.clear();
+    float excl_min = 1e30f;
+    auto worst = [&]() {
+      return (int32_t)heap.size() >= K ? std::min(T, heap.front().first) : T;
+    };
+    pq.clear();
+    pq.emplace_back(lb_lower(0), 0);
+    while (!pq.empty()) {
+      auto [lb, nid] = pq.front();
+      std::pop_heap(pq.begin(), pq.end(), pq_cmp);
+      pq.pop_back();
+      float w = worst();
+      if (lb > w) {
+        excl_min = std::min(excl_min, lb);
+        break;                                 // all remaining are farther
+      }
+      if (bvh->left[nid] < 0) {
+        for (int32_t k = 0; k < bvh->count[nid]; ++k) {
+          int32_t e = bvh->order[bvh->start[nid] + k];
+          bool cs, cn;
+          sil_certify(E, e, c, hcell, &cs, &cn);
+          if (cn) continue;                    // can't win from this cell
+          float lo_e, up_e;
+          sil_ent_bounds(E, e, c, hcell, hn, &lo_e, &up_e);
+          float w2 = worst();
+          if (lo_e > w2) {
+            excl_min = std::min(excl_min, lo_e);
+            continue;
+          }
+          heap.emplace_back(lo_e, e);
+          std::push_heap(heap.begin(), heap.end(), cmp);
+          if ((int32_t)heap.size() > K) {
+            std::pop_heap(heap.begin(), heap.end(), cmp);
+            excl_min = std::min(excl_min, heap.back().first);
+            heap.pop_back();
+          }
+        }
+      } else {
+        for (int32_t ch : {bvh->left[nid], bvh->right[nid]}) {
+          float lbc = lb_lower(ch);
+          float w3 = worst();
+          if (lbc > w3) {
+            excl_min = std::min(excl_min, lbc);
+          } else {
+            pq.emplace_back(lbc, ch);
+            std::push_heap(pq.begin(), pq.end(), pq_cmp);
+          }
+        }
+      }
+    }
+
+    int32_t* row = rows_out + i * K;
+    float lb_min = 1e30f;
+    int64_t n = (int64_t)heap.size();
+    for (int64_t k = 0; k < n; ++k) {
+      row[k] = heap[k].second;
+      lb_min = std::min(lb_min, heap[k].first);
+    }
+    for (int64_t k = n; k < K; ++k) row[k] = -1;
+    rcap_out[i] = std::min(T, excl_min);
+    lbound_out[i] = lb_min;
   }
   delete bvh;
 }
