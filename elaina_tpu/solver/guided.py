@@ -844,13 +844,16 @@ class GuidedIntegrator(BaseIntegrator):
                     and not (checkpoint_path and checkpoint_every > 0)):
                 # training phase: balanced worklists + in-chunk records
                 # + per-round optimizer passes (make_balanced_train_chunk).
-                # Under a time budget, training gets at most 20% of it: a
+                # Under a time budget, training gets at most 12% of it: a
                 # guide trained on ~16 spp already captures most of the
-                # variance reduction (measured equal-spp RMSE ratio 0.79
-                # with 16 train spp vs 0.72 with 64), while every training
-                # second costs ~1 guiding second of sample budget — at 40%
-                # the sample loss outweighed the variance win.
-                train_budget = (0.2 * time_budget_s if time_budget_s
+                # variance reduction (measured equal-spp RMSE ratio 0.86
+                # with 16 train spp vs 0.74 with 64), while every training
+                # second costs ~1 guiding second of sample budget — at 20%
+                # the tight-budget guided_equal_time row measured 1.03
+                # (32 train spp in 2.0 s of a 9.9 s budget left too little
+                # guiding wall); at 40% the sample loss outweighed the
+                # variance win outright.
+                train_budget = (0.12 * time_budget_s if time_budget_s
                                 else None)
                 _mark("pre train_wont_fit")
                 if train_budget and self._train_wont_fit(train_budget):

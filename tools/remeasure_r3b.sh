@@ -40,16 +40,16 @@ log "parity rc=$?"
 sleep 20
 
 log "3D RMSE parity (analytic)"
-timeout 2400 python tools/tpu_parity3d.py > /tmp/rm3b_parity3d.log 2>&1
+timeout 3600 python tools/tpu_parity3d.py > /tmp/rm3b_parity3d.log 2>&1
 log "parity3d rc=$?"
 sleep 20
 
 log "neumann3d bench 256"
-timeout 2400 python bench.py --scene neumann3d --res 256 --spp 64 \
+ELAINA_PHASE_DEBUG=1 ELAINA_BALANCE_DEBUG=1 timeout 3600 python bench.py --scene neumann3d --res 256 --spp 64 \
     --train-spp 16 > /tmp/rm3b_neumann.log 2>&1
 log "neumann rc=$?"
 log "bumpy3d bench 256 (Dirichlet-only comparator)"
-timeout 2400 python bench.py --scene bumpy3d --res 256 --spp 64 \
+timeout 3600 python bench.py --scene bumpy3d --res 256 --spp 64 \
     --train-spp 16 > /tmp/rm3b_bumpy256.log 2>&1
 log "bumpy256 rc=$?"
 sleep 20
