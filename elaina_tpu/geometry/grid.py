@@ -345,8 +345,10 @@ def build_candidate_grid(
     hi = np.asarray(hi, np.float32)
     span = hi - lo
 
+    # v5: corner-exact 3D band bounds (v4 caches built with center±h
+    # bounds ballooned bumpy3d to 7.1M rows — an 87 GB coords table)
     key = hashlib.sha1(
-        b"v4" + verts.tobytes() + indices.tobytes() + lo.tobytes()
+        b"v5" + verts.tobytes() + indices.tobytes() + lo.tobytes()
         + hi.tobytes() + np.int64([K, max_res, max_levels]).tobytes()
     ).hexdigest()[:16]
     cache_path = (os.path.join(cache_dir, f"candgrid_{key}.npz")
@@ -623,10 +625,26 @@ def _device_coords_from_cand(cand, verts, indices, chunks: int = 8):
     return out.reshape(c_pad, n_rows, 128)[:C]
 
 
+_COORDS_BYTES_CAP = 6 << 30   # coords table HBM cap (v5e has 16 GB)
+
+
 def attach_coords(grid: CandidateGrid, verts: np.ndarray,
                   indices: np.ndarray) -> CandidateGrid:
-    """Return a copy of the grid with the Pallas coordinate table attached."""
+    """Return a copy of the grid with the Pallas coordinate table attached.
+
+    Skipped (returns the grid unchanged) when the table would not fit
+    HBM — queries then use the gather path instead of the Pallas sweep."""
     if grid.coords is not None:
+        return grid
+    R, K = grid.cand.shape
+    dim = indices.shape[1]
+    Kp = -(-K // 128) * 128
+    n_rows = -(-dim * verts.shape[1] * (Kp // 128) // 8) * 8
+    if R * n_rows * 128 * 4 > _COORDS_BYTES_CAP:
+        logging.getLogger("elaina").warning(
+            "coords table would need %.1f GB (%d rows): skipping the "
+            "Pallas fast path for this grid",
+            R * n_rows * 128 * 4 / 2**30, R)
         return grid
     coords = _device_coords_from_cand(grid.cand, jnp.asarray(verts),
                                       jnp.asarray(indices))

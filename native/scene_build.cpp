@@ -468,10 +468,13 @@ struct BandCtx {
   int arity;
   int dim;
   const BandBvh* bvh;
-  float hnorm;                       // |hcell| (3D bounds)
+  float hnorm;                       // |hcell| (3D lower-bound slack)
 };
 
-// exact per-prim bounds for one cell
+// exact per-prim bounds for one cell.  3D uppers use the 8 cell corners
+// (max over a box of a convex distance is attained at a corner) — the
+// center+|h| form made level-0 bands an O(h)-thick annulus over the whole
+// surface and blew the bumpy3d build to ~30 min.
 inline void prim_bounds(const BandCtx& ctx, int32_t p, const float* c,
                         const float* h, float* lower, float* upper) {
   if (ctx.dim == 2) {
@@ -495,21 +498,50 @@ inline void prim_bounds(const BandCtx& ctx, int32_t p, const float* c,
     const float* cc = ctx.verts + (int64_t)ctx.indices[p * 3 + 2] * 3;
     float d = pt_tri_dist_3d(c, a, b, cc);
     *lower = std::max(d - ctx.hnorm, 0.f);
-    *upper = d + ctx.hnorm;
+    float up = 0.f;
+    for (int k = 0; k < 8; ++k) {
+      float q[3] = {k & 1 ? c[0] + h[0] : c[0] - h[0],
+                    k & 2 ? c[1] + h[1] : c[1] - h[1],
+                    k & 4 ? c[2] + h[2] : c[2] - h[2]};
+      up = std::max(up, pt_tri_dist_3d(q, a, b, cc));
+    }
+    *upper = up;
   }
 }
 
-// exact M = min over prims of upper(p), BVH-pruned
+// lower bound, over any prim inside a node box, of the corner-exact upper
+inline float node_lb_upper(int dim, const float* c, const float* h,
+                           const float* blo, const float* bhi) {
+  float lb = 0.f;
+  int nc = dim == 2 ? 4 : 8;
+  for (int k = 0; k < nc; ++k) {
+    float q[3];
+    for (int d = 0; d < dim; ++d)
+      q[d] = (k >> d) & 1 ? c[d] + h[d] : c[d] - h[d];
+    lb = std::max(lb, pt_box_dist(q, blo, bhi, dim));
+  }
+  return lb;
+}
+
+// lower bound, over any prim inside a node box, of the per-prim lower
+inline float node_lb_lower(const BandCtx& ctx, const float* c,
+                           const float* h, const float* blo,
+                           const float* bhi) {
+  float clo[3], chi[3];
+  for (int d = 0; d < ctx.dim; ++d) {
+    clo[d] = c[d] - h[d];
+    chi[d] = c[d] + h[d];
+  }
+  float bb = box_box_dist(clo, chi, blo, bhi, ctx.dim);
+  if (ctx.dim == 2) return bb;
+  // 3D per-prim lower is d(center)-h: take the tighter of both valid forms
+  return std::max(bb, pt_box_dist(c, blo, bhi, 3) - ctx.hnorm);
+}
+
+// exact M = min over prims of upper(p), BVH-pruned (best-first)
 float min_upper(const BandCtx& ctx, const float* c, const float* h) {
   const BandBvh& bvh = *ctx.bvh;
   int dim = ctx.dim;
-  float corners[4][2];
-  if (dim == 2) {
-    corners[0][0] = c[0] - h[0]; corners[0][1] = c[1] - h[1];
-    corners[1][0] = c[0] - h[0]; corners[1][1] = c[1] + h[1];
-    corners[2][0] = c[0] + h[0]; corners[2][1] = c[1] - h[1];
-    corners[3][0] = c[0] + h[0]; corners[3][1] = c[1] + h[1];
-  }
   float best = 1e30f;
   int32_t stack[128];
   int sp = 0;
@@ -518,15 +550,7 @@ float min_upper(const BandCtx& ctx, const float* c, const float* h) {
     int32_t nid = stack[--sp];
     const float* blo = bvh.bmin.data() + (int64_t)nid * dim;
     const float* bhi = bvh.bmax.data() + (int64_t)nid * dim;
-    // lower bound on upper(p) for any prim inside this node box
-    float lb;
-    if (dim == 2) {
-      lb = 0.f;
-      for (int k = 0; k < 4; ++k)
-        lb = std::max(lb, pt_box_dist(corners[k], blo, bhi, 2));
-    } else {
-      lb = pt_box_dist(c, blo, bhi, 3) + ctx.hnorm;
-    }
+    float lb = node_lb_upper(dim, c, h, blo, bhi);
     if (lb >= best) continue;
     if (bvh.left[nid] < 0) {
       for (int32_t i = 0; i < bvh.count[nid]; ++i) {
@@ -552,11 +576,6 @@ int64_t collect_band(const BandCtx& ctx, const float* c, const float* h,
                      float* min_lower) {
   const BandBvh& bvh = *ctx.bvh;
   int dim = ctx.dim;
-  float clo[3], chi[3];
-  for (int d = 0; d < dim; ++d) {
-    clo[d] = c[d] - h[d];
-    chi[d] = c[d] + h[d];
-  }
   int64_t cnt = 0;
   float ml = 1e30f;
   int32_t stack[128];
@@ -566,9 +585,7 @@ int64_t collect_band(const BandCtx& ctx, const float* c, const float* h,
     int32_t nid = stack[--sp];
     const float* blo = bvh.bmin.data() + (int64_t)nid * dim;
     const float* bhi = bvh.bmax.data() + (int64_t)nid * dim;
-    float lb = dim == 2 ? box_box_dist(clo, chi, blo, bhi, 2)
-                        : std::max(pt_box_dist(c, blo, bhi, 3) - ctx.hnorm,
-                                   0.f);
+    float lb = node_lb_lower(ctx, c, h, blo, bhi);
     if (lb > thresh) continue;
     if (bvh.left[nid] < 0) {
       for (int32_t i = 0; i < bvh.count[nid]; ++i) {
@@ -634,23 +651,10 @@ void grid_band_full(const float* verts, int64_t n_verts,
 
   for (int64_t i = 0; i < n_cells; ++i) {
     const float* c = centers + i * dim;
-    float corners[4][2];
-    if (dim == 2) {
-      corners[0][0] = c[0] - hcell[0]; corners[0][1] = c[1] - hcell[1];
-      corners[1][0] = c[0] - hcell[0]; corners[1][1] = c[1] + hcell[1];
-      corners[2][0] = c[0] + hcell[0]; corners[2][1] = c[1] - hcell[1];
-      corners[3][0] = c[0] + hcell[0]; corners[3][1] = c[1] + hcell[1];
-    }
     auto lb_upper = [&](int32_t nid) {
-      const float* blo = bvh->bmin.data() + (int64_t)nid * dim;
-      const float* bhi = bvh->bmax.data() + (int64_t)nid * dim;
-      if (dim == 2) {
-        float lb = 0.f;
-        for (int k = 0; k < 4; ++k)
-          lb = std::max(lb, pt_box_dist(corners[k], blo, bhi, 2));
-        return lb;
-      }
-      return pt_box_dist(c, blo, bhi, 3) + ctx.hnorm;
+      return node_lb_upper(dim, c, hcell,
+                           bvh->bmin.data() + (int64_t)nid * dim,
+                           bvh->bmax.data() + (int64_t)nid * dim);
     };
 
     // best-first min upper bound M
@@ -853,7 +857,14 @@ inline void sil_ent_bounds(const SilEnt& E, int64_t e, const float* c,
   } else {
     float d = pt_seg_dist(c, a, b, 3);
     *lower = std::max(d - hnorm, 0.f);
-    *upper = d + hnorm;
+    float up = 0.f;
+    for (int k = 0; k < 8; ++k) {
+      float q[3] = {k & 1 ? c[0] + h[0] : c[0] - h[0],
+                    k & 2 ? c[1] + h[1] : c[1] - h[1],
+                    k & 4 ? c[2] + h[2] : c[2] - h[2]};
+      up = std::max(up, pt_seg_dist(q, a, b, 3));
+    }
+    *upper = up;
   }
 }
 
@@ -901,35 +912,16 @@ void sil_band_rows(const float* p0, const float* p1, const float* n1,
 
   for (int64_t i = 0; i < n_cells; ++i) {
     const float* c = centers + i * dim;
-    float corners[4][2];
-    if (dim == 2) {
-      corners[0][0] = c[0] - hcell[0]; corners[0][1] = c[1] - hcell[1];
-      corners[1][0] = c[0] - hcell[0]; corners[1][1] = c[1] + hcell[1];
-      corners[2][0] = c[0] + hcell[0]; corners[2][1] = c[1] - hcell[1];
-      corners[3][0] = c[0] + hcell[0]; corners[3][1] = c[1] + hcell[1];
-    }
-    float clo[3], chi[3];
-    for (int d = 0; d < dim; ++d) {
-      clo[d] = c[d] - hcell[d];
-      chi[d] = c[d] + hcell[d];
-    }
-
+    BandCtx nctx{nullptr, nullptr, 0, dim, nullptr, hn};
     auto lb_upper = [&](int32_t nid) {
-      const float* blo = bvh->bmin.data() + (int64_t)nid * dim;
-      const float* bhi = bvh->bmax.data() + (int64_t)nid * dim;
-      if (dim == 2) {
-        float lb = 0.f;
-        for (int k = 0; k < 4; ++k)
-          lb = std::max(lb, pt_box_dist(corners[k], blo, bhi, 2));
-        return lb;
-      }
-      return pt_box_dist(c, blo, bhi, 3) + hn;
+      return node_lb_upper(dim, c, hcell,
+                           bvh->bmin.data() + (int64_t)nid * dim,
+                           bvh->bmax.data() + (int64_t)nid * dim);
     };
     auto lb_lower = [&](int32_t nid) {
-      const float* blo = bvh->bmin.data() + (int64_t)nid * dim;
-      const float* bhi = bvh->bmax.data() + (int64_t)nid * dim;
-      return dim == 2 ? box_box_dist(clo, chi, blo, bhi, 2)
-                      : std::max(pt_box_dist(c, blo, bhi, 3) - hn, 0.f);
+      return node_lb_lower(nctx, c, hcell,
+                           bvh->bmin.data() + (int64_t)nid * dim,
+                           bvh->bmax.data() + (int64_t)nid * dim);
     };
 
     // pass A (best-first): Mcert over certified-silhouette entities

@@ -130,16 +130,19 @@ def test_native_grid_bands_match_device_passes():
         finally:
             os.environ["ELAINA_NATIVE_GRID"] = "1"
 
-        # identical refinement structure and near-identical bands: tie
-        # prims at the exact band threshold may differ in f32, so compare
-        # per-row SETS allowing the boundary prim
         assert g_nat.res == g_dev.res
-        assert len(g_nat.meta) == len(g_dev.meta)
-        cn = np.asarray(g_nat.cand)
-        cd = np.asarray(g_dev.cand)
-        assert cn.shape == cd.shape
-        same = (np.sort(cn, 1) == np.sort(cd, 1)).all(1)
-        assert same.mean() > 0.98, f"dim={dim}: {1 - same.mean():.3%} differ"
+        if dim == 2:
+            # identical bound formulas: near-identical bands (tie prims at
+            # the exact threshold may differ in f32 — compare per-row SETS)
+            assert len(g_nat.meta) == len(g_dev.meta)
+            cn = np.asarray(g_nat.cand)
+            cd = np.asarray(g_dev.cand)
+            assert cn.shape == cd.shape
+            same = (np.sort(cn, 1) == np.sort(cd, 1)).all(1)
+            assert same.mean() > 0.98, f"{1 - same.mean():.3%} differ"
+        # 3D: the native pass uses TIGHTER (corner-exact upper) bounds than
+        # the device pass's center±h, so bands legitimately shrink — the
+        # brute-force exactness check below is the correctness property
 
         # the property that matters: closest-point through the native grid
         # is exact against brute force
