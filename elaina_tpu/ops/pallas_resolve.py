@@ -42,6 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 GROUP = 8          # lanes per bitmask word (small group -> sparse-friendly)
 RBL = 256          # lanes per block, sweep kernel (VMEM-scoped: 2 tile
 #                    buffers + dense-phase temporaries must fit ~16MB)
+RBL3 = 128         # lanes per block, 3D sweep kernel: the 9-corner
+#                    triangle math carries ~2.5x more live tiles than the
+#                    2D segment sweep (measured 29.7M scoped vmem at 256)
 CBL = 256          # lanes per block, color kernel
 LANE_CHUNK = 65536  # lanes per pallas_call (bounds SMEM scalar prefetch)
 
@@ -289,12 +292,12 @@ def _sweep_kernel_3d(mask_ref, row_ref, cnt_ref, q_ref, rowv_ref,
 
     @pl.when(cnt_ref[b] != 0)
     def _():
-        ngrp = RBL // GROUP
+        ngrp = RBL3 // GROUP
         base_word = b * ngrp
         rows_per_tile = 1024 // kprime
 
         def issue(l):
-            r = row_ref[b * RBL + l]
+            r = row_ref[b * RBL3 + l]
             pltpu.make_async_copy(coords_ref.at[r], cbuf.at[l],
                                   sem_c).start()
             pltpu.make_async_copy(cpack_ref.at[r // rows_per_tile],
@@ -303,7 +306,7 @@ def _sweep_kernel_3d(mask_ref, row_ref, cnt_ref, q_ref, rowv_ref,
         _scan_bits(mask_ref, base_word, ngrp, issue)
 
         def wait(l):
-            r = row_ref[b * RBL + l]
+            r = row_ref[b * RBL3 + l]
             pltpu.make_async_copy(coords_ref.at[r], cbuf.at[l],
                                   sem_c).wait()
             pltpu.make_async_copy(cpack_ref.at[r // rows_per_tile],
@@ -315,10 +318,10 @@ def _sweep_kernel_3d(mask_ref, row_ref, cnt_ref, q_ref, rowv_ref,
         qy = q_ref[:, 1:2]
         qz = q_ref[:, 2:3]
         K = rpp * 128
-        best_d2 = jnp.full((RBL, 128), jnp.float32(jnp.inf))
-        best_flat = jnp.full((RBL, 128), K, jnp.int32)
-        best_c = [jnp.zeros((RBL, 128), jnp.float32) for _ in range(9)]
-        lanecol = jax.lax.broadcasted_iota(jnp.int32, (RBL, 128), 1)
+        best_d2 = jnp.full((RBL3, 128), jnp.float32(jnp.inf))
+        best_flat = jnp.full((RBL3, 128), K, jnp.int32)
+        best_c = [jnp.zeros((RBL3, 128), jnp.float32) for _ in range(9)]
+        lanecol = jax.lax.broadcasted_iota(jnp.int32, (RBL3, 128), 1)
         for r in range(rpp):
             c = tuple(cbuf[:, p * rpp + r, :] for p in range(9))
             d2 = _tri_d2_tile(qx, qy, qz, c)
@@ -357,36 +360,36 @@ def sweep_resolve_3d(mask_words, row, q, coords, cpack, *, rpp: int,
     """
     n = row.shape[0]
     n_rows = coords.shape[1]
-    LC = min(LANE_CHUNK, -(-n // RBL) * RBL)
+    LC = min(LANE_CHUNK, -(-n // RBL3) * RBL3)
     n_pad = -(-n // LC) * LC
     nw = n // GROUP
 
     mask_p = jnp.zeros((n_pad // GROUP,), jnp.int32).at[:nw].set(mask_words)
     row_p = jnp.zeros((n_pad,), jnp.int32).at[:n].set(row)
     q_p = jnp.zeros((n_pad, 3), jnp.float32).at[:n].set(q)
-    G = LC // RBL
+    G = LC // RBL3
 
-    out_spec = pl.BlockSpec((G, RBL), lambda i, *_: (0, 0),
+    out_spec = pl.BlockSpec((G, RBL3), lambda i, *_: (0, 0),
                             memory_space=pltpu.VMEM)
-    out_f32 = jax.ShapeDtypeStruct((G, RBL), jnp.float32)
-    out_i32 = jax.ShapeDtypeStruct((G, RBL), jnp.int32)
+    out_f32 = jax.ShapeDtypeStruct((G, RBL3), jnp.float32)
+    out_i32 = jax.ShapeDtypeStruct((G, RBL3), jnp.int32)
     call = pl.pallas_call(
         functools.partial(_sweep_kernel_3d, rpp=rpp, kprime=kprime),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(G,),
             in_specs=[
-                pl.BlockSpec((RBL, 3), lambda i, *_: (i, 0),
+                pl.BlockSpec((RBL3, 3), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((RBL, 1), lambda i, *_: (i, 0),
+                pl.BlockSpec((RBL3, 1), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=(out_spec,) * 11,
             scratch_shapes=[
-                pltpu.VMEM((RBL, n_rows, 128), jnp.float32),
-                pltpu.VMEM((RBL, 8, 128), jnp.int32),
+                pltpu.VMEM((RBL3, n_rows, 128), jnp.float32),
+                pltpu.VMEM((RBL3, 8, 128), jnp.int32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ],
@@ -401,7 +404,7 @@ def sweep_resolve_3d(mask_words, row, q, coords, cpack, *, rpp: int,
     )
 
     def one(m_c, r_c, q_c):
-        cnt = _block_any(m_c, RBL)
+        cnt = _block_any(m_c, RBL3)
         return call(m_c, r_c, cnt, q_c, r_c.reshape(-1, 1), coords, cpack)
 
     if n_pad == LC:

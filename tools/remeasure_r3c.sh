@@ -17,4 +17,25 @@ log "spot parity (12% train share)"
 timeout 3000 python tools/tpu_parity.py --scene spot --equal-time \
     --out BENCH_parity.json > /tmp/rm3c_parity.log 2>&1
 log "parity rc=$?"
+sleep 20
+
+log "3D RMSE parity (fixed bounds + RBL3)"
+timeout 3600 python tools/tpu_parity3d.py > /tmp/rm3c_parity3d.log 2>&1
+log "parity3d rc=$?"
+sleep 20
+
+log "neumann3d bench 256"
+ELAINA_PHASE_DEBUG=1 ELAINA_BALANCE_DEBUG=1 timeout 3600 python bench.py \
+    --scene neumann3d --res 256 --spp 64 --train-spp 16 \
+    > /tmp/rm3c_neumann.log 2>&1
+log "neumann rc=$?"
+log "bumpy3d bench 256 (Dirichlet-only comparator)"
+timeout 3600 python bench.py --scene bumpy3d --res 256 --spp 64 \
+    --train-spp 16 > /tmp/rm3c_bumpy256.log 2>&1
+log "bumpy256 rc=$?"
+sleep 20
+
+log "reference-scale 1024^2"
+timeout 3000 python tools/tpu_refscale.py > /tmp/rm3c_refscale.log 2>&1
+log "refscale rc=$?"
 log "ALL DONE"
