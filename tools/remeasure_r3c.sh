@@ -7,6 +7,19 @@ cd /root/repo
 
 log() { echo "=== $1 $(date +%H:%M:%S)" | tee -a /tmp/remeasure_r3c.log; }
 
+probe() {
+  timeout 90 python - <<'PYEOF' >/dev/null 2>&1
+import jax
+jax.config.update("jax_platforms", "axon")
+import jax.numpy as jnp
+(jnp.ones((128, 128)) @ jnp.ones((128, 128))).block_until_ready()
+PYEOF
+}
+
+log "waiting for TPU"
+until probe; do sleep 120; done
+log "TPU up"
+
 log "headline bench (instrumented)"
 ELAINA_PHASE_DEBUG=1 ELAINA_BALANCE_DEBUG=1 timeout 2400 python bench.py \
     > /tmp/rm3c_bench.log 2>&1
