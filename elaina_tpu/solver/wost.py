@@ -853,9 +853,17 @@ class BudgetSlicer:
         Without a rate — or with a rate but no per-pixel cost, where cpp
         would undercount steps by the mean walk length — the probe is
         kept minimal (its wall is unbounded either way).  With a rate,
-        quotas stay FULL (the iteration cap from ``bound_cap`` does the
-        slicing); ``n_lanes``/``floor`` let the stop test compare the
-        remaining budget against the minimum dispatch wall.
+        quotas are PROPORTIONAL to the slice's step capacity: every
+        pixel's round quota is the same fraction of its remaining
+        samples, sized so lanes drain their worklists at ~80% of the
+        iteration cap (the cap stays as a straggler bound).  Full quotas
+        cut by the cap alone completed pixels in prefix order inside
+        each lane's piece list — measured harmonic-mean completion 123
+        spp against a 304 arithmetic mean (and 63 zero-sample pixels)
+        on the budgeted-uniform parity row, a 2.5x effective-spp
+        collapse after the partial-sum rescale.  ``n_lanes``/``floor``
+        let the stop test compare the remaining budget against the
+        minimum dispatch wall.
         """
         import time as _time
 
@@ -874,6 +882,14 @@ class BudgetSlicer:
             if remaining_s < 0.5 * min_wall:
                 return rem, True
         self.slice_s = 0.5 * remaining_s
+        cap_steps = self.slice_s * self.rate
+        total_cost = float((rem * np.maximum(cost, 1.0)).sum())
+        if total_cost > cap_steps:
+            # ceil keeps every unresolved pixel progressing each round
+            frac = 0.8 * cap_steps / total_cost
+            rem_round = np.minimum(rem, np.ceil(rem * frac)).astype(
+                rem.dtype)
+            return rem_round, False
         return rem, False
 
     def bound_cap(self, cap: int, n_lanes: int, floor: int) -> int:
@@ -1078,6 +1094,9 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
     if interrupted or rem.sum() > 0:
         from ..core.logger import log_warning
         done_total = np.where(resolved_np, spp, spp - rem)
+        dump = os.environ.get("ELAINA_DONE_DUMP")
+        if dump:
+            np.save(dump, np.where(resolved_np, -1, spp - rem))
         log_warning(
             "balanced_solve interrupted: %d/%d samples remain; rescaling "
             "partial pixel sums by completed-sample counts (unbiased in "
