@@ -115,8 +115,8 @@ def fine_decode(fp: FinePack, q):
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["origin", "inv_cell", "cand", "meta", "coverage",
-                      "lbound", "row_lbound", "row_diag", "coords", "fine",
-                      "cpack", "crows"],
+                      "lbound", "row_lbound", "row_diag", "row_trunc",
+                      "coords", "fine", "cpack", "crows"],
          meta_fields=["res"])
 @dataclass
 class CandidateGrid:
@@ -130,6 +130,10 @@ class CandidateGrid:
     row_lbound: jnp.ndarray  # (R,) f32 leaf-cell min-over-cell lower bound
     row_diag: jnp.ndarray    # (R,) f32 leaf-cell diameter (bound gap):
     #                          true distance <= row_lbound + row_diag
+    row_trunc: jnp.ndarray | None = None
+    # row_trunc: (R,) bool — band exceeded K (nearest-K kept): generic
+    # closest-point queries return row_lbound there (a valid lower
+    # bound) instead of the possibly-overestimating truncated sweep
     coords: jnp.ndarray | None = None
     # coords: (R, n_rows, 128) f32 — candidate corner coordinates,
     # planes at row-aligned offsets (2D: [ax | ay | bx | by]); padded
@@ -345,10 +349,11 @@ def build_candidate_grid(
     hi = np.asarray(hi, np.float32)
     span = hi - lo
 
-    # v5: corner-exact 3D band bounds (v4 caches built with center±h
-    # bounds ballooned bumpy3d to 7.1M rows — an 87 GB coords table)
+    # v6: deep-interior refinement cutoff + nearest-K over-K rows (v5's
+    # corner-exact bounds still ground 20+ min on bumpy3d: 57k interior
+    # cells subdivided through every level in the equidistant regime)
     key = hashlib.sha1(
-        b"v5" + verts.tobytes() + indices.tobytes() + lo.tobytes()
+        b"v6" + verts.tobytes() + indices.tobytes() + lo.tobytes()
         + hi.tobytes() + np.int64([K, max_res, max_levels]).tobytes()
     ).hexdigest()[:16]
     cache_path = (os.path.join(cache_dir, f"candgrid_{key}.npz")
@@ -365,6 +370,7 @@ def build_candidate_grid(
             lbound=jnp.asarray(z["lbound"]),
             row_lbound=jnp.asarray(z["row_lbound"]),
             row_diag=jnp.asarray(z["row_diag"]),
+            row_trunc=jnp.asarray(z["row_trunc"]),
         )
 
     base = 512 if dim == 2 else 64
@@ -379,6 +385,7 @@ def build_candidate_grid(
     metas: list[np.ndarray] = []
     row_blocks: list[np.ndarray] = []
     row_lb_blocks: list[np.ndarray] = []
+    row_tr_blocks: list[np.ndarray] = []
     row_dg_blocks: list[np.ndarray] = []
     row_base = 0
     lbound = None
@@ -402,13 +409,33 @@ def build_candidate_grid(
         if lvl == 0:
             lbound = lcell
         last = lvl == max_levels - 1
-        fit = counts <= K if not last else np.ones_like(counts, bool)
-        if last and int(counts.max(initial=0)) > K:
+        # DEEP cutoff (levels 0-1 only): a cell whose nearest prim is
+        # >= 4 cell-norms away is in the equidistant regime (interior of
+        # a closed surface) — its band stays wide no matter how far it
+        # subdivides (bumpy3d: 57k over-K level-0 cells, 20+ min of
+        # refinement).  Such cells keep a nearest-K TRUNCATED row
+        # (see scene_build.cpp) and are flagged in ``row_trunc``: the
+        # hot solve path never sweeps them (their lower bound rl
+        # >= 4|h| is far above eps + diam at these coarse levels, so
+        # the need bit cannot fire and rl itself is the star radius);
+        # the generic closest-point path falls back to rl, a valid
+        # lower bound.  Restricting to levels 0-1 keeps the
+        # rl > eps + diam safety margin structural — at finer levels
+        # rl ~ 4|h_l| could drop below a user eps.
+        deep = ((lcell > 4.0 * np.linalg.norm(hcell)) & (counts > K)
+                if lvl <= 1 and dim == 3
+                else np.zeros_like(counts, bool))
+        fit = ((counts <= K) | deep if not last
+               else np.ones_like(counts, bool))
+        trunc = counts > K if last else deep
+        if trunc.any():
             coverage = 0.0
             logging.getLogger("elaina").warning(
-                "candidate grid: %d leaf cells still exceed K=%d at level "
-                "%d (max band %d); results may be approximate there",
-                int((counts > K).sum()), K, lvl, int(counts.max()))
+                "candidate grid: %d %s cells keep nearest-%d truncated "
+                "bands at level %d (max band %d); their queries return "
+                "the cell lower bound (exact resolves never fire there)",
+                int(trunc.sum()), "leaf" if last else "deep-interior",
+                K, lvl, int(counts.max()))
         fit_idx = np.flatnonzero(fit)
         over_idx = np.flatnonzero(~fit)
 
@@ -424,6 +451,7 @@ def build_candidate_grid(
                 rows, row_lb = _band_pass(pv, dim, centers[fit_idx], hcell, K)
             row_blocks.append(rows)
             row_lb_blocks.append(row_lb)
+            row_tr_blocks.append(counts[fit_idx] > K)
             diam = np.float32(2.0 * np.linalg.norm(hcell))
             row_dg_blocks.append(np.full((rows.shape[0],), diam, np.float32))
             row_base += rows.shape[0]
@@ -437,6 +465,8 @@ def build_candidate_grid(
             else np.full((1, K), -1, np.int32))
     row_lbound = (np.concatenate(row_lb_blocks) if row_lb_blocks
                   else np.zeros((1,), np.float32))
+    row_trunc = (np.concatenate(row_tr_blocks) if row_tr_blocks
+                 else np.zeros((1,), bool))
     row_diag = (np.concatenate(row_dg_blocks) if row_dg_blocks
                 else np.full((1,), np.float32(np.inf)))
     inv_cell = np.asarray(res, np.float32) / np.maximum(span, 1e-20)
@@ -451,6 +481,7 @@ def build_candidate_grid(
         lbound=jnp.asarray(lbound),
         row_lbound=jnp.asarray(row_lbound),
         row_diag=jnp.asarray(row_diag),
+        row_trunc=jnp.asarray(row_trunc),
     )
     if cache_path:
         os.makedirs(cache_dir, exist_ok=True)
@@ -460,7 +491,8 @@ def build_candidate_grid(
             res=np.asarray(res, np.int64), cand=cand,
             n_levels=np.int64(len(metas)),
             coverage=np.float32(coverage), lbound=lbound,
-            row_lbound=row_lbound, row_diag=row_diag, **payload,
+            row_lbound=row_lbound, row_diag=row_diag,
+            row_trunc=row_trunc, **payload,
         )
     return grid
 
@@ -1041,12 +1073,25 @@ def grid_closest_point_detail(grid: CandidateGrid, verts, indices, q,
                 row_m, q, grid.coords, rpp, interpret=_pallas_interpret())
             pv = tuple(jnp.stack(c9[3 * k:3 * k + 3], -1) for k in range(3))
         best_i = grid.cand[row, jnp.minimum(slot, K - 1)]
-        return jnp.sqrt(d2), jnp.maximum(best_i, 0), pv
+        return _trunc_fallback(grid, row, jnp.sqrt(d2)), \
+            jnp.maximum(best_i, 0), pv
     d, pid = _grid_closest_point_xla(grid, verts, indices, q, row)
     safe = jnp.maximum(pid, 0)
     idx = indices[safe]
     pv = tuple(verts[idx[..., k]] for k in range(dim))
-    return d, pid, pv
+    return _trunc_fallback(grid, row, d), pid, pv
+
+
+def _trunc_fallback(grid: CandidateGrid, row, d):
+    """Truncated (over-K, nearest-K kept) rows: the sweep's min over a
+    SUBSET can overestimate the true distance, which would break the
+    ball-emptiness a star radius needs — return the cell's lower bound
+    there instead (valid, conservative).  Such cells sit >= 4 cell-norms
+    from the surface (deep cutoff) or are max-level leaves; the hot
+    solve path never reaches this: its need bit cannot fire there."""
+    if grid.row_trunc is None:
+        return d
+    return jnp.where(grid.row_trunc[row], grid.row_lbound[row], d)
 
 
 def _grid_closest_point_xla(grid: CandidateGrid, verts, indices, q, row):

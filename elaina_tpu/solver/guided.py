@@ -844,33 +844,63 @@ class GuidedIntegrator(BaseIntegrator):
                     and not (checkpoint_path and checkpoint_every > 0)):
                 # training phase: balanced worklists + in-chunk records
                 # + per-round optimizer passes (make_balanced_train_chunk).
-                # Under a time budget, training gets at most 12% of it: a
-                # guide trained on ~16 spp already captures most of the
-                # variance reduction (measured equal-spp RMSE ratio 0.86
-                # with 16 train spp vs 0.74 with 64), while every training
-                # second costs ~1 guiding second of sample budget — at 20%
-                # the tight-budget guided_equal_time row measured 1.03
-                # (32 train spp in 2.0 s of a 9.9 s budget left too little
-                # guiding wall); at 40% the sample loss outweighed the
-                # variance win outright.
-                train_budget = (0.12 * time_budget_s if time_budget_s
-                                else None)
+                # Under a time budget, training targets ~32 spp (measured
+                # guided_equal_time RMSE ratios on spot: ~19 train spp ->
+                # 1.32, ~32 -> 1.03, 0 -> 1.06 — an UNDERTRAINED guide is
+                # actively mediocre, worse than no guide, while every
+                # training second costs ~1 guiding second).  If even the
+                # ~32-spp wall would blow 30% of the budget, skip training
+                # outright and run the whole budget on the exact-uniform
+                # fallback; without rate/cost hints to predict the wall,
+                # give training 20% of the budget and let the slicer cut.
+                train_budget = None
                 _mark("pre train_wont_fit")
-                if train_budget and self._train_wont_fit(train_budget):
-                    # the training phase's minimum quantum (one spp across
-                    # all unresolved pixels) already exceeds its budget:
-                    # hand EVERY sample to the guiding phase instead (the
-                    # untrained guide is MIS-blended, so still unbiased)
-                    from ..core.logger import log_warning
-                    log_warning(
-                        "time budget too small for even one training spp; "
-                        "skipping the training phase")
-                    train_skipped = True
-                    continue
+                if time_budget_s:
+                    t_target = min(32, int(s.trainSppCount))
+                    tw = self._train_spp_wall(t_target)
+                    # a sub-knee guide (< ~24 train spp) has a mild
+                    # variance factor (v(16) ~ 0.77 from the equal-spp
+                    # 64/16 row), so it only pays if its training wall
+                    # is a SMALL budget share: win iff v < 1 - tw/B,
+                    # i.e. tw/B < ~0.2 — measured 1.20x RMSE when 16-spp
+                    # training ate 30% of a 3.8s budget vs the ~1.05
+                    # uniform-fallback floor.  A >=24-spp guide is worth
+                    # up to 45% (v(32) deep enough that 0.947 measured
+                    # at tw/B = 0.15).
+                    share_cap = (0.45 if t_target >= 24 else 0.15)
+                    if tw is not None and tw > share_cap * time_budget_s:
+                        from ..core.logger import log_warning
+                        log_warning(
+                            "training to ~%d spp predicted at %.2fs "
+                            "against a %.2fs budget (share cap %.0f%%); "
+                            "skipping the training phase (an "
+                            "undertrained guide loses to the uniform "
+                            "fallback)", t_target, tw, time_budget_s,
+                            100 * share_cap)
+                        train_skipped = True
+                        continue
+                    # the wall cap is GENEROUS (share_cap x budget) and
+                    # the spp target is the limiter: a predicted-wall
+                    # budget cut training at whatever the rate prior
+                    # said, and budgeted-round training runs ~0.6x the
+                    # plain-phase rate the prior is seeded from —
+                    # measured ~19 achieved spp against the 32-spp
+                    # target (the mediocre-guide zone, 1.15x RMSE).
+                    # Bounded by the budget actually left: the phase
+                    # anchors its slicer at its own entry, so the
+                    # allowance must not overlap wall already spent.
+                    train_budget = min(
+                        share_cap * time_budget_s,
+                        max(0.0, time_budget_s - (time.time() - start)))
                 _mark("pre training_persistent")
                 total, spp, interrupted = self._training_persistent(
-                    scene, total, spp, start, train_budget)
+                    scene, total, spp, start, train_budget,
+                    spp_cap=(t_target if time_budget_s else None))
                 _mark("post training_persistent")
+                if time_budget_s:
+                    # budgeted training runs exactly once, to its spp
+                    # target; the rest of the budget belongs to guiding
+                    train_skipped = True
                 if interrupted and (time_budget_s
                                     and (time.time() - start)
                                     > time_budget_s):
@@ -940,31 +970,33 @@ class GuidedIntegrator(BaseIntegrator):
 
     def _train_rate_prior(self):
         """Training-phase steps/s estimate: a prior TRAINING rate if this
-        problem has one, else 0.4x the walk rate (the in-loop optimizer
-        overhead; measured train/walk ratio ~0.33-0.5 on TPU)."""
+        problem has one, floored at 0.4x the walk rate (the in-loop
+        optimizer overhead; measured train/walk ratio ~0.33-0.5 on TPU).
+        The floor guards against rates recorded by SMALL training phases,
+        which under-amortize startup and optimizer passes — an
+        overestimated rate merely starts a training phase the slicer
+        then cuts, while an underestimate skips the variance win."""
         rc = self.problem.__dict__.get("_rate_cache", {})
         tr = rc.get(("train", self.n_pixels))
-        if tr:
-            return tr
         rp = rc.get(self.n_pixels)
-        return 0.4 * rp if rp else None
+        floor = 0.4 * rp if rp else None
+        if tr:
+            return max(tr, floor) if floor else tr
+        return floor
 
-    def _train_wont_fit(self, train_budget: float) -> bool:
-        """True when one training spp across the UNRESOLVED pixels is
-        predicted to exceed the training budget (needs BOTH priors from an
-        earlier solve on this problem; without them the phase probes
-        normally)."""
+    def _train_spp_wall(self, spp: int) -> float | None:
+        """Predicted wall (s) for ``spp`` training samples over the
+        unresolved pixels, from the rate/cost hints; None without hints."""
         s = self.settings
         rp = self._train_rate_prior()
         cp = self.problem.__dict__.get("_cost_cache", {}).get(
             (self.n_pixels, float(s.epsilonShell), int(s.maxWalkingDepth)))
         if not rp or cp is None:
-            return False
-        # only unresolved pixels walk (in-shell / masked ones are baked)
+            return None
         _, in_shell0, _ = self._step0(self.problem.scene)
         unresolved = ~(np.asarray(in_shell0) | ~np.asarray(self.mask))
         cpp = float(np.sum(np.maximum(np.asarray(cp), 1.0) * unresolved))
-        return cpp / rp > train_budget
+        return spp * cpp / rp
 
     def _train_chunk_get(self):
         """Memoized balanced training chunk (re-creating the closure
@@ -1032,15 +1064,19 @@ class GuidedIntegrator(BaseIntegrator):
         return self._step0_cache
 
     def _training_persistent(self, scene, total, spp0, start,
-                             time_budget_s) -> tuple:
+                             time_budget_s, spp_cap=None) -> tuple:
         """Cost-balanced persistent training phase (rounds of the balanced
         worklist chunk; one optimizer pass per round).  Returns
-        (total', spp', interrupted)."""
+        (total', spp', interrupted).  ``spp_cap`` bounds the phase's
+        sample target below trainSppCount (budgeted solves train to the
+        ~32-spp knee and hand the rest of the budget to guiding)."""
         from .wost import N_PIECES, build_balanced_pieces
 
         s = self.settings
         n = self.n_pixels
         remaining = int(s.trainSppCount) - spp0
+        if spp_cap is not None:
+            remaining = min(remaining, int(spp_cap))
         _dbg = (os.environ.get("ELAINA_PHASE_DEBUG") == "1")
 
         def _m(tag):
@@ -1100,9 +1136,14 @@ class GuidedIntegrator(BaseIntegrator):
         # effective training spp (shared policy: wost.BudgetSlicer).
         # A prior TRAINING rate (or 0.4x a prior walk rate) seeds the
         # slicer; the geometric half-slices bound any residual
-        # overestimate to one slice.
-        slicer = BudgetSlicer(time_budget_s, start, self._train_rate_prior())
-        sink_steps, sink_wall = 0, 0.0
+        # overestimate to one slice.  The slicer anchors at PHASE entry
+        # (t_t): anchored at solve start, the solve-prefix wall (step0,
+        # cache warm-up, the skip-check compiles) silently ate the
+        # training allowance — measured 1.71s of a 4.39s share, cutting
+        # the guide to the undertrained zone (equal-time ratio 1.15).
+        slicer = BudgetSlicer(time_budget_s, t_t, self._train_rate_prior())
+        sink_steps, sink_wall, r0_rate = 0, 0.0, None
+        it_wall = None   # min measured per-iteration wall (watchdog bound)
         max_rounds = 16 + 4 * (1 + remaining * int(s.maxWalkingDepth) // 48)
         total_sam = int(np.sum(~resolved)) * remaining
         for round_i in range(max_rounds):
@@ -1133,7 +1174,15 @@ class GuidedIntegrator(BaseIntegrator):
                 # rebalancing; half the uniform dispatch budget because the
                 # in-loop optimizer passes lengthen each iteration
                 cap = min(int(1.35 * ideal) + 24, 512)
-                if ideal <= int(s.maxWalkingDepth):
+                # the tail decision looks at the FULL remaining work, not
+                # the slicer-diminished round quota: budgeted rounds keep
+                # rem_round small by construction, and gating on it made
+                # EVERY budgeted round dispatch the record-free guide
+                # chunk — the phase ran 12.6M walk steps and zero
+                # optimizer passes (measured, equal-time-256 row 1.15)
+                ideal_full = int(np.ceil(float((rem * cost).sum())
+                                         / max(n, 1)))
+                if ideal_full <= int(s.maxWalkingDepth):
                     # tail rounds: let every remaining walk finish in one
                     # dispatch instead of re-rolling per round (the loop
                     # exits early once quotas drain and walks die).  They
@@ -1153,12 +1202,19 @@ class GuidedIntegrator(BaseIntegrator):
                               512 if n_round == n else 1024)
             if round_i > 0 or have_cost0:
                 piece_pix, piece_quota = build_balanced_pieces(
-                    rem_round, cost, n_round, S)
+                    rem_round, cost, n_round, S,
+                    shuffle=(np.random.default_rng(0xE1A + round_i)
+                             if time_budget_s else None))
             ppos = tuple(jnp.asarray(pts_np[piece_pix, d])
                          for d in range(pts_np.shape[1]))
             prd = jnp.asarray(rd0_np[piece_pix])
             cap = slicer.bound_cap(cap, n_round,
                                    int(s.maxWalkingDepth) + 32)
+            if it_wall is not None:
+                # runtime-watchdog bound (see wost.balanced_solve): keep
+                # any single dispatch well under the tunneled TPU's kill
+                # threshold on expensive-per-iteration scenes
+                cap = max(min(cap, int(45.0 / it_wall)), 1)
             t_r = time.time()
             tbit = getattr(self, "_train_bit", None)
             if tail and n_round < n:
@@ -1192,12 +1248,21 @@ class GuidedIntegrator(BaseIntegrator):
             self.total_walk_steps += int(steps)
             self.phase_stats["train_steps"] += int(steps)
             slicer.update(int(steps), time.time() - t_r)
+            iw = (time.time() - t_r) / max(int(iters), 1)
+            it_wall = iw if it_wall is None else min(it_wall, iw)
             if round_i > 0:
-                # post-round-0 only (first-round XLA compile wall), as a
-                # cumulative steps/wall ratio so low-occupancy tail rounds
-                # cannot dominate (see wost.balanced_solve)
+                # post-round-0 cumulative ratio (round 0 can carry
+                # first-round XLA compile wall); round 0's own rate is
+                # kept separately and the max wins below — in a SHORT
+                # training phase round 0 does ~95% of the work and the
+                # rounds-1+ ratio is all low-occupancy tail (measured: a
+                # persisted 0.26M/s train-rate hint against a real 9M/s,
+                # which made _train_spp_wall predict 3.1s for one spp and
+                # skip training on the equal-time row entirely)
                 sink_steps += int(steps)
                 sink_wall += time.time() - t_r
+            else:
+                r0_rate = int(steps) / max(time.time() - t_r, 1e-9)
             if not (tail and n_round < n):
                 self.loss_history.append(float(metric))
             done_np = np.asarray(done_pix).astype(np.int64)
@@ -1227,9 +1292,16 @@ class GuidedIntegrator(BaseIntegrator):
             # seed the guiding phase's budget slicer (training's rate
             # includes optimizer passes, so it underestimates — safe)
             self._walk_rate = slicer.rate
-        if sink_wall > 0:
+        if sink_wall > 0 or r0_rate is not None:
+            # max of (rounds-1+ cumulative, round 0's own rate): a
+            # compile-inflated round 0 has a LOW rate so the max still
+            # excludes it, while a short phase whose bulk ran in round 0
+            # is no longer summarized by its tail dribble
+            cands = [r for r in
+                     (sink_steps / sink_wall if sink_wall > 0 else None,
+                      r0_rate) if r]
             self.problem.__dict__.setdefault("_rate_cache", {})[
-                ("train", n)] = sink_steps / sink_wall
+                ("train", n)] = max(cands)
         if interrupted or rem.sum() > 0:
             from ..core.logger import log_warning
             done_total = np.where(resolved, remaining, remaining - rem)

@@ -252,14 +252,19 @@ def _fast_dirichlet(scene: Scene, q, active, eps: float, step0=None):
             [d_e[:, None], uv, col, ins.astype(jnp.float32)[:, None]],
             axis=-1)
 
-    if n >= 2048:
+    if 2048 <= n <= 384 * 1024:
         # compact the scattered need lanes into a dense prefix first:
         # every 256-lane block with ANY set lane pays the full dense
         # winner-select phase, so scattered masks cost ~6x clustered ones
         # (tools/tpu_resolve_probe.py).  Falls back to the uncompacted
         # sweep when the need count overflows the static capacity.
         # steady-state need fractions are ~10%; n//4 leaves 2.5x headroom
-        # before the cond falls back to the uncompacted sweep
+        # before the cond falls back to the uncompacted sweep.
+        # Upper gate: the compact kernel is scalar — its mask operand
+        # (n/8 words) and lane-id output (n/4) both live in the 1 MB
+        # SMEM, 1.5n bytes total; 1024^2-lane solves blew SMEM by 512K
+        # (refscale r3d), so past 384k lanes the uncompacted bitmask
+        # sweep (the pre-compaction fast path) runs instead
         cap = max(1024, n // 4)
         lanes, cnt = compact_lanes(pack_groups(need), cap=cap,
                                    interpret=interp)
@@ -574,12 +579,17 @@ def make_persistent_chunk(*, eps: float, max_depth: int,
 
 
 N_PIECES = 4   # worklist slots per lane in the balanced chunk
-ITER_DISPATCH_BUDGET = 1024  # max while-loop iterations per dispatch (the
-#   tunneled TPU watchdog kills minute-long dispatches; ~1000 iters ~ 10-35s)
+ITER_DISPATCH_BUDGET = int(os.environ.get("ELAINA_ITER_BUDGET", "1024"))
+#   max while-loop iterations per dispatch (the tunneled TPU watchdog
+#   kills minute-long dispatches; ~1000 iters ~ 10-35s on the 2D scenes).
+#   Env-overridable: scenes with expensive per-iteration queries (3D
+#   Neumann silhouette sweeps) need shorter dispatches to stay under the
+#   watchdog while per-iter cost is being measured.
 
 
 def build_balanced_pieces(rem: np.ndarray, cost: np.ndarray,
-                          n_lanes: int, s: int = N_PIECES):
+                          n_lanes: int, s: int = N_PIECES,
+                          shuffle=None):
     """Cost-balanced contiguous partition of remaining samples into per-lane
     worklists (host-side, numpy).
 
@@ -588,6 +598,12 @@ def build_balanced_pieces(rem: np.ndarray, cost: np.ndarray,
     contiguous (pixel, quota) pieces whose total estimated cost is ~W/M;
     heavy pixels are split across consecutive lanes.  Returns
     (piece_pix (s, M) int32, piece_quota (s, M) int32) with quota 0 padding.
+
+    ``shuffle`` (a numpy Generator) randomizes the pixel order before
+    partitioning: budgeted rounds cut by an iteration cap lose each
+    lane's list TAIL, and with index order those are the SAME pixels
+    every round (systematic completion skew); a fresh permutation per
+    round makes the loss a random subset (even in expectation).
 
     Why: with lane == pixel, per-pixel mean walk depth varies ~2-3x across
     the image, so shallow-pixel lanes idle while deep-pixel lanes straggle
@@ -599,6 +615,8 @@ def build_balanced_pieces(rem: np.ndarray, cost: np.ndarray,
     piece_quota = np.zeros((s, n_lanes), np.int32)
     if active.size == 0:
         return piece_pix, piece_quota
+    if shuffle is not None:
+        active = shuffle.permutation(active)
     ra = rem[active]
     c = np.maximum(cost[active].astype(np.float64), 1.0)
     w = c * ra
@@ -885,8 +903,14 @@ class BudgetSlicer:
         cap_steps = self.slice_s * self.rate
         total_cost = float((rem * np.maximum(cost, 1.0)).sum())
         if total_cost > cap_steps:
-            # ceil keeps every unresolved pixel progressing each round
-            frac = 0.8 * cap_steps / total_cost
+            # oversubscribe ~1.3x the cap's step capacity so the
+            # iteration cap — not lane drain — ends the round at ~full
+            # occupancy (quota-drain rounds measured 63-66% while
+            # stragglers idled the dispatch); the cut tail is a random
+            # pixel subset each round (shuffled piece assignment), so
+            # per-pixel completion stays even in expectation.  ceil
+            # keeps every unresolved pixel progressing each round.
+            frac = 1.3 * cap_steps / total_cost
             rem_round = np.minimum(rem, np.ceil(rem * frac)).astype(
                 rem.dtype)
             return rem_round, False
@@ -975,7 +999,11 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
     interrupted = False
     budget_mode = time_budget_s is not None
     slicer = BudgetSlicer(time_budget_s, start_time, rate0)
-    sink_steps, sink_wall = 0, 0.0
+    shuffle_rng = np.random.default_rng(0xE1A) if budget_mode else None
+    sink_steps, sink_wall, r0_rate = 0, 0.0, None
+    # min measured per-iteration wall (watchdog bound); a rate prior from
+    # an earlier phase seeds it so even round 0 is length-bounded
+    it_wall = (n / float(rate0)) if rate0 else None
     total_sam = int(np.sum(~resolved_np)) * spp
     for round_i in range(max_rounds):
         if rem.sum() == 0:
@@ -1003,7 +1031,12 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             cap = 64
         else:
             ideal = int(np.ceil(float((rem_round * cost).sum()) / max(n, 1)))
-            if ideal <= max_depth and n >= 4 * 32768:
+            # tail decisions look at the FULL remaining work: budgeted
+            # rounds keep rem_round small by construction (proportional
+            # quotas), and gating on the round quota made every budgeted
+            # round take the quarter-width "tail" shape mid-solve
+            ideal_full = int(np.ceil(float((rem * cost).sum()) / max(n, 1)))
+            if ideal_full <= max_depth and n >= 4 * 32768:
                 # tail rounds run a fraction of the lanes' capacity: the
                 # depth step costs full-lane wall whether lanes live or
                 # not, so pack the leftovers into 1/4-width lane arrays
@@ -1017,7 +1050,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                     n_round = n4
                     ideal = int(np.ceil(ideal * n / n4))
             cap = min(int(1.35 * ideal) + 24, ITER_DISPATCH_BUDGET)
-            if ideal <= max_depth:
+            if ideal_full <= max_depth:
                 # final tail: give every remaining walk room to finish in
                 # ONE dispatch (a cap below max_depth re-rolls every
                 # deeper walk into yet another round).  The while_loop
@@ -1025,9 +1058,19 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                 # generous cap costs little at quarter width.
                 cap = min(max_depth + 2 * ideal + 64, ITER_DISPATCH_BUDGET)
         cap = slicer.bound_cap(cap, n_round, max_depth + 32)
+        if it_wall is not None:
+            # runtime-watchdog bound: a single dispatch must stay well
+            # under the tunneled TPU's multi-minute kill threshold.
+            # Scenes with expensive per-iteration queries (neumann3d:
+            # ~1s/iter of silhouette sweeps vs ~2ms on the 2D scenes)
+            # otherwise crash the WORKER mid-solve; round 0's
+            # compile-inflated estimate only makes round 1 short, after
+            # which the bound tracks the true per-iteration wall.
+            cap = max(min(cap, int(45.0 / it_wall)), 1)
         if round_i > 0 or (have_cost0 and budget_mode):
-            piece_pix, piece_quota = build_balanced_pieces(rem_round, cost,
-                                                           n_round, S)
+            piece_pix, piece_quota = build_balanced_pieces(
+                rem_round, cost, n_round, S,
+                shuffle=shuffle_rng if budget_mode else None)
         elif budget_mode:
             # probe round keeps the identity lane<->pixel partition (the
             # per-pixel cost measurement below divides lane steps by pixel
@@ -1047,13 +1090,21 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         # measured even without a budget: rate_sink shares it so later
         # budgeted solves on the same problem can slice their first round
         slicer.update(int(steps), _time.time() - t_r)
+        iw = (_time.time() - t_r) / max(int(iters), 1)
+        it_wall = iw if it_wall is None else min(it_wall, iw)
         if round_i > 0:
             # round 0 of a fresh process can include XLA compile wall (a
-            # 10-50x underestimate); only post-round-0 work is cached, as
-            # a cumulative steps/wall ratio so low-occupancy tail rounds
-            # (few steps) cannot dominate the cached rate
+            # 10-50x underestimate); post-round-0 work is cached as a
+            # cumulative steps/wall ratio so low-occupancy tail rounds
+            # (few steps) cannot dominate the cached rate.  Round 0's own
+            # rate is kept separately and the max wins below: a short
+            # solve does ~all its work in round 0, leaving the
+            # rounds-1+ ratio as pure tail dribble (see the guided
+            # training phase's poisoned 0.26M/s hint).
             sink_steps += int(steps)
             sink_wall += _time.time() - t_r
+        else:
+            r0_rate = int(steps) / max(_time.time() - t_r, 1e-9)
         if os.environ.get("ELAINA_BALANCE_DEBUG") == "1":
             import sys as _sys
             it_n = int(iters)
@@ -1089,8 +1140,11 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             interrupted = True
             break
 
-    if rate_sink is not None and sink_wall > 0:
-        rate_sink(sink_steps / sink_wall)
+    if rate_sink is not None and (sink_wall > 0 or r0_rate is not None):
+        cands = [r for r in
+                 (sink_steps / sink_wall if sink_wall > 0 else None,
+                  r0_rate) if r]
+        rate_sink(max(cands))
     if interrupted or rem.sum() > 0:
         from ..core.logger import log_warning
         done_total = np.where(resolved_np, spp, spp - rem)

@@ -538,6 +538,31 @@ inline float node_lb_lower(const BandCtx& ctx, const float* c,
   return std::max(bb, pt_box_dist(c, blo, bhi, 3) - ctx.hnorm);
 }
 
+// per-prim UPPER bound, early-skipped against the current best: the
+// upper is a max over the cell box, so it is >= the center distance —
+// when even the center distance cannot beat ``best``, the 8 corner
+// evaluations are skipped and 1e30 (a no-op for min(best, .)) returned.
+inline float prim_upper(const BandCtx& ctx, int32_t p, const float* c,
+                        const float* h, float best) {
+  float lo_p, up_p;
+  if (ctx.dim == 2) {
+    prim_bounds(ctx, p, c, h, &lo_p, &up_p);
+    return up_p;
+  }
+  const float* a = ctx.verts + (int64_t)ctx.indices[p * 3] * 3;
+  const float* b = ctx.verts + (int64_t)ctx.indices[p * 3 + 1] * 3;
+  const float* cc = ctx.verts + (int64_t)ctx.indices[p * 3 + 2] * 3;
+  if (pt_tri_dist_3d(c, a, b, cc) >= best) return 1e30f;
+  float up = 0.f;
+  for (int k = 0; k < 8; ++k) {
+    float q[3] = {k & 1 ? c[0] + h[0] : c[0] - h[0],
+                  k & 2 ? c[1] + h[1] : c[1] - h[1],
+                  k & 4 ? c[2] + h[2] : c[2] - h[2]};
+    up = std::max(up, pt_tri_dist_3d(q, a, b, cc));
+  }
+  return up;
+}
+
 // exact M = min over prims of upper(p), BVH-pruned (best-first)
 float min_upper(const BandCtx& ctx, const float* c, const float* h) {
   const BandBvh& bvh = *ctx.bvh;
@@ -555,9 +580,7 @@ float min_upper(const BandCtx& ctx, const float* c, const float* h) {
     if (bvh.left[nid] < 0) {
       for (int32_t i = 0; i < bvh.count[nid]; ++i) {
         int32_t p = bvh.order[bvh.start[nid] + i];
-        float lo_p, up_p;
-        prim_bounds(ctx, p, c, h, &lo_p, &up_p);
-        best = std::min(best, up_p);
+        best = std::min(best, prim_upper(ctx, p, c, h, best));
       }
     } else {
       if (sp + 2 <= 128) {
@@ -569,11 +592,31 @@ float min_upper(const BandCtx& ctx, const float* c, const float* h) {
   return best;
 }
 
+// per-prim LOWER bound only — the collect pass never needs the upper,
+// and the 3D upper costs 8 corner point-triangle distances per prim
+// (the bumpy3d level passes ground 20+ minutes of single-core wall
+// before this split; exactness is untouched)
+inline float prim_lower(const BandCtx& ctx, int32_t p, const float* c,
+                        const float* h) {
+  if (ctx.dim == 2) {
+    float lo_p, up_p;
+    prim_bounds(ctx, p, c, h, &lo_p, &up_p);
+    return lo_p;
+  }
+  const float* a = ctx.verts + (int64_t)ctx.indices[p * 3] * 3;
+  const float* b = ctx.verts + (int64_t)ctx.indices[p * 3 + 1] * 3;
+  const float* cc = ctx.verts + (int64_t)ctx.indices[p * 3 + 2] * 3;
+  return std::max(pt_tri_dist_3d(c, a, b, cc) - ctx.hnorm, 0.f);
+}
+
 // collect in-band prims (lower <= thresh); returns count, fills band
-// (ascending order applied by caller), tracks min lower
+// (ascending order applied by caller), tracks min lower.  ``lowers``
+// (optional) receives each collected prim's lower bound so over-K rows
+// can keep the K NEAREST prims instead of the first K by index.
 int64_t collect_band(const BandCtx& ctx, const float* c, const float* h,
                      float thresh, std::vector<int32_t>* band,
-                     float* min_lower) {
+                     float* min_lower,
+                     std::vector<float>* lowers = nullptr) {
   const BandBvh& bvh = *ctx.bvh;
   int dim = ctx.dim;
   int64_t cnt = 0;
@@ -590,12 +633,12 @@ int64_t collect_band(const BandCtx& ctx, const float* c, const float* h,
     if (bvh.left[nid] < 0) {
       for (int32_t i = 0; i < bvh.count[nid]; ++i) {
         int32_t p = bvh.order[bvh.start[nid] + i];
-        float lo_p, up_p;
-        prim_bounds(ctx, p, c, h, &lo_p, &up_p);
+        float lo_p = prim_lower(ctx, p, c, h);
         if (lo_p <= thresh) {
           ++cnt;
           ml = std::min(ml, lo_p);
           if (band) band->push_back(p);
+          if (lowers) lowers->push_back(lo_p);
         }
       }
     } else {
@@ -648,6 +691,7 @@ void grid_band_full(const float* verts, int64_t n_verts,
     return a.first > b.first;
   };
   std::vector<int32_t> band;
+  std::vector<float> lows;
 
   for (int64_t i = 0; i < n_cells; ++i) {
     const float* c = centers + i * dim;
@@ -669,9 +713,7 @@ void grid_band_full(const float* verts, int64_t n_verts,
       if (bvh->left[nid] < 0) {
         for (int32_t k = 0; k < bvh->count[nid]; ++k) {
           int32_t p = bvh->order[bvh->start[nid] + k];
-          float lo_p, up_p;
-          prim_bounds(ctx, p, c, hcell, &lo_p, &up_p);
-          best = std::min(best, up_p);
+          best = std::min(best, prim_upper(ctx, p, c, hcell, best));
         }
       } else {
         for (int32_t ch : {bvh->left[nid], bvh->right[nid]}) {
@@ -686,15 +728,31 @@ void grid_band_full(const float* verts, int64_t n_verts,
     float thresh = best * (1.f + 1e-6f) + 1e-9f;
 
     band.clear();
+    lows.clear();
     float ml;
-    int64_t cnt = collect_band(ctx, c, hcell, thresh, &band, &ml);
+    int64_t cnt = collect_band(ctx, c, hcell, thresh, &band, &ml, &lows);
     counts_out[i] = (int32_t)std::min<int64_t>(cnt, 0x7FFFFFFF);
     lcell_out[i] = ml;
-    std::sort(band.begin(), band.end());
     int32_t* row = rows_out + i * K;
-    int64_t n = std::min<int64_t>((int64_t)band.size(), K);
-    for (int64_t k = 0; k < n; ++k) row[k] = band[k];
-    for (int64_t k = n; k < K; ++k) row[k] = -1;
+    if ((int64_t)band.size() > K) {
+      // over-K: keep the K NEAREST prims (smallest lower bound) — an
+      // index-truncated row could drop the true closest entirely, while
+      // the nearest-K row's error is bounded by the kept lowers' spread
+      // (equidistant interior cells: a tiny fraction of the cell size)
+      std::vector<int32_t> ord(band.size());
+      for (size_t k = 0; k < ord.size(); ++k) ord[k] = (int32_t)k;
+      std::nth_element(ord.begin(), ord.begin() + K, ord.end(),
+                       [&](int32_t x, int32_t y) {
+                         return lows[x] < lows[y];
+                       });
+      for (int64_t k = 0; k < K; ++k) row[k] = band[ord[k]];
+      std::sort(row, row + K);
+    } else {
+      std::sort(band.begin(), band.end());
+      int64_t n = (int64_t)band.size();
+      for (int64_t k = 0; k < n; ++k) row[k] = band[k];
+      for (int64_t k = n; k < K; ++k) row[k] = -1;
+    }
   }
   delete bvh;
 }

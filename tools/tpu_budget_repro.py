@@ -60,11 +60,13 @@ def main():
 
     if not a.skip_warm:
         # populate the problem's cost/rate caches the way the parity tool's
-        # guided equal-spp run does before its equal-time row
+        # guided equal-spp run does before its equal-time row (256/64 —
+        # the recorded rates scale with phase size, so warm with the same
+        # shape the protocol does)
         _, ms, _, steps = solve_image(problem, GuidedIntegrator,
-                                      settings(64, 16), net_conf)
-        print(f"warm guided 64/16: {ms} ms, {steps/(ms/1e3)/1e6:.1f}M steps/s",
-              flush=True)
+                                      settings(256, 64), net_conf)
+        print(f"warm guided 256/64: {ms} ms, "
+              f"{steps/(ms/1e3)/1e6:.1f}M steps/s", flush=True)
 
     os.environ["ELAINA_PHASE_DEBUG"] = "1"
     os.environ["ELAINA_BALANCE_DEBUG"] = "1"

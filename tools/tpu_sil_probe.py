@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Isolate the per-iteration cost of the neumann3d guide/walk step.
+
+The r3d batch measured ~1 s per 65k-lane iteration on neumann3d (vs ~2 ms
+on the 2D scenes) — long enough that a full-length dispatch trips the
+tunneled TPU's runtime watchdog and crashes the worker.  This probe times
+the step's component queries standalone on the real neumann3d tables:
+
+  - grid_closest_silhouette (SilGrid row gather + dense K-sweep)
+  - the Dirichlet distance path (fast bitmask resolve or chain)
+  - green in-ball sampling on the source term's query pattern
+
+Usage: python tools/tpu_sil_probe.py [--n 65536] [--scene neumann3d_u.json]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jaxcache")
+import jax
+
+from elaina_tpu.exec import _apply_platform_env
+
+_apply_platform_env()
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+import jax.numpy as jnp
+import numpy as np
+
+LEN = 32
+
+
+def timed(label, fn, *args, reps=3):
+    """Time fn under a LEN-iteration scan (amortizes dispatch overhead)."""
+    def outer(q, *rest):
+        def body(carry, i):
+            out = fn(carry, *rest)
+            # fold the output back into the carry so the scan can't be
+            # collapsed into one iteration
+            return carry + 1e-7 * jnp.mean(out), None
+        c, _ = jax.lax.scan(body, q, jnp.arange(LEN))
+        return c
+
+    c = jax.jit(outer).lower(*args).compile()
+    out = c(*args)
+    np.asarray(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = c(*args)
+        np.asarray(out)
+        ts.append(time.time() - t0)
+    t = min(ts) / LEN
+    n = args[0].shape[0]
+    print(f"{label:44s} {t*1e3:9.3f} ms/iter  ({t/n*1e9:7.1f} ns/lane)",
+          flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=65536)
+    ap.add_argument("--scene", default="neumann3d_u.json")
+    a = ap.parse_args()
+
+    from bench import _build_conf_problem
+    import elaina_tpu.geometry.queries as Q
+
+    problem = _build_conf_problem(a.scene, "grid")
+    scene = problem.scene
+    dim = scene.dim
+    print(f"scene={a.scene} dim={dim} devices={jax.devices()}", flush=True)
+    if scene.neumann is not None:
+        print(f"neumann prims={scene.neumann.gs.p0.shape[0]} "
+              f"sil entities={scene.neumann.gs.sil_p0.shape[0]} "
+              f"sil grid={'yes' if scene.n_sgrid is not None else 'NO'}",
+              flush=True)
+
+    lo = np.asarray(scene.aabb_lo)
+    hi = np.asarray(scene.aabb_hi)
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(
+        lo + (hi - lo) * rng.random((a.n, dim)), jnp.float32)
+
+    if scene.n_sgrid is not None:
+        timed("grid_closest_silhouette",
+              lambda qq: Q.grid_closest_silhouette(
+                  scene.n_sgrid, scene.neumann.gs, qq), q)
+    if scene.neumann is not None:
+        nn = scene.neumann.gs
+        if nn.sil_p0.shape[0] <= 40000:
+            timed("dense closest_silhouette",
+                  lambda qq: Q.closest_silhouette(nn, qq), q)
+
+    from elaina_tpu.solver.wost import (WalkState, _fast_dirichlet,
+                                        _separate, dirichlet_distance_masked,
+                                        fast_dirichlet_available)
+
+    st = init_state = WalkState(
+        pos=q, thp=jnp.ones((a.n,)), active=jnp.ones((a.n,), bool),
+        on_neumann=jnp.zeros((a.n,), bool),
+        n_normal=jnp.zeros((a.n, dim), jnp.float32))
+    eps = 1e-3
+
+    def sep_rb(qq):
+        _, R_B, _, _ = _separate(scene, st._replace(pos=qq), eps, 48, True)
+        return R_B
+
+    timed("_separate (R_D + R_N + shell)", sep_rb, q)
+
+    def dirichlet_only(qq):
+        if scene.dirichlet is not None and fast_dirichlet_available(
+                scene, eps):
+            R_D, _, _, _ = _fast_dirichlet(scene, qq, st.active, eps)
+            return R_D
+        R_D, _, _, _ = dirichlet_distance_masked(
+            scene, qq, st.active, eps, 48)
+        return R_D
+
+    timed("dirichlet distance path", dirichlet_only, q)
+
+
+if __name__ == "__main__":
+    main()
