@@ -370,7 +370,11 @@ def build_candidate_grid(
             lbound=jnp.asarray(z["lbound"]),
             row_lbound=jnp.asarray(z["row_lbound"]),
             row_diag=jnp.asarray(z["row_diag"]),
-            row_trunc=jnp.asarray(z["row_trunc"]),
+            # tolerate v6 caches written before row_trunc landed (same
+            # build inputs; absence means no truncated rows were kept)
+            row_trunc=jnp.asarray(
+                z["row_trunc"] if "row_trunc" in z
+                else np.zeros(z["row_lbound"].shape, bool)),
         )
 
     base = 512 if dim == 2 else 64
@@ -504,7 +508,7 @@ def build_candidate_grid(
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["origin", "inv_cell", "rows", "r_cap", "lbound",
-                      "ent_lo", "ent_hi"],
+                      "ent_lo", "ent_hi", "coords"],
          meta_fields=["res"])
 @dataclass
 class SilGrid:
@@ -528,7 +532,51 @@ class SilGrid:
     lbound: jnp.ndarray      # (C,) f32 min lower over kept entities
     ent_lo: jnp.ndarray      # (D,) entity-set bbox (out-of-grid fallback)
     ent_hi: jnp.ndarray      # (D,)
+    coords: jnp.ndarray | None = None
+    # coords: (C, n_rows, 128) f32 planar entity table
+    # (sil_coords_from_rows) feeding the Pallas per-lane DMA sweep
+    # (ops/pallas_queries.sil_band_dma); None -> gather fallback
     res: tuple = ()
+
+
+def sil_coords_from_rows(rows: np.ndarray, p0, p1, n1, n2,
+                         always) -> np.ndarray:
+    """Pre-resolve silhouette-entity data into a planar row table.
+
+    Returns (C, n_rows, 128) f32 for ops/pallas_queries.sil_band_dma:
+    plane order p0.xy[z] [p1.xyz] n1.xy[z] n2.xy[z] (3*dim planes in 2D
+    where entities are vertices, 4*dim in 3D where they are edges),
+    plane p at sublane rows [p*rpp, (p+1)*rpp), n_rows padded to a
+    multiple of 8 (DMA tile granularity).  ``always``-silhouette
+    entities get n1 = 0 so the kernel's s1*s2 <= 0 test keeps them
+    unconditionally; padded slots get far-away coordinates and zero
+    normals (pass the sign test at a never-winning distance).
+    """
+    C, K = rows.shape
+    p0 = np.asarray(p0, np.float32)
+    dim = p0.shape[1]
+    n1 = np.asarray(n1, np.float32)
+    n1 = np.where(np.asarray(always, bool)[:, None], 0.0, n1)
+    groups = ([p0, np.asarray(p1, np.float32), n1,
+               np.asarray(n2, np.float32)] if dim == 3
+              else [p0, n1, np.asarray(n2, np.float32)])
+    Kp = -(-K // 128) * 128
+    rpp = Kp // 128
+    n_rows = -(-len(groups) * dim * rpp // 8) * 8
+    out = np.zeros((C, n_rows * 128), np.float32)
+    safe = np.maximum(rows, 0)
+    valid = rows >= 0
+    col = 0
+    for gi, g in enumerate(groups):
+        is_coord = gi == 0 or (dim == 3 and gi == 1)
+        for d in range(dim):
+            v = g[safe, d]
+            out[:, col:col + K] = np.where(
+                valid, v, PAD_COORD if is_coord else 0.0)
+            if is_coord and Kp > K:
+                out[:, col + K:col + Kp] = PAD_COORD
+            col += Kp
+    return out.reshape(C, n_rows, 128)
 
 
 def build_silhouette_grid(p0, p1, n1, n2, always, lo, hi, K: int = 64,
@@ -554,13 +602,24 @@ def build_silhouette_grid(p0, p1, n1, n2, always, lo, hi, K: int = 64,
                   if cache_dir else None)
     ent_lo = np.minimum(p0.min(0), p1.min(0))
     ent_hi = np.maximum(p0.max(0), p1.max(0))
+    def _coords(rows_np):
+        # planar DMA table for the Pallas sweep (the gather path measured
+        # 1668 ns/lane on TPU — tools/tpu_sil_probe.py); packed at load
+        # (host-side, ~1-2 s) instead of cached: the table is ~4x the
+        # rows and fully derived
+        if _use_pallas() or _pallas_interpret():
+            return jnp.asarray(sil_coords_from_rows(
+                rows_np, p0, p1, n1, n2, always))
+        return None
+
     if cache_path and os.path.exists(cache_path):
         z = np.load(cache_path)
         return SilGrid(
             origin=jnp.asarray(z["origin"]), inv_cell=jnp.asarray(z["inv_cell"]),
             rows=jnp.asarray(z["rows"]), r_cap=jnp.asarray(z["r_cap"]),
             lbound=jnp.asarray(z["lbound"]), ent_lo=jnp.asarray(ent_lo),
-            ent_hi=jnp.asarray(ent_hi), res=tuple(int(r) for r in z["res"]))
+            ent_hi=jnp.asarray(ent_hi), coords=_coords(z["rows"]),
+            res=tuple(int(r) for r in z["res"]))
 
     base = 256 if dim == 2 else 48
     res = tuple(int(np.clip(base * span[d] / max(span), 8, max_res))
@@ -582,7 +641,7 @@ def build_silhouette_grid(p0, p1, n1, n2, always, lo, hi, K: int = 64,
                              / np.maximum(span, 1e-20)),
         rows=jnp.asarray(rows), r_cap=jnp.asarray(r_cap),
         lbound=jnp.asarray(lbound), ent_lo=jnp.asarray(ent_lo),
-        ent_hi=jnp.asarray(ent_hi), res=res)
+        ent_hi=jnp.asarray(ent_hi), coords=_coords(rows), res=res)
 
 
 def coords_from_cand(cand: np.ndarray, verts: np.ndarray,

@@ -658,25 +658,41 @@ def grid_closest_silhouette(sg, gs: GeomSet, q):
     for d in range(1, len(sg.res)):
         lin = lin * sg.res[d] + idx[..., d]
 
-    ids = sg.rows[lin]                        # (N, K)
-    valid = ids >= 0
-    safe = jnp.maximum(ids, 0)
-    p0 = gs.sil_p0[safe]                      # (N, K, D)
-    n1 = gs.sil_n1[safe]
-    n2 = gs.sil_n2[safe]
-    always = gs.sil_always[safe]
-    if gs.dim == 2:
-        v = q[:, None, :] - p0
-        d = jnp.linalg.norm(v, axis=-1)
+    if sg.coords is not None:
+        # Pallas per-lane DMA sweep: the gather formulation below
+        # measured 1668 ns/lane on TPU (tools/tpu_sil_probe.py) — the
+        # same XLA-gather floor the Dirichlet band sweep hit before
+        # grid_band_dma_*
+        from ..geometry.grid import _pallas_interpret
+        from ..ops.pallas_queries import sil_band_dma
+        K = sg.rows.shape[1]
+        d2 = sil_band_dma(jnp.where(outside, -1, lin), q, sg.coords,
+                          -(-K // 128), gs.dim,
+                          interpret=_pallas_interpret())
+        # padded slots carry PAD_COORD (1e9) coordinates: a cell whose
+        # whole band fails the sign test wins at ~1e18 — map back to the
+        # gather path's "nothing found" (inf, -> r_cap clamp below)
+        found = jnp.where(d2 >= 1e17, jnp.inf, jnp.sqrt(d2))
     else:
-        p1 = gs.sil_p1[safe]
-        d, t = seg_closest_point(q[:, None, :], p0, p1)
-        c = p0 + t[..., None] * (p1 - p0)
-        v = q[:, None, :] - c
-    s1 = jnp.sum(n1 * v, axis=-1)
-    s2 = jnp.sum(n2 * v, axis=-1)
-    is_sil = always | (s1 * s2 <= 0.0)
-    found = jnp.min(jnp.where(valid & is_sil, d, jnp.inf), axis=-1)
+        ids = sg.rows[lin]                    # (N, K)
+        valid = ids >= 0
+        safe = jnp.maximum(ids, 0)
+        p0 = gs.sil_p0[safe]                  # (N, K, D)
+        n1 = gs.sil_n1[safe]
+        n2 = gs.sil_n2[safe]
+        always = gs.sil_always[safe]
+        if gs.dim == 2:
+            v = q[:, None, :] - p0
+            d = jnp.linalg.norm(v, axis=-1)
+        else:
+            p1 = gs.sil_p1[safe]
+            d, t = seg_closest_point(q[:, None, :], p0, p1)
+            c = p0 + t[..., None] * (p1 - p0)
+            v = q[:, None, :] - c
+        s1 = jnp.sum(n1 * v, axis=-1)
+        s2 = jnp.sum(n2 * v, axis=-1)
+        is_sil = always | (s1 * s2 <= 0.0)
+        found = jnp.min(jnp.where(valid & is_sil, d, jnp.inf), axis=-1)
     capped = jnp.minimum(found, sg.r_cap[lin])
     capped = jnp.where(capped >= 1e29, jnp.inf, capped)
 

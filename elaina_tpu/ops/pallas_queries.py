@@ -531,3 +531,147 @@ def candidate_band_pallas(q, vax, vay, vbx, vby, valid, *,
         interpret=interpret,
     )(qp, *args)
     return dist[:n], slot[:n]
+
+
+# --------------------------------------------------------------------------- #
+# silhouette band DMA sweep
+# --------------------------------------------------------------------------- #
+#
+# The SilGrid query's gather formulation (geometry/queries.py
+# grid_closest_silhouette: rows (N, K) + five (N, K, D) entity gathers)
+# measured 109 ms / 65k lanes on TPU (1668 ns/lane, tools/tpu_sil_probe.py)
+# — XLA random-access gathers are the floor, exactly like the Dirichlet
+# candidate sweep before grid_band_dma_*.  This kernel applies the same
+# cure: the per-cell K-entity band is pre-packed into a planar coordinate
+# table (grid.sil_coords_from_rows) and each lane DMAs its cell's block
+# once, so the silhouette test (segment/vertex distance + the two-normal
+# sign test, snch-lbvh's silhouette predicate) runs on (BL, 128) VPU
+# tiles with zero gathers.  ``always``-silhouette entities are encoded
+# with n1 = 0 (s1*s2 = 0 <= 0 keeps them unconditionally); padded slots
+# carry far-away coordinates and zero normals, so they pass the sign
+# test with a huge distance and never win the min.
+
+
+def _make_sil_band_dma_kernel(rpp: int, dim: int):
+    ng = 4 if dim == 3 else 3      # plane groups: p0[,p1],n1,n2
+
+    def kernel(lin_ref, q_ref, tab_ref, d2_ref, buf, sems):
+        b = pl.program_id(0)
+        BL = q_ref.shape[0]
+
+        def issue(l, carry):
+            cell = lin_ref[b * BL + l]
+
+            @pl.when(cell >= 0)
+            def _():
+                pltpu.make_async_copy(tab_ref.at[cell], buf.at[l],
+                                      sems).start()
+            return carry
+
+        jax.lax.fori_loop(0, BL, issue, 0, unroll=BL)
+
+        def wait(l, carry):
+            cell = lin_ref[b * BL + l]
+
+            @pl.when(cell >= 0)
+            def _():
+                pltpu.make_async_copy(tab_ref.at[cell], buf.at[l],
+                                      sems).wait()
+            return carry
+
+        jax.lax.fori_loop(0, BL, wait, 0, unroll=BL)
+
+        qd = tuple(q_ref[:, d:d + 1] for d in range(dim))
+        best = jnp.full((BL, 128), jnp.float32(jnp.inf))
+        for r in range(rpp):
+            c = tuple(buf[:, p * rpp + r, :] for p in range(ng * dim))
+            p0 = c[0:dim]
+            if dim == 3:
+                p1 = c[dim:2 * dim]
+                n1 = c[2 * dim:3 * dim]
+                n2 = c[3 * dim:4 * dim]
+                e = tuple(p1[d] - p0[d] for d in range(3))
+                w = tuple(qd[d] - p0[d] for d in range(3))
+                den = jnp.maximum(sum(ed * ed for ed in e), 1e-30)
+                t = jnp.clip(sum(wd * ed for wd, ed in zip(w, e)) / den,
+                             0.0, 1.0)
+                v = tuple(wd - t * ed for wd, ed in zip(w, e))
+            else:
+                n1 = c[dim:2 * dim]
+                n2 = c[2 * dim:3 * dim]
+                v = tuple(qd[d] - p0[d] for d in range(2))
+            d2 = sum(vd * vd for vd in v)
+            s1 = sum(nd * vd for nd, vd in zip(n1, v))
+            s2 = sum(nd * vd for nd, vd in zip(n2, v))
+            best = jnp.minimum(
+                best, jnp.where(s1 * s2 <= 0.0, d2, jnp.float32(jnp.inf)))
+        d2_ref[pl.ds(b, 1), :] = jnp.min(best, axis=1)[None, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("rpp", "dim", "interpret"))
+def sil_band_dma(lin, q, coords, rpp: int, dim: int, *,
+                 interpret: bool = False):
+    """Silhouette-grid nearest-silhouette sweep via per-lane block DMA.
+
+    lin: (N,) int32 SilGrid cell per lane (< 0 skips the DMA — callers
+    mask those outputs); q: (N, dim) f32; coords: (C, n_rows, 128) f32
+    (grid.sil_coords_from_rows layout).  Returns d2 (N,) — squared
+    distance to the nearest kept silhouette entity (inf when the cell's
+    band holds none passing the sign test); callers clamp with the
+    cell's r_cap.
+    """
+    n = lin.shape[0]
+    n_rows = coords.shape[1]
+    nplanes = (4 if dim == 3 else 3) * dim
+    if n_rows < nplanes * rpp:
+        raise ValueError(f"sil coords table {coords.shape} too small "
+                         f"for rpp={rpp}")
+    BL = DMA_BLOCK
+    LC = min(DMA_LANE_CHUNK, -(-n // BL) * BL)
+    n_pad = -(-n // LC) * LC
+
+    lin_p = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(lin)
+    q_p = jnp.zeros((n_pad, dim), jnp.float32).at[:n].set(q)
+
+    call = pl.pallas_call(
+        _make_sil_band_dma_kernel(rpp, dim),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(LC // BL,),
+            in_specs=[
+                pl.BlockSpec((BL, dim), lambda i, lin_ref: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec((LC // BL, BL), lambda i, lin_ref: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((BL, n_rows, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=(jax.ShapeDtypeStruct((LC // BL, BL), jnp.float32),),
+        cost_estimate=pl.CostEstimate(
+            flops=30 * LC * rpp * 128,
+            bytes_accessed=LC * n_rows * 128 * 4 + LC * 4 * dim,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    if n_pad == LC:
+        outs = call(lin_p, q_p, coords)
+    else:
+        lin_r = lin_p.reshape(-1, LC)
+        q_r = q_p.reshape(-1, LC, dim)
+
+        def body(carry, xs):
+            l_c, q_c = xs
+            return carry, call(l_c, q_c, coords)
+
+        _, outs = jax.lax.scan(body, 0, (lin_r, q_r))
+    return outs[0].reshape(-1)[:n]

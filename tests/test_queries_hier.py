@@ -208,3 +208,58 @@ def test_silhouette_grid_lower_bound_and_exactness():
         assert tight.sum() > 100        # the test must exercise exact lanes
         np.testing.assert_allclose(got[tight], true[tight],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_silhouette_grid_pallas_sweep_matches_gather():
+    """sil_band_dma (interpret mode) must match the gather formulation of
+    grid_closest_silhouette exactly, in 2D and 3D — same rows, same r_cap
+    clamp, always-entities kept unconditionally via the n1=0 encoding."""
+    import os
+
+    import numpy as np
+
+    from elaina_tpu.geometry.geomset import make_geom_set
+    from elaina_tpu.geometry.grid import build_silhouette_grid
+    from elaina_tpu.geometry.native import sil_bands_available
+    from elaina_tpu.geometry.queries import grid_closest_silhouette
+
+    if not sil_bands_available():
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(53)
+
+    t = np.linspace(0, 2 * np.pi, 300, endpoint=False)
+    r = 2 + 0.6 * np.sin(7 * t)
+    v2 = np.stack([r * np.cos(t), r * np.sin(t)], -1).astype(np.float32)
+    i2 = np.stack([np.arange(300), (np.arange(300) + 1) % 300],
+                  -1).astype(np.int32)
+
+    from tests.test_wost_3d import _cube_boundary
+    v3, i3 = _cube_boundary(n=8)
+    bump = 1.0 + 0.2 * np.sin(4 * v3[:, 0]) * np.cos(3 * v3[:, 2])
+    v3 = (v3 * bump[:, None]).astype(np.float32)
+
+    for verts, idx, dim in ((v2, i2, 2), (v3, i3, 3)):
+        gs, _ = make_geom_set(verts, idx)
+        lo = verts.min(0) - 0.4
+        hi = verts.max(0) + 0.4
+        q = jnp.asarray(rng.uniform(lo - 0.2, hi + 0.2, (500, dim)),
+                        jnp.float32)
+
+        os.environ["ELAINA_PALLAS_INTERPRET"] = "1"
+        try:
+            sg = build_silhouette_grid(
+                np.asarray(gs.sil_p0), np.asarray(gs.sil_p1),
+                np.asarray(gs.sil_n1), np.asarray(gs.sil_n2),
+                np.asarray(gs.sil_always), lo, hi, K=24)
+            assert sg is not None and sg.coords is not None
+            got_kernel = np.asarray(grid_closest_silhouette(sg, gs, q))
+        finally:
+            os.environ["ELAINA_PALLAS_INTERPRET"] = "0"
+
+        # gather path on the identical grid
+        from dataclasses import replace as _rep
+        got_gather = np.asarray(grid_closest_silhouette(
+            _rep(sg, coords=None), gs, q))
+        np.testing.assert_allclose(got_kernel, got_gather,
+                                   rtol=1e-5, atol=1e-6)

@@ -73,7 +73,7 @@ def main():
     dim = scene.dim
     print(f"scene={a.scene} dim={dim} devices={jax.devices()}", flush=True)
     if scene.neumann is not None:
-        print(f"neumann prims={scene.neumann.gs.p0.shape[0]} "
+        print(f"neumann prims={scene.neumann.gs.indices.shape[0]} "
               f"sil entities={scene.neumann.gs.sil_p0.shape[0]} "
               f"sil grid={'yes' if scene.n_sgrid is not None else 'NO'}",
               flush=True)
@@ -88,11 +88,13 @@ def main():
         timed("grid_closest_silhouette",
               lambda qq: Q.grid_closest_silhouette(
                   scene.n_sgrid, scene.neumann.gs, qq), q)
-    if scene.neumann is not None:
+    if scene.neumann is not None and os.environ.get("ELAINA_PROBE_DENSE"):
+        # opt-in: the 30720-entity dense sweep CRASHES the TPU worker
+        # (kernel fault, r3e probe) — a latent bug of its own; keep it
+        # out of the default probe so one run can't kill the batch
         nn = scene.neumann.gs
-        if nn.sil_p0.shape[0] <= 40000:
-            timed("dense closest_silhouette",
-                  lambda qq: Q.closest_silhouette(nn, qq), q)
+        timed("dense closest_silhouette",
+              lambda qq: Q.closest_silhouette(nn, qq), q)
 
     from elaina_tpu.solver.wost import (WalkState, _fast_dirichlet,
                                         _separate, dirichlet_distance_masked,
