@@ -341,8 +341,10 @@ class Problem:
                 if _use_pallas() or _pallas_interpret():
                     d_grid = attach_coords(d_grid, v, idx)
                     d_grid = attach_shading(d_grid, colors, idx)
+        n_verts_idx = None
         if json_get_optional(mesh, "neumann_path"):
             v, idx = load_obj(resolve(mesh["neumann_path"]), dim)
+            n_verts_idx = (v, idx)
             gs, depth = make_geom_set(v, idx)
             self.n_stack = depth + 4
             colors = self._load_colors(
@@ -372,17 +374,20 @@ class Problem:
             from ..geometry.queries import CHUNKED_DENSE_MAX
             gs = neumann.gs
             if int(gs.sil_p0.shape[0]) > CHUNKED_DENSE_MAX:
+                from ..geometry.geomset import host_silhouette_entities
                 from ..geometry.grid import build_silhouette_grid
-                p0 = np.asarray(gs.sil_p0)
-                p1 = np.asarray(gs.sil_p1)
+                # re-derive host-side (milliseconds) instead of pulling
+                # gs.sil_* off the device — see host_silhouette_entities
+                sil = host_silhouette_entities(*n_verts_idx)
+                p0, p1 = sil["p0"], sil["p1"]
                 margin = 0.05 * (aabb_max - aabb_min)
                 s_lo = np.minimum(np.minimum(aabb_min, p0.min(0)),
                                   p1.min(0)) - margin
                 s_hi = np.maximum(np.maximum(aabb_max, p0.max(0)),
                                   p1.max(0)) + margin
                 n_sgrid = build_silhouette_grid(
-                    p0, p1, np.asarray(gs.sil_n1), np.asarray(gs.sil_n2),
-                    np.asarray(gs.sil_always), s_lo, s_hi,
+                    p0, p1, sil["n1"], sil["n2"],
+                    sil["always"], s_lo, s_hi,
                     cache_dir=cache_dir)
                 if n_sgrid is not None:
                     self.stats["neumann_sil_grid"] = (

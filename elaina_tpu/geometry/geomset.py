@@ -57,6 +57,22 @@ class GeomSet(NamedTuple):
         return int(self.indices.shape[0])
 
 
+def host_silhouette_entities(verts: np.ndarray, indices: np.ndarray) -> dict:
+    """Host-side silhouette entity set (the builder make_geom_set uses).
+
+    Scene construction must never pull arrays back OFF the device: the
+    first device->host transfer of a fresh process stalls 40-600 s through
+    the tunneled-TPU runtime (measured 2026-08-19; a 368 KB pull blocked
+    258 s).  Callers that need the entity arrays host-side (the SilGrid
+    build in problem.load_config) re-derive them here — the native builder
+    is milliseconds — instead of np.asarray(gs.sil_*).
+    """
+    from . import native as native_mod
+    if native_mod.available():
+        return native_mod.silhouette_entities_native(verts, indices)
+    return bvh_mod.silhouette_entities(verts, indices)
+
+
 def make_geom_set(verts: np.ndarray, indices: np.ndarray) -> tuple[GeomSet, int]:
     """Build a GeomSet (and return the BVH depth for stack sizing).
 
@@ -68,10 +84,9 @@ def make_geom_set(verts: np.ndarray, indices: np.ndarray) -> tuple[GeomSet, int]
     from . import native as native_mod
     if native_mod.available():
         tree = native_mod.build_bvh_native(verts, indices, LEAF_SIZE)
-        sil = native_mod.silhouette_entities_native(verts, indices)
     else:
         tree = bvh_mod.build_bvh(verts, indices, LEAF_SIZE)
-        sil = bvh_mod.silhouette_entities(verts, indices)
+    sil = host_silhouette_entities(verts, indices)
     leaf_prims = bvh_mod.pad_leaf_prims(tree, LEAF_SIZE)
 
     pv = verts[indices]  # (P, dim, D)

@@ -84,17 +84,21 @@ def main():
     q = jnp.asarray(
         lo + (hi - lo) * rng.random((a.n, dim)), jnp.float32)
 
+    # NOTE: scene tables are passed as ARGUMENTS, never closure captures —
+    # captured arrays are embedded as constants in the lowered module and
+    # the remote-compile request body (the 906 MB SilGrid coords table
+    # produced an HTTP 413 / multi-minute compile uploads, r3f probe)
     if scene.n_sgrid is not None:
         timed("grid_closest_silhouette",
-              lambda qq: Q.grid_closest_silhouette(
-                  scene.n_sgrid, scene.neumann.gs, qq), q)
+              lambda qq, sg, gs: Q.grid_closest_silhouette(sg, gs, qq),
+              q, scene.n_sgrid, scene.neumann.gs)
     if scene.neumann is not None and os.environ.get("ELAINA_PROBE_DENSE"):
         # opt-in: the 30720-entity dense sweep CRASHES the TPU worker
         # (kernel fault, r3e probe) — a latent bug of its own; keep it
         # out of the default probe so one run can't kill the batch
-        nn = scene.neumann.gs
         timed("dense closest_silhouette",
-              lambda qq: Q.closest_silhouette(nn, qq), q)
+              lambda qq, gs: Q.closest_silhouette(gs, qq),
+              q, scene.neumann.gs)
 
     from elaina_tpu.solver.wost import (WalkState, _fast_dirichlet,
                                         _separate, dirichlet_distance_masked,
@@ -106,22 +110,23 @@ def main():
         n_normal=jnp.zeros((a.n, dim), jnp.float32))
     eps = 1e-3
 
-    def sep_rb(qq):
-        _, R_B, _, _ = _separate(scene, st._replace(pos=qq), eps, 48, True)
+    def sep_rb(qq, sc):
+        _, R_B, _, _ = _separate(sc, st._replace(pos=qq), eps, 48, True)
         return R_B
 
-    timed("_separate (R_D + R_N + shell)", sep_rb, q)
+    timed("_separate (R_D + R_N + shell)", sep_rb, q, scene)
 
-    def dirichlet_only(qq):
-        if scene.dirichlet is not None and fast_dirichlet_available(
-                scene, eps):
-            R_D, _, _, _ = _fast_dirichlet(scene, qq, st.active, eps)
+    use_fast = scene.dirichlet is not None and fast_dirichlet_available(
+        scene, eps)
+
+    def dirichlet_only(qq, sc):
+        if use_fast:
+            R_D, _, _, _ = _fast_dirichlet(sc, qq, st.active, eps)
             return R_D
-        R_D, _, _, _ = dirichlet_distance_masked(
-            scene, qq, st.active, eps, 48)
+        R_D, _, _, _ = dirichlet_distance_masked(sc, qq, st.active, eps, 48)
         return R_D
 
-    timed("dirichlet distance path", dirichlet_only, q)
+    timed("dirichlet distance path", dirichlet_only, q, scene)
 
 
 if __name__ == "__main__":
