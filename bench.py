@@ -111,9 +111,13 @@ def main() -> int:
     ap.add_argument("--spp", type=int, default=0)
     ap.add_argument("--train-spp", type=int, default=0)
     ap.add_argument("--scene", default="ladybug")
-    ap.add_argument("--time-budget", type=float, default=900.0,
-                    help="soft solve-time cap (s); throughput is reported "
-                         "from completed work")
+    ap.add_argument("--time-budget", type=float, default=0.0,
+                    help="soft solve-time cap (s); 0 = none (the declared "
+                         "protocol runs in full — a budget reroutes "
+                         "training through the budgeted ~32-spp-target "
+                         "path and the headline stops being "
+                         "apples-to-apples across rounds; the SIGALRM "
+                         "watchdog still guards hangs)")
     args = ap.parse_args()
 
     # hard watchdog: if the device wedges we still emit a parsable line
@@ -171,7 +175,8 @@ def main() -> int:
     import jax.numpy as jnp
     signal.alarm(900)
     _ = float(jnp.ones((8, 8)).sum())
-    signal.alarm(int(args.time_budget * 2 + 600))
+    signal.alarm(int(args.time_budget * 2 + 600) if args.time_budget
+                 else 2400)
 
     import jax
 
@@ -242,7 +247,7 @@ def main() -> int:
         sys.stderr.write(f"bench: prepare (AOT compile) "
                          f"{_time.time()-t_w:.1f}s\n")
 
-    duration_ms = integ.solve(time_budget_s=args.time_budget)
+    duration_ms = integ.solve(time_budget_s=args.time_budget or None)
     steps = integ.total_walk_steps
     value = steps / max(duration_ms / 1000.0, 1e-9)
 
@@ -253,6 +258,9 @@ def main() -> int:
         "vs_baseline": value / BASELINE_WALK_STEPS,
         "detail": {"backend": backend, "scene": args.scene, "res": res,
                    "spp": spp, "train_spp": train_spp,
+                   "train_spp_achieved":
+                       getattr(integ, "train_spp_achieved", None),
+                   "time_budget_s": args.time_budget or None,
                    "walk_steps": int(steps), "duration_ms": duration_ms,
                    "phases": getattr(integ, "phase_stats", None)},
     }))

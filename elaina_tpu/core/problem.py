@@ -249,21 +249,25 @@ class Problem:
                 self, "_hints_loaded", False):
             return
         self._hints_loaded = True
-        try:
-            z = np.load(path, allow_pickle=False)
-        except Exception:
-            return
         cost = self.__dict__.setdefault("_cost_cache", {})
         rate = self.__dict__.setdefault("_rate_cache", {})
-        for k in z.files:
-            parts = k.split("_")
-            if k.startswith("cost_"):
-                cost.setdefault((int(parts[1]), float(parts[2]),
-                                 int(parts[3])), np.asarray(z[k]))
-            elif k.startswith("ratetrain_"):
-                rate.setdefault(("train", int(parts[1])), float(z[k]))
-            elif k.startswith("rate_"):
-                rate.setdefault(int(parts[1]), float(z[k]))
+        # the member reads decompress lazily: a truncated/corrupt file
+        # (non-atomic writer killed mid-save) must not abort the solve
+        # over a performance hint, so the whole loop sits inside the try
+        # (ADVICE r3 #2)
+        try:
+            z = np.load(path, allow_pickle=False)
+            for k in z.files:
+                parts = k.split("_")
+                if k.startswith("cost_"):
+                    cost.setdefault((int(parts[1]), float(parts[2]),
+                                     int(parts[3])), np.asarray(z[k]))
+                elif k.startswith("ratetrain_"):
+                    rate.setdefault(("train", int(parts[1])), float(z[k]))
+                elif k.startswith("rate_"):
+                    rate.setdefault(int(parts[1]), float(z[k]))
+        except Exception:
+            return
 
     def hint_cache_save(self):
         path = self._hint_path()
@@ -279,7 +283,13 @@ class Problem:
                 payload[f"rate_{k}"] = np.float64(v)
         if payload:
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            np.savez_compressed(path, **payload)
+            # atomic publish: np.savez is not atomic, and a reader (or a
+            # killed process) must never observe a half-written archive
+            # the tmp name must keep the .npz suffix (np.savez appends it
+            # to anything else, breaking the rename)
+            tmp = path[:-4] + f".tmp{os.getpid()}.npz"
+            np.savez_compressed(tmp, **payload)
+            os.replace(tmp, path)
 
     # -- flags (problem.h:104-171) ------------------------------------------
     @property

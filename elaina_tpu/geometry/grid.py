@@ -117,7 +117,7 @@ def fine_decode(fp: FinePack, q):
          data_fields=["origin", "inv_cell", "cand", "meta", "coverage",
                       "lbound", "row_lbound", "row_diag", "row_trunc",
                       "coords", "fine", "cpack", "crows"],
-         meta_fields=["res"])
+         meta_fields=["res", "trunc_min_rl"])
 @dataclass
 class CandidateGrid:
     origin: jnp.ndarray      # (D,)
@@ -147,6 +147,12 @@ class CandidateGrid:
     # crows: (2P_pad8, 128) f32 color rows [c0.rgb, 0, c1.rgb, 0, 0...]
     # per (prim, side) (attach_shading; pallas_resolve color fetch)
     res: tuple = ()          # static level-0 cell counts per axis
+    trunc_min_rl: float = float("inf")
+    # trunc_min_rl: static min row_lbound over truncated rows (inf if
+    # none).  Lets the hot resolve path compile the truncation clamp in
+    # ONLY when a truncated row could fire the FinePack need bit
+    # (trunc_min_rl < ~eps): deep-interior rows sit at rl >= 4|h| far
+    # above any practical eps, so the common case stays gather-free.
 
 
 # --------------------------------------------------------------------------- #
@@ -362,19 +368,22 @@ def build_candidate_grid(
         z = np.load(cache_path)
         meta = tuple(jnp.asarray(z[f"meta_{i}"])
                      for i in range(int(z["n_levels"])))
+        # tolerate v6 caches written before row_trunc landed (same
+        # build inputs; absence means no truncated rows were kept)
+        rt = np.asarray(z["row_trunc"] if "row_trunc" in z
+                        else np.zeros(z["row_lbound"].shape, bool))
+        rlb = np.asarray(z["row_lbound"])
         return CandidateGrid(
             origin=jnp.asarray(z["origin"]),
             inv_cell=jnp.asarray(z["inv_cell"]),
             res=tuple(int(r) for r in z["res"]), cand=jnp.asarray(z["cand"]),
             meta=meta, coverage=jnp.asarray(z["coverage"]),
             lbound=jnp.asarray(z["lbound"]),
-            row_lbound=jnp.asarray(z["row_lbound"]),
+            row_lbound=jnp.asarray(rlb),
             row_diag=jnp.asarray(z["row_diag"]),
-            # tolerate v6 caches written before row_trunc landed (same
-            # build inputs; absence means no truncated rows were kept)
-            row_trunc=jnp.asarray(
-                z["row_trunc"] if "row_trunc" in z
-                else np.zeros(z["row_lbound"].shape, bool)),
+            row_trunc=jnp.asarray(rt),
+            trunc_min_rl=(float(rlb[rt].min()) if rt.any()
+                          else float("inf")),
         )
 
     base = 512 if dim == 2 else 64
@@ -486,6 +495,8 @@ def build_candidate_grid(
         row_lbound=jnp.asarray(row_lbound),
         row_diag=jnp.asarray(row_diag),
         row_trunc=jnp.asarray(row_trunc),
+        trunc_min_rl=(float(row_lbound[row_trunc].min()) if row_trunc.any()
+                      else float("inf")),
     )
     if cache_path:
         os.makedirs(cache_dir, exist_ok=True)

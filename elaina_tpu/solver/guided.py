@@ -849,10 +849,11 @@ class GuidedIntegrator(BaseIntegrator):
                 # 1.32, ~32 -> 1.03, 0 -> 1.06 — an UNDERTRAINED guide is
                 # actively mediocre, worse than no guide, while every
                 # training second costs ~1 guiding second).  If even the
-                # ~32-spp wall would blow 30% of the budget, skip training
-                # outright and run the whole budget on the exact-uniform
-                # fallback; without rate/cost hints to predict the wall,
-                # give training 20% of the budget and let the slicer cut.
+                # ~32-spp wall would blow its share cap of the budget,
+                # skip training outright and run the whole budget on the
+                # exact-uniform fallback; without rate/cost hints to
+                # predict the wall, give training the same share cap and
+                # let the slicer cut.
                 train_budget = None
                 _mark("pre train_wont_fit")
                 if time_budget_s:
@@ -923,6 +924,7 @@ class GuidedIntegrator(BaseIntegrator):
             keys = jnp.stack([jax.random.fold_in(key, spp + i)
                               for i in range(c)])
             t_c = time.time()
+            opt_c0 = int(self.trainer.opt.count)
             self.trainer, contrib, steps, metrics = run_chunk(c)(
                 self.trainer, keys, jnp.bool_(training), uniform_fraction,
                 max_guided_depth)
@@ -933,7 +935,8 @@ class GuidedIntegrator(BaseIntegrator):
             self.phase_stats[ph + "_steps"] += int(steps)
             if training:
                 self.loss_history.extend(np.asarray(metrics).tolist())
-                self._net_trained = True
+                if int(self.trainer.opt.count) > opt_c0:
+                    self._net_trained = True
             spp += c
             last = spp - 1
             if (s.saveSppMetricsDuration > 0
@@ -1086,6 +1089,7 @@ class GuidedIntegrator(BaseIntegrator):
                     f"[trainphase] +{time.time()-start:7.2f}s {tag}\n")
 
         _m("enter")
+        opt_count0 = int(self.trainer.opt.count)
         rd0, in_shell0, contrib0 = self._step0(scene)
         _m("step0")
         resolved = np.asarray(in_shell0 | ~self.mask)
@@ -1286,7 +1290,11 @@ class GuidedIntegrator(BaseIntegrator):
         _m("loop_done")
         self.phase_stats["train_s"] += time.time() - t_t
         self.trainer = trainer
-        if self.phase_stats["train_steps"] > 0:
+        if int(trainer.opt.count) > opt_count0:
+            # gate on an optimizer step actually applying, not on walk
+            # steps: a budget-cut phase that walked but never flushed a
+            # valid record past min_valid must not enable guiding from an
+            # untrained VMM (ADVICE r3 #4)
             self._net_trained = True
         if slicer.rate is not None:
             # seed the guiding phase's budget slicer (training's rate
@@ -1302,6 +1310,12 @@ class GuidedIntegrator(BaseIntegrator):
                       r0_rate) if r]
             self.problem.__dict__.setdefault("_rate_cache", {})[
                 ("train", n)] = max(cands)
+        # ACHIEVED training spp (honest reporting: a budget/spp_cap cut
+        # phase trains on fewer samples than trainSppCount declares);
+        # averaged over walkable pixels only (resolved pixels hold rem=0)
+        n_walk = int((~resolved).sum())
+        self.train_spp_achieved = float(
+            spp0 + remaining - rem.sum() / max(n_walk, 1))
         if interrupted or rem.sum() > 0:
             from ..core.logger import log_warning
             done_total = np.where(resolved, remaining, remaining - rem)

@@ -291,6 +291,19 @@ def _fast_dirichlet(scene: Scene, q, active, eps: float, step0=None):
     in_shell = need & (out[:, 6] > 0.5)
 
     R_D = jnp.where(need, d_exact, rl)
+    if g.trunc_min_rl < 2.0 * float(eps) and g.row_trunc is not None:
+        # Truncated nearest-K rows whose lower bound can fire the need
+        # bit (last-level cells with band > K near the shell): the
+        # sweep's min-over-K can OVERESTIMATE the true distance there,
+        # breaking star-ball emptiness — fall back to the cell lower
+        # bound, matching the generic path's grid._trunc_fallback
+        # (ADVICE r3 #1).  Statically compiled out when every truncated
+        # row sits far above eps (deep-interior rows, rl >= 4|h|):
+        # rl_dec > rl * 2^(-1/s), so need cannot fire once
+        # trunc_min_rl >= 2*eps.  Out-of-grid lanes keep the sweep
+        # result (the border cell's bound is not valid for them either).
+        tr = need & ~outside & g.row_trunc[row]
+        R_D = jnp.where(tr, g.row_lbound[row], R_D)
     if step0 is not None:
         R_D = jnp.where(fresh, rd0, R_D)
     in_shell &= R_D < eps

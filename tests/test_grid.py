@@ -579,3 +579,73 @@ def test_fused_resolve_3d_matches_chain_path(n):
                                rtol=1e-4, atol=1e-4)
     RB_f, RB_r = np.asarray(RB_f), np.asarray(RB_r)
     assert np.all(RB_f[act] <= RB_r[act] + 1e-4)
+
+
+def test_truncated_row_resolve_keeps_lower_bound():
+    """Last-level over-K cells keep nearest-K TRUNCATED rows whose sweep
+    min can OVERESTIMATE the true distance; the fast path must fall back
+    to the cell lower bound there so star-ball emptiness holds (ADVICE r3
+    #1 / grid._trunc_fallback parity).  Forces truncation with a dense
+    segment cluster, K=8 and max_levels=1 (level 0 is the last level)."""
+    import os
+
+    from elaina_tpu.core.problem import Boundary, Scene
+    from elaina_tpu.geometry.geomset import make_geom_set
+    from elaina_tpu.geometry.grid import (attach_coords, attach_fine,
+                                          attach_shading)
+    from elaina_tpu.solver.wost import (_separate, fast_dirichlet_available,
+                                        init_walk_state)
+
+    rng = np.random.default_rng(47)
+    n_seg = 600
+    centers = rng.uniform(-2, 2, (n_seg, 2)).astype(np.float32)
+    offs = rng.uniform(-0.15, 0.15, (n_seg, 2, 2)).astype(np.float32)
+    verts = (centers[:, None] + offs).reshape(-1, 2)
+    idx = np.arange(2 * n_seg, dtype=np.int32).reshape(-1, 2)
+    lo = np.full(2, -3, np.float32)
+    hi = np.full(2, 3, np.float32)
+    eps = 0.3
+
+    grid = build_candidate_grid(verts, idx, lo, hi, K=8, max_res=8,
+                                max_levels=1)
+    assert bool(np.asarray(grid.row_trunc).any())   # truncation engaged
+    assert np.isfinite(grid.trunc_min_rl)
+    assert grid.trunc_min_rl < 2.0 * eps            # clamp compiles in
+
+    colors = np.asarray(rng.uniform(0, 1, (2 * n_seg, 2, 3)), np.float32)
+    g_fast = attach_shading(attach_fine(attach_coords(grid, verts, idx), eps),
+                            colors, idx)
+    scene = Scene(
+        dirichlet=Boundary(gs=make_geom_set(verts, idx)[0],
+                           colors=jnp.asarray(colors)),
+        neumann=None, d_grid=g_fast, source=None,
+        aabb_lo=lo, aabb_hi=hi, dim=2, source_intensity=1.0,
+        dirichlet_intensity=1.0, neumann_intensity=1.0)
+
+    q = jnp.asarray(rng.uniform(-2.9, 2.9, (2048, 2)), jnp.float32)
+    active = jnp.ones((2048,), bool)
+    state = init_walk_state(q, active)
+
+    os.environ["ELAINA_PALLAS_INTERPRET"] = "1"
+    try:
+        assert fast_dirichlet_available(scene, eps)
+        in_f, RB_f, col_f, RD_f = _separate(scene, state, eps, 32,
+                                            shrink=True)
+    finally:
+        os.environ["ELAINA_PALLAS_INTERPRET"] = "0"
+
+    a, b = verts[idx[:, 0]][None], verts[idx[:, 1]][None]
+    d_true = np.asarray(jnp.min(
+        seg_closest_point(np.asarray(q)[:, None, :], a, b)[0], axis=1))
+
+    in_f = np.asarray(in_f)
+    RD_f = np.asarray(RD_f)
+    # star-ball emptiness: every non-terminating lane's radius is a valid
+    # lower bound of the true boundary distance (pre-fix, truncated rows
+    # returned the possibly-larger min-over-K here)
+    free = ~in_f
+    assert np.all(RD_f[free] <= d_true[free] + 1e-4)
+    assert np.all(np.asarray(RB_f)[free] <= d_true[free] + 1e-4)
+    # in-shell lanes really are within eps of SOME boundary (the sweep's
+    # d_e < eps is stricter than the generic path's rl < eps gate)
+    assert np.all(d_true[in_f] < eps + 1e-4)
