@@ -57,8 +57,10 @@ def test_sample_in_ball_chunked_matches_dense():
         m_sel = np.asarray(gs.prim_measure)[sel]
         ok = pid >= 0
         assert np.all(w_sel[ok] > 0)                   # picked inside ball
+        # divide on the ok lanes only: empty-ball lanes hold total == 0
+        # and the full-array divide emitted an invalid-divide warning
         np.testing.assert_allclose(
-            pdf[ok], (w_sel / (total * m_sel))[ok], rtol=2e-4)
+            pdf[ok], w_sel[ok] / (total[ok] * m_sel[ok]), rtol=2e-4)
     # at mismatched lanes the target must sit at a CDF boundary of the picks
     cdf = np.cumsum(w, axis=-1)
     tgt = np.asarray(u) * total
