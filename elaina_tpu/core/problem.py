@@ -89,7 +89,7 @@ class SourceGrid:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["dirichlet", "neumann", "d_grid", "source",
-                      "aabb_lo", "aabb_hi", "n_sgrid"],
+                      "aabb_lo", "aabb_hi", "n_sgrid", "n_bgrid"],
          meta_fields=["dim", "source_intensity", "dirichlet_intensity",
                       "neumann_intensity"])
 @dataclass
@@ -109,6 +109,11 @@ class Scene:
     # silhouette candidate grid for LARGE Neumann sets (grid.SilGrid):
     # replaces the per-lane coned-BVH descent in the R_N query
     n_sgrid: Optional[object] = None
+    # radius-complete prim band grid for LARGE Neumann sets
+    # (grid.PrimBandGrid): one row per walk step serves the in-ball /
+    # ray / visibility queries densely, with R_B clamped to the row's
+    # completeness cap (wost._separate)
+    n_bgrid: Optional[object] = None
 
 
 def _parse_vertex_colors(path: str, n_verts: int) -> np.ndarray:
@@ -403,8 +408,29 @@ class Problem:
                     self.stats["neumann_sil_grid"] = (
                         f"res={n_sgrid.res} K={n_sgrid.rows.shape[1]}")
 
+        # radius-complete prim band grid: the in-ball / ray / visibility
+        # queries of one walk step over a big Neumann set (the vmapped
+        # per-lane stack BVH measured ~22 us/lane/step on neumann3d, TPU
+        # round 4; the grid turns them into one-row dense sweeps)
+        n_bgrid = None
+        if neumann is not None and accel == "grid":
+            from ..geometry.queries import CHUNKED_DENSE_MAX
+            if int(neumann.gs.n_prims) > CHUNKED_DENSE_MAX:
+                from ..geometry.grid import build_prim_band_grid
+                nv, ni = n_verts_idx
+                margin = 0.05 * (aabb_max - aabb_min)
+                n_bgrid = build_prim_band_grid(
+                    nv, ni, aabb_min - margin, aabb_max + margin,
+                    cache_dir=cache_dir)
+                if n_bgrid is not None:
+                    rc = np.asarray(n_bgrid.r_cap)
+                    self.stats["neumann_band_grid"] = (
+                        f"res={n_bgrid.res} K={n_bgrid.rows.shape[1]} "
+                        f"r_cap_min={float(rc.min()):.4g}")
+
         self.scene = Scene(
             n_sgrid=n_sgrid,
+            n_bgrid=n_bgrid,
             dirichlet=dirichlet,
             neumann=neumann,
             d_grid=d_grid,

@@ -550,6 +550,95 @@ class SilGrid:
     res: tuple = ()
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["origin", "inv_cell", "rows", "r_cap", "lbound",
+                      "ent_lo", "ent_hi"],
+         meta_fields=["res"])
+@dataclass
+class PrimBandGrid:
+    """Radius-complete K-nearest prim bands (the Neumann QUERY grid).
+
+    Per cell: the K nearest (by distance lower bound) prims and a
+    completeness cap ``r_cap`` — for any q in the cell and any radius
+    R <= r_cap, EVERY prim intersecting ball(q, R) (hence any ray
+    segment of length <= R from q) is in the row (scene_build.cpp
+    prim_band_rows).  WoSt clamps the star radius R_B to r_cap (always
+    valid: smaller star radii only cost steps), which turns the in-ball
+    sampling / ray-intersect / visibility queries of one walk step into
+    dense K-wide sweeps over ONE row — replacing the per-lane stack BVH
+    descent that measured ~22 us/lane/step on neumann3d (TPU round 4,
+    ~200x the 2D per-step cost; per-lane dynamic stacks are the
+    anti-pattern every other query here was redesigned away from).
+    """
+
+    origin: jnp.ndarray      # (D,)
+    inv_cell: jnp.ndarray    # (D,)
+    rows: jnp.ndarray        # (C, K) int32 prim ids, -1 pad
+    r_cap: jnp.ndarray       # (C,) f32 completeness radius (1e30 = all)
+    lbound: jnp.ndarray      # (C,) f32 min lower over kept prims
+    ent_lo: jnp.ndarray      # (D,) prim-set bbox (out-of-grid fallback)
+    ent_hi: jnp.ndarray      # (D,)
+    res: tuple = ()
+
+
+def build_prim_band_grid(verts, indices, lo, hi, K: int = 64,
+                         max_res: int = 2048,
+                         cache_dir: str | None = None) -> PrimBandGrid | None:
+    """Build the radius-complete prim band grid (native; None if the
+    shared library is unavailable — callers fall back to the BVH path)."""
+    from .native import prim_band_rows_native, prim_bands_available
+    if not prim_bands_available():
+        return None
+    verts = np.asarray(verts, np.float32)
+    indices = np.asarray(indices, np.int32)
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    span = hi - lo
+    dim = verts.shape[1]
+
+    key = hashlib.sha1(
+        b"pband1" + verts.tobytes() + indices.tobytes() + lo.tobytes()
+        + hi.tobytes() + np.int64([K, max_res]).tobytes()
+    ).hexdigest()[:16]
+    cache_path = (os.path.join(cache_dir, f"pbandgrid_{key}.npz")
+                  if cache_dir else None)
+    pv = verts[indices.reshape(-1)]
+    ent_lo = pv.min(0)
+    ent_hi = pv.max(0)
+
+    if cache_path and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        return PrimBandGrid(
+            origin=jnp.asarray(z["origin"]),
+            inv_cell=jnp.asarray(z["inv_cell"]),
+            rows=jnp.asarray(z["rows"]), r_cap=jnp.asarray(z["r_cap"]),
+            lbound=jnp.asarray(z["lbound"]), ent_lo=jnp.asarray(ent_lo),
+            ent_hi=jnp.asarray(ent_hi),
+            res=tuple(int(r) for r in z["res"]))
+
+    base = 256 if dim == 2 else 48
+    res = tuple(int(np.clip(base * span[d] / max(span), 8, max_res))
+                for d in range(dim))
+    centers = _cell_centers(lo, hi, res)
+    hcell = 0.5 * span / np.asarray(res, np.float64)
+    rows, r_cap, lbound = prim_band_rows_native(
+        verts, indices, centers, hcell, K)
+    if cache_path:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez_compressed(cache_path, origin=lo,
+                            inv_cell=(np.asarray(res, np.float32)
+                                      / np.maximum(span, 1e-20)),
+                            rows=rows, r_cap=r_cap, lbound=lbound,
+                            res=np.asarray(res, np.int64))
+    return PrimBandGrid(
+        origin=jnp.asarray(lo),
+        inv_cell=jnp.asarray(np.asarray(res, np.float32)
+                             / np.maximum(span, 1e-20)),
+        rows=jnp.asarray(rows), r_cap=jnp.asarray(r_cap),
+        lbound=jnp.asarray(lbound), ent_lo=jnp.asarray(ent_lo),
+        ent_hi=jnp.asarray(ent_hi), res=res)
+
+
 def sil_coords_from_rows(rows: np.ndarray, p0, p1, n1, n2,
                          always) -> np.ndarray:
     """Pre-resolve silhouette-entity data into a planar row table.

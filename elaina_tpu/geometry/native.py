@@ -94,6 +94,12 @@ def _load():
         lib.sil_band_rows.argtypes = [
             fp, fp, fp, fp, up, ctypes.c_int64, ctypes.c_int32, fp,
             ctypes.c_int64, fp, ctypes.c_int32, ip, fp, fp]
+    if hasattr(lib, "prim_band_rows"):
+        lib.prim_band_rows.restype = None
+        lib.prim_band_rows.argtypes = [
+            fp, ctypes.c_int64, ip, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, fp, ctypes.c_int64, fp, ctypes.c_int32, ip, fp,
+            fp]
     _LIB = lib
     return lib
 
@@ -260,6 +266,37 @@ def sil_band_rows_native(p0, p1, n1, n2, always, centers, hcell, K: int):
         c.ctypes.data_as(fp), n, h.ctypes.data_as(fp), int(K),
         rows.ctypes.data_as(ip), rcap.ctypes.data_as(fp),
         lbound.ctypes.data_as(fp))
+    return rows, rcap, lbound
+
+
+def prim_bands_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "prim_band_rows")
+
+
+def prim_band_rows_native(verts, indices, centers, hcell, K: int):
+    """Radius-complete K-nearest prim bands (the Neumann query grid):
+    per cell the K prims with the smallest cell-lower-bound, the
+    completeness cap r_cap (every prim with lower < r_cap is in the
+    row), and the cell-min lower bound.  See scene_build.cpp
+    prim_band_rows for the guarantee the solver relies on."""
+    lib = _load()
+    v = np.ascontiguousarray(verts, np.float32)
+    idx = np.ascontiguousarray(indices, np.int32)
+    c = np.ascontiguousarray(centers, np.float32)
+    h = np.ascontiguousarray(hcell, np.float32)
+    dim = v.shape[1]
+    n = c.shape[0]
+    rows = np.empty((n, int(K)), np.int32)
+    rcap = np.empty((n,), np.float32)
+    lbound = np.empty((n,), np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    lib.prim_band_rows(
+        v.ctypes.data_as(fp), v.shape[0], idx.ctypes.data_as(ip),
+        idx.shape[0], idx.shape[1], dim, c.ctypes.data_as(fp), n,
+        h.ctypes.data_as(fp), int(K), rows.ctypes.data_as(ip),
+        rcap.ctypes.data_as(fp), lbound.ctypes.data_as(fp))
     return rows, rcap, lbound
 
 

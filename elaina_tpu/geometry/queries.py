@@ -699,3 +699,100 @@ def grid_closest_silhouette(sg, gs: GeomSet, q):
     delta = jnp.maximum(sg.ent_lo - q, 0.0) + jnp.maximum(q - sg.ent_hi, 0.0)
     d_box = jnp.linalg.norm(delta, axis=-1)
     return jnp.where(outside, d_box, capped)
+
+
+# ---------------------------------------------------------------------------
+# radius-complete prim-band queries (grid.PrimBandGrid)
+# ---------------------------------------------------------------------------
+#
+# The Neumann query set of one WoSt step — in-ball Green-weighted prim
+# sampling, closest-hit walk ray, any-hit visibility ray — is bounded by
+# the star radius R_B.  With R_B clamped to the band's completeness cap
+# (wost._separate), ONE row gather per lane supplies a complete candidate
+# set for all of them, replacing the vmapped per-lane stack-BVH descent
+# (~22 us/lane/step measured on neumann3d, TPU round 4).  The row's
+# completeness guarantee is stated at grid.PrimBandGrid / verified in
+# tests/test_neumann_band.py; reference counterpart:
+# uniform/integrator.cu:318-445 + lbvh ray/sample_object_in_sphere.
+
+
+def band_cell(bg, q):
+    """(lin, outside) — grid cell per query point (out-of-grid clamped)."""
+    res = jnp.asarray([r for r in bg.res], jnp.float32)
+    rel = (q - bg.origin) * bg.inv_cell
+    outside = jnp.any((rel < 0.0) | (rel >= res), axis=-1)
+    idx = jnp.clip(rel.astype(jnp.int32), 0,
+                   jnp.asarray([r - 1 for r in bg.res], jnp.int32))
+    lin = idx[..., 0]
+    for d in range(1, len(bg.res)):
+        lin = lin * bg.res[d] + idx[..., d]
+    return lin, outside
+
+
+def band_r_cap(bg, q):
+    """Completeness radius at q: the cell's r_cap inside the grid; the
+    distance to the prim-set bbox outside it (the grid covers the scene
+    AABB, so out-of-grid points are outside every prim's box — a ball or
+    ray within that distance is provably prim-free)."""
+    lin, outside = band_cell(bg, q)
+    delta = jnp.maximum(bg.ent_lo - q, 0.0) + jnp.maximum(q - bg.ent_hi, 0.0)
+    d_box = jnp.linalg.norm(delta, axis=-1)
+    return jnp.where(outside, d_box, bg.r_cap[lin])
+
+
+def _band_rows(bg, q):
+    lin, outside = band_cell(bg, q)
+    rows = bg.rows[jnp.where(outside, 0, lin)]           # (N, K)
+    valid = (rows >= 0) & ~outside[:, None]
+    return rows, valid
+
+
+def band_ray_intersect(bg, gs: GeomSet, o, d, tmax, ref=None):
+    """(hit, t, pid) — closest ray hit over the band row of ``ref``
+    (default: the ray origin).  Exact iff every prim the segment can
+    touch is in the row: callers guarantee tmax (plus any origin offset
+    from ref) stays within band_r_cap(ref) — wost clamps R_B to it.
+    ``ref`` matters when the origin is eps-offset off a boundary: the
+    offset point can sit in a neighbouring cell whose cap was not the
+    one R_B was clamped against."""
+    rows, valid = _band_rows(bg, o if ref is None else ref)
+    safe = jnp.maximum(rows, 0)
+    pv = _prim_verts_at(gs, safe)                        # each (N, K, D)
+    hit_k, t_k = prim_ray_intersect(gs.dim, o[:, None, :], d[:, None, :],
+                                    pv, tmax[:, None])
+    t_k = jnp.where(hit_k & valid, t_k, jnp.inf)
+    j = jnp.argmin(t_k, axis=-1)
+    t = jnp.min(t_k, axis=-1)
+    hit = jnp.isfinite(t) & (t <= tmax)
+    pid = jnp.take_along_axis(safe, j[:, None], 1)[:, 0]
+    return hit, jnp.where(hit, t, jnp.inf), jnp.where(
+        hit, pid, 0).astype(jnp.int32)
+
+
+def band_sample_in_ball(bg, gs: GeomSet, q, R, u):
+    """(prim_id, pdf_area) — Green-weighted in-ball prim sampling over
+    the band row (sample_in_ball semantics).  With R <= band_r_cap(q)
+    the row contains EVERY prim intersecting ball(q, R), so the weights
+    — and the returned pdf — are identical to the dense path's."""
+    rows, valid = _band_rows(bg, q)
+    safe = jnp.maximum(rows, 0)
+    pv = _prim_verts_at(gs, safe)
+    dd, _ = prim_closest_point(gs.dim, q[:, None, :], pv)   # (N, K)
+    inside = valid & (dd < R[:, None])
+    gw = green_eval(jnp.maximum(dd, GREEN_R_CLAMP), R[:, None], gs.dim)
+    meas = gs.prim_measure[safe]
+    w = jnp.where(inside, meas * jnp.maximum(gw, 0.0), 0.0)
+    total = jnp.sum(w, axis=-1)
+    cdf = jnp.cumsum(w, axis=-1)
+    target = u * total
+    idx_k = jnp.sum((target[:, None] >= cdf).astype(jnp.int32), axis=-1)
+    idx_k = jnp.minimum(idx_k, rows.shape[1] - 1)
+    take = lambda a: jnp.take_along_axis(a, idx_k[:, None], 1)[:, 0]
+    w_sel = take(w)
+    m_sel = take(meas)
+    pid = take(safe)
+    ok = (total > 0) & (w_sel > 0)
+    pdf_area = jnp.where(
+        ok, w_sel / (jnp.maximum(total, 1e-30) * jnp.maximum(m_sel, 1e-30)),
+        0.0)
+    return jnp.where(ok, pid, -1).astype(jnp.int32), pdf_area

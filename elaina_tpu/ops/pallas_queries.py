@@ -326,7 +326,15 @@ def grid_band_dma_3d(lin, q, coords, rpp: int, *, interpret: bool = False):
     n_rows = coords.shape[1]
     if n_rows < 9 * rpp:
         raise ValueError(f"coords table {coords.shape} too small for rpp={rpp}")
-    BL = DMA_BLOCK
+    # Smaller block than the 2D kernel: the 3D sweep holds 11 winner
+    # accumulators plus ~20 (BL, 128) triangle-distance temps live next
+    # to the (BL, n_rows, 128) DMA scratch — at BL=256 and K=256 the
+    # scoped-VMEM stack hit 28.7 MB against the 16 MB limit (neumann3d
+    # compile OOM, round 4).  BL=64 keeps it a few MB with margin for
+    # K=512 (n_rows=40).  This kernel is the CHAIN-path fallback (the
+    # bitmask fast path covers production), so block-width throughput is
+    # secondary to compiling everywhere.
+    BL = 64
     LC = min(DMA_LANE_CHUNK, -(-n // BL) * BL)
     n_pad = -(-n // LC) * LC
 

@@ -614,6 +614,45 @@ def train_on_records(trainer: TrainerState, spec: NetworkSpec,
 # driver
 # --------------------------------------------------------------------------- #
 
+# Budgeted-training policy constants — measured on spot 256² (TPU v5e,
+# GT 2048-spp uniform; BASELINE.md round-3 "equal-time robustness").
+#
+# The policy question: inside a wall budget B, how many seconds tw may
+# training consume?  Training to t spp buys the guided estimator an
+# equal-spp variance ratio v(t) = (RMSE_guided / RMSE_uniform)² on the
+# remaining B - tw seconds, so guiding WINS iff v(t) < 1 - tw/B, i.e.
+# tw/B < 1 - v(t).  Measured v: v(32) ≈ 0.55 (equal-spp RMSE ratio 0.74),
+# v(16) ≈ 0.77 (ratio 0.86) — hence the deep share cap 1 - 0.55 = 0.45.
+# Below the knee the risk is one-sided (an UNDERTRAINED guide is actively
+# mediocre: ~19 achieved spp measured 1.15-1.32x RMSE, and 16-spp
+# training that ate 30% of a 3.8 s budget measured 1.20x), so the
+# shallow cap takes a ~2/3 safety margin on 1 - v(16) ≈ 0.23 → 0.15.
+TRAIN_SPP_TARGET = 32   # measured RMSE knee: ~19 spp → 1.15-1.32x (worse
+#                         than no guide), 32 → 0.95-1.03x, 64 → 0.74x
+TRAIN_KNEE_SPP = 24     # below this, v(t) is shallow and the share cap
+#                         must be small for training to pay at all
+TRAIN_SHARE_DEEP = 0.45      # = 1 - v(32)
+TRAIN_SHARE_SHALLOW = 0.15   # ≈ (1 - v(16)) x 2/3 margin
+
+
+def budget_train_policy(train_spp_count: int, time_budget_s: float,
+                        predicted_wall: float | None):
+    """Pure budgeted-training decision (pinned by tests/test_policy.py).
+
+    Returns ``(skip, t_target, share_cap)``: train to ``t_target`` spp
+    within ``share_cap * time_budget_s`` seconds, or ``skip`` training
+    entirely when the predicted wall already blows that share (an
+    undertrained guide loses to the exact-uniform fallback).
+    ``predicted_wall`` is None when no rate/cost hints exist — then the
+    phase starts and the slicer cuts it at the share cap.
+    """
+    t_target = min(TRAIN_SPP_TARGET, int(train_spp_count))
+    share_cap = (TRAIN_SHARE_DEEP if t_target >= TRAIN_KNEE_SPP
+                 else TRAIN_SHARE_SHALLOW)
+    skip = (predicted_wall is not None
+            and predicted_wall > share_cap * time_budget_s)
+    return skip, t_target, share_cap
+
 
 class GuidedIntegrator(BaseIntegrator):
     """GuidedIntegrator<DIM> parity (guided/integrator.h:96-253)."""
@@ -857,19 +896,13 @@ class GuidedIntegrator(BaseIntegrator):
                 train_budget = None
                 _mark("pre train_wont_fit")
                 if time_budget_s:
-                    t_target = min(32, int(s.trainSppCount))
+                    t_target = min(TRAIN_SPP_TARGET, int(s.trainSppCount))
                     tw = self._train_spp_wall(t_target)
-                    # a sub-knee guide (< ~24 train spp) has a mild
-                    # variance factor (v(16) ~ 0.77 from the equal-spp
-                    # 64/16 row), so it only pays if its training wall
-                    # is a SMALL budget share: win iff v < 1 - tw/B,
-                    # i.e. tw/B < ~0.2 — measured 1.20x RMSE when 16-spp
-                    # training ate 30% of a 3.8s budget vs the ~1.05
-                    # uniform-fallback floor.  A >=24-spp guide is worth
-                    # up to 45% (v(32) deep enough that 0.947 measured
-                    # at tw/B = 0.15).
-                    share_cap = (0.45 if t_target >= 24 else 0.15)
-                    if tw is not None and tw > share_cap * time_budget_s:
+                    # win iff v(t_target) < 1 - tw/B — see the policy
+                    # constants' derivation above budget_train_policy
+                    skip, t_target, share_cap = budget_train_policy(
+                        s.trainSppCount, time_budget_s, tw)
+                    if skip:
                         from ..core.logger import log_warning
                         log_warning(
                             "training to ~%d spp predicted at %.2fs "
@@ -1145,9 +1178,13 @@ class GuidedIntegrator(BaseIntegrator):
         # cache warm-up, the skip-check compiles) silently ate the
         # training allowance — measured 1.71s of a 4.39s share, cutting
         # the guide to the undertrained zone (equal-time ratio 1.15).
-        slicer = BudgetSlicer(time_budget_s, t_t, self._train_rate_prior())
+        rate_prior = self._train_rate_prior()
+        slicer = BudgetSlicer(time_budget_s, t_t, rate_prior)
         sink_steps, sink_wall, r0_rate = 0, 0.0, None
-        it_wall = None   # min measured per-iteration wall (watchdog bound)
+        # min measured per-iteration wall (watchdog bound); a rate prior
+        # from an earlier solve seeds it so round 0 is length-bounded
+        # without degrading to the unknown-scene probe cap
+        it_wall = (n / float(rate_prior)) if rate_prior else None
         max_rounds = 16 + 4 * (1 + remaining * int(s.maxWalkingDepth) // 48)
         total_sam = int(np.sum(~resolved)) * remaining
         for round_i in range(max_rounds):
@@ -1219,6 +1256,14 @@ class GuidedIntegrator(BaseIntegrator):
                 # any single dispatch well under the tunneled TPU's kill
                 # threshold on expensive-per-iteration scenes
                 cap = max(min(cap, int(45.0 / it_wall)), 1)
+            elif n_round >= 16384:
+                # first-ever dispatch on this problem (no rate hints, no
+                # measured it_wall): probe-size it so it survives the
+                # watchdog even on expensive-per-iteration scenes —
+                # neumann3d 256²'s unbounded round 0 got the WORKER
+                # killed mid-dispatch (round 4).  Wide dispatches only;
+                # see wost.balanced_solve.
+                cap = min(cap, 8)
             t_r = time.time()
             tbit = getattr(self, "_train_bit", None)
             if tail and n_round < n:

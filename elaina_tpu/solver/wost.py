@@ -356,6 +356,18 @@ def _separate(scene: Scene, state: WalkState, eps: float, stack_size: int,
                                             scene.neumann.gs, q)
         else:
             R_N = Q.closest_silhouette(scene.neumann.gs, q)
+        if scene.n_bgrid is not None:
+            # clamp the star radius to the prim band's completeness cap
+            # (minus a 2*eps margin for the eps-offset ray origins of
+            # _walk/_neumann_term/_source_term): within it, ONE band row
+            # is a complete candidate set for every in-ball/ray query of
+            # this step.  Always valid — a smaller star radius only
+            # costs steps.  Cells with r_cap < 2*eps + 1e-4 would fall
+            # to the global 1e-4 floor below and could miss prims at
+            # eps-scale distances; build stats record r_cap_min so such
+            # scenes are visible (none of the shipped ones are).
+            rcap = Q.band_r_cap(scene.n_bgrid, q)
+            R_N = jnp.minimum(R_N, jnp.maximum(rcap - 2.0 * eps, 0.0))
     else:
         R_N = jnp.full(q.shape[:1], jnp.inf)
 
@@ -400,8 +412,13 @@ def _source_term(scene: Scene, state: WalkState, live, R_B, key, eps: float,
     dist = R_B
     if scene.neumann is not None:
         offset = state.pos + eps * direction
-        hit, t, _ = Q.ray_intersect(scene.neumann.gs, offset, direction, dist,
-                                    n_stack)
+        if scene.n_bgrid is not None:
+            hit, t, _ = Q.band_ray_intersect(scene.n_bgrid, scene.neumann.gs,
+                                             offset, direction, dist,
+                                             ref=state.pos)
+        else:
+            hit, t, _ = Q.ray_intersect(scene.neumann.gs, offset, direction,
+                                        dist, n_stack)
         dist = jnp.where(hit, jnp.minimum(t, dist), dist)
 
     u = jax.random.uniform(k_rad, state.pos.shape[:1] + (3,))
@@ -424,7 +441,11 @@ def _neumann_term(scene: Scene, state: WalkState, live, R_B, key, eps: float,
     gs = scene.neumann.gs
     k_sel, k_pt = jax.random.split(key)
     u_sel = jax.random.uniform(k_sel, state.pos.shape[:1])
-    pid, pdf = Q.sample_in_ball(gs, state.pos, R_B, u_sel)
+    if scene.n_bgrid is not None:
+        pid, pdf = Q.band_sample_in_ball(scene.n_bgrid, gs, state.pos, R_B,
+                                         u_sel)
+    else:
+        pid, pdf = Q.sample_in_ball(gs, state.pos, R_B, u_sel)
     valid = (pid >= 0) & (pdf > 0)
 
     u_pt = jax.random.uniform(k_pt, state.pos.shape[:1] + (2,))
@@ -439,8 +460,14 @@ def _neumann_term(scene: Scene, state: WalkState, live, R_B, key, eps: float,
     ray = sample_pt - origin
     clamp_dist = jnp.linalg.norm(ray, axis=-1)
     ray_dir = ray / jnp.maximum(clamp_dist, 1e-20)[:, None]
-    occluded, _, _ = Q.ray_intersect(gs, origin, ray_dir,
-                                     clamp_dist - eps, n_stack, any_hit=True)
+    if scene.n_bgrid is not None:
+        occluded, _, _ = Q.band_ray_intersect(scene.n_bgrid, gs, origin,
+                                              ray_dir, clamp_dist - eps,
+                                              ref=state.pos)
+    else:
+        occluded, _, _ = Q.ray_intersect(gs, origin, ray_dir,
+                                         clamp_dist - eps, n_stack,
+                                         any_hit=True)
     valid &= ~occluded
 
     side = prim_side(dim, state.pos, pv)
@@ -475,7 +502,12 @@ def _walk(scene: Scene, state: WalkState, live, R_B, key, eps: float,
     normal = jnp.zeros_like(state.pos)
     if scene.neumann is not None:
         gs = scene.neumann.gs
-        hit, t, pid = Q.ray_intersect(gs, current, direction, R_B, n_stack)
+        if scene.n_bgrid is not None:
+            hit, t, pid = Q.band_ray_intersect(scene.n_bgrid, gs, current,
+                                               direction, R_B, ref=state.pos)
+        else:
+            hit, t, pid = Q.ray_intersect(gs, current, direction, R_B,
+                                          n_stack)
         n_raw = Q.small_gather(gs.prim_normal, jnp.maximum(pid, 0))
         # shading normal: oppose the incoming direction (integrator.cu:509-512)
         n_flip = jnp.where(jnp.sum(n_raw * direction, axis=-1,
@@ -1080,6 +1112,18 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             # compile-inflated estimate only makes round 1 short, after
             # which the bound tracks the true per-iteration wall.
             cap = max(min(cap, int(45.0 / it_wall)), 1)
+        elif n_round >= 16384:
+            # NO wall estimate of any kind (first run of this problem
+            # shape, no rate hints): the very first dispatch must itself
+            # survive the watchdog.  Probe-size it — neumann3d 256²'s
+            # round 0 at cap 32 ran minutes of per-iteration silhouette
+            # sweeps and the runtime KILLED the worker (round 4); 8
+            # iterations bound that to seconds and measure it_wall for
+            # every later round.  Gated on wide dispatches: the risk is
+            # n_lanes x per-lane-iteration cost (22 us/lane/iter was the
+            # worst measured), so small dispatches keep the full round-0
+            # cap and its at-least-one-sample guarantee.
+            cap = min(cap, 8)
         if round_i > 0 or (have_cost0 and budget_mode):
             piece_pix, piece_quota = build_balanced_pieces(
                 rem_round, cost, n_round, S,
@@ -1160,6 +1204,31 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         rate_sink(max(cands))
     if interrupted or rem.sum() > 0:
         from ..core.logger import log_warning
+        zero = (~resolved_np) & (rem >= spp)
+        if zero.any():
+            # unbiasedness floor: a pixel with ZERO completed samples
+            # rescales to 0 (bias), so give each one walk room to finish
+            # in one final bounded dispatch — the round-0 probe cap (8
+            # iterations on never-measured scenes) can cut every walk
+            # mid-flight when the budget dies before round 1.  Bounded
+            # overshoot, like the probe slice itself; the watchdog bound
+            # still applies through the measured it_wall.
+            rem_res = np.where(zero, 1, 0).astype(rem.dtype)
+            cap = max_depth + 8
+            if it_wall is not None:
+                cap = max(min(cap, int(45.0 / it_wall)), 8)
+            piece_pix, piece_quota = build_balanced_pieces(
+                rem_res, cost, n, S)
+            ppos = tuple(jnp.asarray(pts_np[piece_pix, d])
+                         for d in range(pts_np.shape[1]))
+            prd = jnp.asarray(rd0_np[piece_pix])
+            acc, done, lsteps, steps, iters = chunk(
+                scene, extra, ppos, prd, jnp.asarray(piece_quota),
+                jax.random.fold_in(key, max_rounds + 1), jnp.int32(cap))
+            image, done_pix = _flush_jit(image, acc, done,
+                                         jnp.asarray(piece_pix), n)
+            total_steps += int(steps)
+            rem = np.maximum(rem - np.asarray(done_pix).astype(np.int64), 0)
         done_total = np.where(resolved_np, spp, spp - rem)
         dump = os.environ.get("ELAINA_DONE_DUMP")
         if dump:

@@ -1080,4 +1080,112 @@ void sil_band_rows(const float* p0, const float* p1, const float* n1,
   delete bvh;
 }
 
+// Radius-complete K-nearest prim bands (the Neumann query grid).
+//
+// Per cell: the K prims with the smallest distance LOWER bound over the
+// cell, plus r_cap = min over every exclusion event of the bound that
+// excluded it (a heap-evicted prim's own lower, or a pruned NODE's
+// cell-box-to-node-box bound, which lower-bounds the exact cell-to-prim
+// distance of everything in the subtree).  Guarantee (the one the
+// solver relies on; verified in tests/test_neumann_band.py): for any
+// query point q inside the cell and any radius R <= r_cap, every prim
+// intersecting the ball B(q, R) (and hence any ray segment of length
+// <= R from q) is in the row — each excluded prim's exact distance from
+// every cell point is >= r_cap.  WoSt clamps the star radius to r_cap,
+// which is always valid (smaller star radii only cost extra steps),
+// making the row a COMPLETE candidate set for the in-ball /
+// ray-intersect / visibility queries of one walk step.
+// Structure: sil_band_rows' pass B without the silhouette certification.
+void prim_band_rows(const float* verts, int64_t n_verts,
+                    const int32_t* indices, int64_t n_prims, int32_t arity,
+                    int32_t dim, const float* centers, int64_t n_cells,
+                    const float* hcell, int32_t K, int32_t* rows_out,
+                    float* rcap_out, float* lbound_out) {
+  (void)n_verts;
+  BandBvh* bvh = band_bvh_build(verts, indices, n_prims, arity, dim);
+  float hn = 0.f;
+  for (int d = 0; d < dim; ++d) hn += hcell[d] * hcell[d];
+  BandCtx ctx{verts, indices, arity, dim, bvh, std::sqrt(hn)};
+
+  std::vector<std::pair<float, int32_t>> heap;  // max-heap by lower
+  heap.reserve((size_t)K + 1);
+  auto cmp = [](const std::pair<float, int32_t>& a,
+                const std::pair<float, int32_t>& b) {
+    return a.first < b.first;
+  };
+  std::vector<std::pair<float, int32_t>> pq;    // min-heap by node bound
+  auto pq_cmp = [](const std::pair<float, int32_t>& a,
+                   const std::pair<float, int32_t>& b) {
+    return a.first > b.first;
+  };
+
+  for (int64_t i = 0; i < n_cells; ++i) {
+    const float* c = centers + i * dim;
+    auto lb_lower = [&](int32_t nid) {
+      return node_lb_lower(ctx, c, hcell,
+                           bvh->bmin.data() + (int64_t)nid * dim,
+                           bvh->bmax.data() + (int64_t)nid * dim);
+    };
+
+    heap.clear();
+    float excl_min = 1e30f;
+    auto worst = [&]() {
+      return (int32_t)heap.size() >= K ? heap.front().first : 1e30f;
+    };
+    pq.clear();
+    pq.emplace_back(lb_lower(0), 0);
+    while (!pq.empty()) {
+      auto [lb, nid] = pq.front();
+      std::pop_heap(pq.begin(), pq.end(), pq_cmp);
+      pq.pop_back();
+      float w = worst();
+      if (lb > w) {
+        excl_min = std::min(excl_min, lb);
+        break;                                 // frontier sorted: done
+      }
+      if (bvh->left[nid] < 0) {
+        for (int32_t k = 0; k < bvh->count[nid]; ++k) {
+          int32_t p = bvh->order[bvh->start[nid] + k];
+          float lo_p = prim_lower(ctx, p, c, hcell);
+          float w2 = worst();
+          if (lo_p > w2) {
+            excl_min = std::min(excl_min, lo_p);
+            continue;
+          }
+          heap.emplace_back(lo_p, p);
+          std::push_heap(heap.begin(), heap.end(), cmp);
+          if ((int32_t)heap.size() > K) {
+            std::pop_heap(heap.begin(), heap.end(), cmp);
+            excl_min = std::min(excl_min, heap.back().first);
+            heap.pop_back();
+          }
+        }
+      } else {
+        for (int32_t ch : {bvh->left[nid], bvh->right[nid]}) {
+          float lbc = lb_lower(ch);
+          float w3 = worst();
+          if (lbc > w3) {
+            excl_min = std::min(excl_min, lbc);
+          } else {
+            pq.emplace_back(lbc, ch);
+            std::push_heap(pq.begin(), pq.end(), pq_cmp);
+          }
+        }
+      }
+    }
+
+    int32_t* row = rows_out + i * K;
+    float lb_min = 1e30f;
+    int64_t n = (int64_t)heap.size();
+    for (int64_t k = 0; k < n; ++k) {
+      row[k] = heap[k].second;
+      lb_min = std::min(lb_min, heap[k].first);
+    }
+    for (int64_t k = n; k < K; ++k) row[k] = -1;
+    rcap_out[i] = excl_min;
+    lbound_out[i] = lb_min;
+  }
+  delete bvh;
+}
+
 }  // extern "C"

@@ -80,3 +80,69 @@ def test_exec_neumann_heavy_3d():
     # mean must stay in the BC hull
     m = float(img[..., :3].mean())
     assert 0.2 < m < 0.8, m
+
+
+def test_bumpy3d_guided_64spp_matches_analytic(tmp_path):
+    """3D guided e2e at 64 spp pins accuracy to the Monte-Carlo noise
+    floor (VERDICT r3 next #7: tolerance <= 0.05, vs the 8-spp test's
+    0.15).  Runs the chain query path — the bitmask fast path is tied to
+    it by the interpret-mode equivalence tests
+    (test_grid.test_fused_resolve_3d_matches_chain_path) and by the
+    interpret-mode e2e smoke below; a full 64-spp solve through
+    interpreted Pallas kernels is not tractable on one CPU core."""
+    conf = json.load(open(os.path.join(REPO, "configs", "bumpy3d_n.json")))
+    conf["base_path"] = str(tmp_path) + "/"
+    conf["exp_name"] = "b3d_guided64"
+    st = conf["integrator"]["setting"]
+    st["frameSize"] = [16, 16]
+    st["samplesPerPixel"] = 64
+    st["trainSppCount"] = 16
+    st["maxWalkingDepth"] = 32
+    # small net: e2e pins the INTEGRATOR's bias, not guide quality
+    conf["network"]["encoding"].update(
+        {"base_resolution": 4, "n_levels": 3, "n_features_per_level": 2})
+    conf["network"]["network"].update(
+        {"n_neurons": 16, "n_hidden_layers": 1})
+    path = tmp_path / "conf.json"
+    json.dump(conf, open(path, "w"))
+
+    result = run_expr(str(path))
+    assert "duration" in result
+    img = read_exr(str(tmp_path / "b3d_guided64" / "solution.exr"))
+    n = img.shape[0]
+    xs = 2 * np.arange(n) / n - 1.0
+    X, Y = np.meshgrid(xs * 0.6, xs * 0.6, indexing="xy")
+    ref = 0.5 + 0.4 * (X ** 2 - Y ** 2)
+    err = img[..., 0] - ref
+    rmse = float(np.sqrt((err ** 2).mean()))
+    bias = float(err.mean())
+    assert rmse < 0.05, rmse
+    assert abs(bias) < 0.015, bias
+
+
+def test_bumpy3d_interpret_fast_path_e2e(tmp_path, monkeypatch):
+    """The 3D bitmask fast path (interpret-mode Pallas) through the FULL
+    exec stack: uniform 2 spp at 12x12 — finite, unbiased-in-mean vs the
+    analytic field.  Complements the kernel-level equivalence tests with
+    an e2e wiring check (fast_dirichlet_available gating, color rows)."""
+    monkeypatch.setenv("ELAINA_PALLAS_INTERPRET", "1")
+    conf = json.load(open(os.path.join(REPO, "configs",
+                                       "bumpy3d_quick.json")))
+    conf["base_path"] = str(tmp_path) + "/"
+    conf["exp_name"] = "b3d_interp"
+    st = conf["integrator"]["setting"]
+    st["frameSize"] = [12, 12]
+    st["samplesPerPixel"] = 2
+    st["maxWalkingDepth"] = 16
+    path = tmp_path / "conf.json"
+    json.dump(conf, open(path, "w"))
+
+    run_expr(str(path))
+    img = read_exr(str(tmp_path / "b3d_interp" / "solution.exr"))
+    assert np.isfinite(img).all()
+    n = img.shape[0]
+    xs = 2 * np.arange(n) / n - 1.0
+    X, Y = np.meshgrid(xs * 0.6, xs * 0.6, indexing="xy")
+    ref = 0.5 + 0.4 * (X ** 2 - Y ** 2)
+    bias = float((img[..., 0] - ref).mean())
+    assert abs(bias) < 0.08, bias
