@@ -1273,6 +1273,15 @@ class GuidedIntegrator(BaseIntegrator):
                     jax.random.fold_in(key, round_i), jnp.int32(cap))
                 metric = jnp.float32(0.0)
             else:
+                # optimizer cadence: every TRAIN_EVERY iterations (~1
+                # sample/lane at 10, the reference's per-spp trainStep
+                # cadence).  Measured rates at 512² (tools/tpu_train_gap):
+                # 10 -> train/guide 0.80, 20 -> 0.87, 40 -> 0.92 — the
+                # cadence is the WHOLE train-phase rate gap (records cost
+                # 5.6%), but halving it halves optimizer steps/phase, so
+                # the default stays at the reference cadence and the env
+                # knob exists for measured A/B (ELAINA_TRAIN_EVERY).
+                te = int(os.environ.get("ELAINA_TRAIN_EVERY", "10"))
                 acc, done, lsteps, steps, iters, trainer, metric = chunk(
                     scene, trainer, uf, mgd, ppos, prd,
                     jnp.asarray(piece_quota),
@@ -1280,7 +1289,7 @@ class GuidedIntegrator(BaseIntegrator):
                     # full-width tail rounds skip the in-loop optimizer
                     # (its cost ~= 10 full-lane iterations); their few
                     # records still reach the end-of-chunk pass
-                    jnp.int32(cap + 1 if tail else 10),
+                    jnp.int32(cap + 1 if tail else te),
                     None if tbit is None else jnp.asarray(tbit[piece_pix]))
             image, done_pix = flush(image, acc, done,
                                     jnp.asarray(piece_pix), n)

@@ -45,3 +45,46 @@ def test_guided_3d_runs_and_trains():
     # crude unbiasedness: average over lanes tracks the average of the
     # analytic solution (u = (x+1)/2 -> mean over symmetric points ~ 0.5)
     assert abs(u[:, 0].mean() - 0.5) < 0.12
+
+
+def test_triplane_encoding_properties():
+    """3D dense levels lower to the factorized tri-plane form: bilinear
+    partition-of-unity per plane (constant table -> constant output),
+    exact plane separability, and matmul gradients."""
+    from elaina_tpu.nn.encoding import (grid_encode, init_grid_params,
+                                        make_grid_encoding)
+
+    spec = make_grid_encoding(3, {"otype": "DenseGrid", "base_resolution": 4,
+                                  "n_levels": 3, "n_features_per_level": 2,
+                                  "per_level_scale": 1.5})
+    assert spec.triplane
+    assert spec.level_sizes[0] == 3 * 25          # 3 planes of (4+1)^2
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (64, 3)),
+                    jnp.float32)
+    # partition of unity: all-ones table -> every feature == 3 (one per plane)
+    ones = jnp.ones((spec.n_params, spec.n_features))
+    np.testing.assert_allclose(np.asarray(grid_encode(spec, ones, x)), 3.0,
+                               rtol=1e-5)
+
+    # separability: zeroing the yz/xz planes leaves a function of (x, y)
+    table = init_grid_params(jax.random.PRNGKey(1), spec, scale=1.0)
+    t2 = table
+    for lvl in range(spec.n_levels):
+        V = spec.resolutions[lvl] + 1
+        off = spec.offsets[lvl]
+        t2 = t2.at[off + V * V: off + 3 * V * V].set(0.0)
+    xa = x
+    xb = x.at[:, 2].set(jnp.mod(x[:, 2] + 0.37, 1.0))   # change z only
+    fa = np.asarray(grid_encode(spec, t2, xa))
+    fb = np.asarray(grid_encode(spec, t2, xb))
+    np.testing.assert_allclose(fa, fb, rtol=1e-4, atol=1e-5)
+
+    # gradients flow to every plane
+    g = jax.grad(lambda t: jnp.sum(grid_encode(spec, t, x) ** 2))(table)
+    for lvl in range(spec.n_levels):
+        V = spec.resolutions[lvl] + 1
+        off = spec.offsets[lvl]
+        for pi in range(3):
+            seg = g[off + pi * V * V: off + (pi + 1) * V * V]
+            assert float(jnp.abs(seg).max()) > 0.0
