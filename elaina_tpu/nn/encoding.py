@@ -13,6 +13,7 @@ lookups are fused gathers.
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -63,7 +64,6 @@ def make_grid_encoding(dim: int, conf: dict) -> GridEncodingSpec:
     # features for the guiding net; guide quality is validated end-to-end
     # by the parity RMSE ratios), 3(V+1)^2 instead of (V+1)^3 params.
     # ELAINA_ENC3D=gather restores the dense volumetric table for A/B.
-    import os
     triplane = (dim == 3 and "hash" not in otype
                 and os.environ.get("ELAINA_ENC3D", "triplane") != "gather")
     offsets, sizes, hashed = [], [], []
@@ -144,7 +144,10 @@ def _grid_encode_3d_triplane(spec: GridEncodingSpec, table: jnp.ndarray,
             Tp = table[off + pi * V * V: off + (pi + 1) * V * V]
             Tp = jnp.transpose(Tp.reshape(V, V, F), (0, 2, 1)).reshape(
                 V, F * V)
-            tmp = jnp.dot(t[da], Tp,
+            ta = t[da]
+            if os.environ.get("ELAINA_ENC_BF16") == "1":
+                ta, Tp = ta.astype(jnp.bfloat16), Tp.astype(jnp.bfloat16)
+            tmp = jnp.dot(ta, Tp,
                           preferred_element_type=jnp.float32)  # (N, F*V)
             feat = feat + jnp.stack(
                 [jnp.sum(tmp[:, f * V:(f + 1) * V] * t[db], axis=-1)
@@ -187,6 +190,12 @@ def _grid_encode_2d_separable(spec: GridEncodingSpec, table: jnp.ndarray,
         # occupying columns [f*V, (f+1)*V)
         Tl = table[off:off + V * V].reshape(V, V, F)
         Tl = jnp.transpose(Tl, (0, 2, 1)).reshape(V, F * V)
+        # optional bf16 matmul (f32 accumulate): the MXU runs bf16 at a
+        # multiple of the f32 rate and the tent weights/table tolerate
+        # the ~3-digit mantissa (the MLP already computes in bf16) —
+        # opt-in while the guide-quality effect is being A/B'd on TPU
+        if os.environ.get("ELAINA_ENC_BF16") == "1":
+            ti, Tl = ti.astype(jnp.bfloat16), Tl.astype(jnp.bfloat16)
         tmp = jnp.dot(ti, Tl, preferred_element_type=jnp.float32)  # (N, F*V)
         feat = [jnp.sum(tmp[:, f * V:(f + 1) * V] * tj, axis=-1)
                 for f in range(F)]
