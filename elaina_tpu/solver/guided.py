@@ -1254,8 +1254,10 @@ class GuidedIntegrator(BaseIntegrator):
             if it_wall is not None:
                 # runtime-watchdog bound (see wost.balanced_solve): keep
                 # any single dispatch well under the tunneled TPU's kill
-                # threshold on expensive-per-iteration scenes
-                cap = max(min(cap, int(45.0 / it_wall)), 1)
+                # threshold on expensive-per-iteration scenes.  Floor 24
+                # breaks the inflated-it_wall tiny-dispatch spiral (see
+                # the wost comment).
+                cap = max(min(cap, int(45.0 / it_wall)), 24)
             elif n_round >= 16384:
                 # first-ever dispatch on this problem (no rate hints, no
                 # measured it_wall): probe-size it so it survives the

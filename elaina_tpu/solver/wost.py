@@ -1108,10 +1108,18 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             # under the tunneled TPU's multi-minute kill threshold.
             # Scenes with expensive per-iteration queries (neumann3d:
             # ~1s/iter of silhouette sweeps vs ~2ms on the 2D scenes)
-            # otherwise crash the WORKER mid-solve; round 0's
-            # compile-inflated estimate only makes round 1 short, after
-            # which the bound tracks the true per-iteration wall.
-            cap = max(min(cap, int(45.0 / it_wall)), 1)
+            # otherwise crash the WORKER mid-solve.  FLOOR 24: it_wall
+            # measured from a compile- or overhead-inflated short round
+            # overestimates per-iteration cost; a floor of 1 let that
+            # shrink every later dispatch to a few iterations whose wall
+            # is pure dispatch overhead — which kept it_wall inflated
+            # and the solve in permanently tiny dispatches (bumpy3d
+            # first-ever guided run: 275 s for a 13 s solve, round 4).
+            # At >= 24 iterations the overhead is amortized away and the
+            # next measurement recovers; true >= 2 s/iter scenes would
+            # need ~48 s dispatches to exist at all, which the probe
+            # round already rules out.
+            cap = max(min(cap, int(45.0 / it_wall)), 24)
         elif n_round >= 16384:
             # NO wall estimate of any kind (first run of this problem
             # shape, no rate hints): the very first dispatch must itself
