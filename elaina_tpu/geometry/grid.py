@@ -552,7 +552,7 @@ class SilGrid:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["origin", "inv_cell", "rows", "r_cap", "lbound",
-                      "ent_lo", "ent_hi"],
+                      "ent_lo", "ent_hi", "coords"],
          meta_fields=["res"])
 @dataclass
 class PrimBandGrid:
@@ -578,6 +578,11 @@ class PrimBandGrid:
     lbound: jnp.ndarray      # (C,) f32 min lower over kept prims
     ent_lo: jnp.ndarray      # (D,) prim-set bbox (out-of-grid fallback)
     ent_hi: jnp.ndarray      # (D,)
+    coords: jnp.ndarray | None = None
+    # coords: (C, n_rows, 128) f32 planar corner table (coords_from_cand
+    # layout, 9 planes in 3D) feeding the Pallas per-lane DMA sweeps
+    # (ops/pallas_queries.band_ray_dma_3d / band_ball_dma_3d);
+    # None -> gather fallback
     res: tuple = ()
 
 
@@ -606,6 +611,17 @@ def build_prim_band_grid(verts, indices, lo, hi, K: int = 64,
     ent_lo = pv.min(0)
     ent_hi = pv.max(0)
 
+    def _coords(rows_np):
+        # planar DMA corner table for the Pallas band sweeps (the gather
+        # formulation pays K x 9 corner floats per lane per query through
+        # XLA's random-access gather); built on device — fully derived
+        # from the rows, so never cached
+        if dim == 3 and (_use_pallas() or _pallas_interpret()):
+            return _device_coords_from_cand(
+                jnp.asarray(rows_np), jnp.asarray(verts),
+                jnp.asarray(indices))
+        return None
+
     if cache_path and os.path.exists(cache_path):
         z = np.load(cache_path)
         return PrimBandGrid(
@@ -613,7 +629,7 @@ def build_prim_band_grid(verts, indices, lo, hi, K: int = 64,
             inv_cell=jnp.asarray(z["inv_cell"]),
             rows=jnp.asarray(z["rows"]), r_cap=jnp.asarray(z["r_cap"]),
             lbound=jnp.asarray(z["lbound"]), ent_lo=jnp.asarray(ent_lo),
-            ent_hi=jnp.asarray(ent_hi),
+            ent_hi=jnp.asarray(ent_hi), coords=_coords(z["rows"]),
             res=tuple(int(r) for r in z["res"]))
 
     base = 256 if dim == 2 else 48
@@ -636,7 +652,7 @@ def build_prim_band_grid(verts, indices, lo, hi, K: int = 64,
                              / np.maximum(span, 1e-20)),
         rows=jnp.asarray(rows), r_cap=jnp.asarray(r_cap),
         lbound=jnp.asarray(lbound), ent_lo=jnp.asarray(ent_lo),
-        ent_hi=jnp.asarray(ent_hi), res=res)
+        ent_hi=jnp.asarray(ent_hi), coords=_coords(rows), res=res)
 
 
 def sil_coords_from_rows(rows: np.ndarray, p0, p1, n1, n2,

@@ -755,7 +755,22 @@ def band_ray_intersect(bg, gs: GeomSet, o, d, tmax, ref=None):
     ``ref`` matters when the origin is eps-offset off a boundary: the
     offset point can sit in a neighbouring cell whose cap was not the
     one R_B was clamped against."""
-    rows, valid = _band_rows(bg, o if ref is None else ref)
+    refp = o if ref is None else ref
+    if getattr(bg, "coords", None) is not None and gs.dim == 3:
+        # Pallas per-lane DMA sweep: zero K-wide corner gathers; only the
+        # winning slot's prim id is fetched afterwards
+        from .grid import _pallas_interpret
+        from ..ops.pallas_queries import band_ray_dma_3d
+        lin, outside = band_cell(bg, refp)
+        K = bg.rows.shape[1]
+        t, slot = band_ray_dma_3d(jnp.where(outside, -1, lin), o, d, tmax,
+                                  bg.coords, -(-K // 128),
+                                  interpret=_pallas_interpret())
+        hit = jnp.isfinite(t) & (t <= tmax) & ~outside
+        pid = bg.rows[jnp.where(outside, 0, lin), jnp.minimum(slot, K - 1)]
+        return hit, jnp.where(hit, t, jnp.inf), jnp.where(
+            hit, jnp.maximum(pid, 0), 0).astype(jnp.int32)
+    rows, valid = _band_rows(bg, refp)
     safe = jnp.maximum(rows, 0)
     pv = _prim_verts_at(gs, safe)                        # each (N, K, D)
     hit_k, t_k = prim_ray_intersect(gs.dim, o[:, None, :], d[:, None, :],
@@ -774,6 +789,27 @@ def band_sample_in_ball(bg, gs: GeomSet, q, R, u):
     the band row (sample_in_ball semantics).  With R <= band_r_cap(q)
     the row contains EVERY prim intersecting ball(q, R), so the weights
     — and the returned pdf — are identical to the dense path's."""
+    if getattr(bg, "coords", None) is not None and gs.dim == 3:
+        from .grid import _pallas_interpret
+        from ..ops.pallas_queries import band_ball_dma_3d
+        lin, outside = band_cell(bg, q)
+        K = bg.rows.shape[1]
+        slot, w_sel, total = band_ball_dma_3d(
+            jnp.where(outside, -1, lin), q, R, u, bg.coords, -(-K // 128),
+            interpret=_pallas_interpret())
+        slot = jnp.minimum(slot, K - 1)
+        pid = jnp.maximum(bg.rows[jnp.where(outside, 0, lin), slot], 0)
+        # pdf uses the precomputed prim measure (the sampling density over
+        # the surface is (w_sel/total) x uniform-on-prim 1/measure; the
+        # kernel's in-tile area only weights the CDF)
+        m_sel = small_gather(gs.prim_measure, pid) \
+            if gs.n_prims <= ONEHOT_GATHER_MAX else gs.prim_measure[pid]
+        ok = (total > 0) & (w_sel > 0) & ~outside
+        pdf_area = jnp.where(
+            ok,
+            w_sel / (jnp.maximum(total, 1e-30) * jnp.maximum(m_sel, 1e-30)),
+            0.0)
+        return jnp.where(ok, pid, -1).astype(jnp.int32), pdf_area
     rows, valid = _band_rows(bg, q)
     safe = jnp.maximum(rows, 0)
     pv = _prim_verts_at(gs, safe)

@@ -683,3 +683,316 @@ def sil_band_dma(lin, q, coords, rpp: int, dim: int, *,
 
         _, outs = jax.lax.scan(body, 0, (lin_r, q_r))
     return outs[0].reshape(-1)[:n]
+
+
+# --------------------------------------------------------------------------- #
+# Neumann prim-band DMA sweeps (3D)
+# --------------------------------------------------------------------------- #
+#
+# The PrimBandGrid queries (geometry/queries.band_ray_intersect /
+# band_sample_in_ball) replaced the per-lane stack-BVH descent with ONE
+# row gather + dense K-wide sweeps, but the gather formulation still
+# fetches K x 9 corner floats per lane per query through XLA's
+# random-access gather (the measured ~1.7 us/lane floor that motivated
+# sil_band_dma).  These kernels apply the same cure: the band's corner
+# coordinates are pre-packed per cell (grid.coords_from_cand layout, 9
+# planes in 3D) and each lane DMAs its cell's block once, so the
+# Moller-Trumbore ray sweep and the Green-weighted in-ball CDF sampling
+# run on (BL, 128) VPU tiles with zero gathers.  Only the WINNING slot's
+# prim id / vertices are gathered afterwards (one element per lane).
+# Reference counterparts: lbvh ray_intersect / sample_object_in_sphere
+# (uniform/integrator.cu:287-291, 349-365).
+
+BAND_DMA_BLOCK = 64   # 3D kernels hold ~25 (BL, 128) temps next to the
+#                       (BL, n_rows, 128) DMA scratch; 64 keeps scoped
+#                       VMEM a few MB (the BL=256 variant OOM'd at 16 MB)
+
+
+def _band_dma_loops(lin_ref, tab_ref, buf, sems, b, BL):
+    """Issue + wait the per-lane cell-block DMAs (shared skeleton)."""
+    def issue(l, carry):
+        cell = lin_ref[b * BL + l]
+
+        @pl.when(cell >= 0)
+        def _():
+            pltpu.make_async_copy(tab_ref.at[cell], buf.at[l], sems).start()
+        return carry
+
+    jax.lax.fori_loop(0, BL, issue, 0, unroll=BL)
+
+    def wait(l, carry):
+        cell = lin_ref[b * BL + l]
+
+        @pl.when(cell >= 0)
+        def _():
+            pltpu.make_async_copy(tab_ref.at[cell], buf.at[l], sems).wait()
+        return carry
+
+    jax.lax.fori_loop(0, BL, wait, 0, unroll=BL)
+
+
+def _make_band_ray_kernel_3d(rpp: int):
+    """Ray vs per-lane triangle band: Moller-Trumbore tiles, min-t winner.
+
+    Mirrors geometry/primitives.ray_tri_intersect exactly (det guard
+    1e-12, t in (1e-6, tmax]); padded slots carry identical PAD_COORD
+    corners -> det = 0 -> miss.
+    """
+
+    def kernel(lin_ref, od_ref, tab_ref, t_ref, slot_ref, buf, sems):
+        b = pl.program_id(0)
+        BL = od_ref.shape[0]
+        _band_dma_loops(lin_ref, tab_ref, buf, sems, b, BL)
+
+        o = tuple(od_ref[:, d:d + 1] for d in range(3))      # (BL, 1)
+        d = tuple(od_ref[:, 3 + d_:4 + d_] for d_ in range(3))
+        tmax = od_ref[:, 6:7]
+        K = rpp * 128
+        best_t = jnp.full((BL, 128), jnp.float32(jnp.inf))
+        best_flat = jnp.full((BL, 128), K, jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BL, 128), 1)
+        for r in range(rpp):
+            c = tuple(buf[:, p * rpp + r, :] for p in range(9))
+            a = c[0:3]
+            e1 = tuple(c[3 + k] - c[k] for k in range(3))
+            e2 = tuple(c[6 + k] - c[k] for k in range(3))
+
+            def cross(u, v):
+                return (u[1] * v[2] - u[2] * v[1],
+                        u[2] * v[0] - u[0] * v[2],
+                        u[0] * v[1] - u[1] * v[0])
+
+            def dot(u, v):
+                return u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+
+            p = cross(d, e2)
+            det = dot(e1, p)
+            safe = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+            tv = tuple(o[k] - a[k] for k in range(3))
+            u = dot(tv, p) / safe
+            qv = cross(tv, e1)
+            v = dot(d, qv) / safe
+            t = dot(e2, qv) / safe
+            hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+                   & (u + v <= 1.0) & (t > 1e-6) & (t <= tmax))
+            tt = jnp.where(hit, t, jnp.float32(jnp.inf))
+            better = tt < best_t
+            best_t = jnp.where(better, tt, best_t)
+            best_flat = jnp.where(better, r * 128 + lane, best_flat)
+        best = jnp.min(best_t, axis=1)
+        slot = jnp.min(jnp.where(best_t <= best[:, None], best_flat, K),
+                       axis=1)
+        t_ref[pl.ds(b, 1), :] = best[None, :]
+        slot_ref[pl.ds(b, 1), :] = jnp.minimum(slot, K - 1)[None, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("rpp", "interpret"))
+def band_ray_dma_3d(lin, o, d, tmax, coords, rpp: int, *,
+                    interpret: bool = False):
+    """Prim-band ray sweep via per-lane block DMA.
+
+    lin: (N,) int32 band-grid cell per lane (< 0 skips the DMA — callers
+    mask); o, d: (N, 3) f32; tmax: (N,) f32; coords: (C, n_rows, 128)
+    f32 (grid.coords_from_cand layout, 9 corner planes).  Returns
+    (t (N,) — inf on miss, slot (N,) int32 in [0, rpp*128)).
+    """
+    n = lin.shape[0]
+    n_rows = coords.shape[1]
+    if n_rows < 9 * rpp:
+        raise ValueError(f"coords table {coords.shape} too small for "
+                         f"rpp={rpp}")
+    BL = BAND_DMA_BLOCK
+    LC = min(DMA_LANE_CHUNK, -(-n // BL) * BL)
+    n_pad = -(-n // LC) * LC
+
+    lin_p = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(lin)
+    od = jnp.zeros((n_pad, 7), jnp.float32)
+    od = od.at[:n, 0:3].set(o).at[:n, 3:6].set(d).at[:n, 6].set(tmax)
+
+    call = pl.pallas_call(
+        _make_band_ray_kernel_3d(rpp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(LC // BL,),
+            in_specs=[
+                pl.BlockSpec((BL, 7), lambda i, lin_ref: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec((LC // BL, BL), lambda i, lin_ref: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((LC // BL, BL), lambda i, lin_ref: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((BL, n_rows, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((LC // BL, BL), jnp.float32),
+            jax.ShapeDtypeStruct((LC // BL, BL), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=45 * LC * rpp * 128,
+            bytes_accessed=LC * n_rows * 128 * 4 + LC * 28,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    if n_pad == LC:
+        outs = call(lin_p, od, coords)
+    else:
+        lin_r = lin_p.reshape(-1, LC)
+        od_r = od.reshape(-1, LC, 7)
+
+        def body(carry, xs):
+            l_c, od_c = xs
+            return carry, call(l_c, od_c, coords)
+
+        _, outs = jax.lax.scan(body, 0, (lin_r, od_r))
+    t, slot = (x.reshape(-1)[:n] for x in outs)
+    return t, slot
+
+
+def _make_band_ball_kernel_3d(rpp: int):
+    """Green-weighted in-ball CDF sampling over the per-lane band.
+
+    Weights w = tri_area * max(G(d; R), 0) for prims with point-distance
+    d < R (geometry/queries.band_sample_in_ball semantics; Green clamp
+    1e-4 = solver.green.GREEN_R_CLAMP).  The CDF index is
+    sum(target >= cdf) exactly like the gather path; prefix sums run as
+    a (BL, 128) x (128, 128) upper-triangular matmul on the MXU (no
+    lane-axis cumsum primitive).  Padded slots have coincident corners
+    -> area 0 -> weight 0.  Outputs (slot, w_sel, total); callers derive
+    pid = rows[lin, slot] and pdf_area = w_sel / (total * prim_measure).
+    """
+
+    def kernel(lin_ref, qr_ref, tab_ref, slot_ref, wsel_ref, total_ref,
+               buf, sems):
+        b = pl.program_id(0)
+        BL = qr_ref.shape[0]
+        _band_dma_loops(lin_ref, tab_ref, buf, sems, b, BL)
+
+        qx = qr_ref[:, 0:1]
+        qy = qr_ref[:, 1:2]
+        qz = qr_ref[:, 2:3]
+        R = qr_ref[:, 3:4]
+        u = qr_ref[:, 4:5]
+        K = rpp * 128
+        inv4pi = jnp.float32(1.0 / (4.0 * 3.141592653589793))
+
+        ws = []
+        total = jnp.zeros((BL, 1), jnp.float32)
+        for r in range(rpp):
+            c = tuple(buf[:, p * rpp + r, :] for p in range(9))
+            d2 = _tri_d2_tile(qx, qy, qz, c)
+            dd = jnp.sqrt(d2)
+            e1 = tuple(c[3 + k] - c[k] for k in range(3))
+            e2 = tuple(c[6 + k] - c[k] for k in range(3))
+            cx = e1[1] * e2[2] - e1[2] * e2[1]
+            cy = e1[2] * e2[0] - e1[0] * e2[2]
+            cz = e1[0] * e2[1] - e1[1] * e2[0]
+            area = 0.5 * jnp.sqrt(cx * cx + cy * cy + cz * cz)
+            g = (1.0 / jnp.maximum(dd, 1e-4) - 1.0 / R) * inv4pi
+            w = jnp.where(dd < R, area * jnp.maximum(g, 0.0), 0.0)
+            ws.append(w)
+            total = total + jnp.sum(w, axis=1, keepdims=True)
+
+        target = u * total                                  # (BL, 1)
+        rows_le = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        tri = (rows_le <= cols).astype(jnp.float32)         # U[i,j] = i<=j
+        idx = jnp.zeros((BL, 1), jnp.int32)
+        off = jnp.zeros((BL, 1), jnp.float32)
+        for r in range(rpp):
+            cdf = off + jax.lax.dot(ws[r], tri,
+                                    precision=jax.lax.Precision.HIGHEST)
+            idx = idx + jnp.sum((target >= cdf).astype(jnp.int32), axis=1,
+                                keepdims=True)
+            off = cdf[:, 127:128]
+        idx = jnp.minimum(idx, K - 1)                       # (BL, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BL, 128), 1)
+        w_sel = jnp.zeros((BL, 1), jnp.float32)
+        for r in range(rpp):
+            sel = (r * 128 + lane) == idx
+            w_sel = w_sel + jnp.sum(jnp.where(sel, ws[r], 0.0), axis=1,
+                                    keepdims=True)
+        slot_ref[pl.ds(b, 1), :] = idx[:, 0][None, :]
+        wsel_ref[pl.ds(b, 1), :] = w_sel[:, 0][None, :]
+        total_ref[pl.ds(b, 1), :] = total[:, 0][None, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("rpp", "interpret"))
+def band_ball_dma_3d(lin, q, R, u, coords, rpp: int, *,
+                     interpret: bool = False):
+    """Prim-band Green-weighted in-ball sampling via per-lane block DMA.
+
+    lin: (N,) int32 cell per lane (< 0 skips the DMA); q: (N, 3) f32;
+    R, u: (N,) f32; coords as band_ray_dma_3d.  Returns (slot (N,) int32,
+    w_sel (N,), total (N,)).
+    """
+    n = lin.shape[0]
+    n_rows = coords.shape[1]
+    if n_rows < 9 * rpp:
+        raise ValueError(f"coords table {coords.shape} too small for "
+                         f"rpp={rpp}")
+    BL = BAND_DMA_BLOCK
+    LC = min(DMA_LANE_CHUNK, -(-n // BL) * BL)
+    n_pad = -(-n // LC) * LC
+
+    lin_p = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(lin)
+    qr = jnp.zeros((n_pad, 5), jnp.float32)
+    qr = qr.at[:n, 0:3].set(q).at[:n, 3].set(R).at[:n, 4].set(u)
+
+    call = pl.pallas_call(
+        _make_band_ball_kernel_3d(rpp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(LC // BL,),
+            in_specs=[
+                pl.BlockSpec((BL, 5), lambda i, lin_ref: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=tuple(
+                pl.BlockSpec((LC // BL, BL), lambda i, lin_ref: (0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(3)),
+            scratch_shapes=[
+                pltpu.VMEM((BL, n_rows, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((LC // BL, BL), jnp.int32),
+            jax.ShapeDtypeStruct((LC // BL, BL), jnp.float32),
+            jax.ShapeDtypeStruct((LC // BL, BL), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=80 * LC * rpp * 128 + LC * rpp * 128 * 128 * 2,
+            bytes_accessed=LC * n_rows * 128 * 4 + LC * 20,
+            transcendentals=2 * LC * rpp * 128,
+        ),
+        interpret=interpret,
+    )
+
+    if n_pad == LC:
+        outs = call(lin_p, qr, coords)
+    else:
+        lin_r = lin_p.reshape(-1, LC)
+        qr_r = qr.reshape(-1, LC, 5)
+
+        def body(carry, xs):
+            l_c, qr_c = xs
+            return carry, call(l_c, qr_c, coords)
+
+        _, outs = jax.lax.scan(body, 0, (lin_r, qr_r))
+    slot, w_sel, total = (x.reshape(-1)[:n] for x in outs)
+    return slot, w_sel, total

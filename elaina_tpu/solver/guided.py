@@ -194,7 +194,8 @@ def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
 
     guide_depth_ok = guiding_on & (depth < max_guided_depth)
     # uniform branch always computed (it is the cond's cheap path too)
-    d_uni, pdf_uni_base, alpha = _sample_direction(k_uni, state, dim)
+    d_uni, pdf_uni_base, alpha = _sample_direction(
+        k_uni, state, dim, scene.neumann is not None)
 
     def guided_branch(_):
         # guiding inference on the dense lane batch (inferenceStepImpl)
@@ -217,12 +218,19 @@ def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
         choose_guided = guide_depth_ok & in_aabb & (
             (uniform_fraction == 0.0) | (u_route < sp))
 
-        # guided directions with Neumann folding
+        # guided directions with Neumann folding.  Dirichlet-only scenes
+        # (scene.neumann None) statically drop the folding and the
+        # reflected-pdf sweep below: no lane is ever on a Neumann
+        # boundary, and the second vmm_pdf sweep is ~half the mixture-pdf
+        # cost of the branch.
         d_gui_raw = vmm_sample(k_gui, vmm, dim)
-        refl_gui = reflect(d_gui_raw, state.n_normal)
-        fold = state.on_neumann & (jnp.sum(state.n_normal * d_gui_raw, -1)
-                                   <= 0)
-        d_gui = jnp.where(fold[:, None], refl_gui, d_gui_raw)
+        if scene.neumann is not None:
+            refl_gui = reflect(d_gui_raw, state.n_normal)
+            fold = state.on_neumann & (jnp.sum(state.n_normal * d_gui_raw,
+                                               -1) <= 0)
+            d_gui = jnp.where(fold[:, None], refl_gui, d_gui_raw)
+        else:
+            d_gui = d_gui_raw
 
         # One-sample MIS: both branches blend pdf = sp*guided +
         # (1-sp)*uniform whenever guidance is active, so the guided-mixture
@@ -235,8 +243,11 @@ def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
         mis_on = guide_depth_ok & in_aabb
         direction = jnp.where(choose_guided[:, None], d_gui, d_uni)
         p = vmm_pdf(vmm, direction, dim)
-        p_r = vmm_pdf(vmm, reflect(direction, state.n_normal), dim)
-        guided_pdf = jnp.where(state.on_neumann, p + p_r, p)
+        if scene.neumann is not None:
+            p_r = vmm_pdf(vmm, reflect(direction, state.n_normal), dim)
+            guided_pdf = jnp.where(state.on_neumann, p + p_r, p)
+        else:
+            guided_pdf = p
         pdf = jnp.where(mis_on,
                         sp * guided_pdf + (1.0 - sp) * pdf_uni_base,
                         pdf_uni_base)

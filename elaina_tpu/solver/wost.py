@@ -386,12 +386,21 @@ def _boundary_term(scene: Scene, state: WalkState, in_shell, bcolor):
     return jnp.where((state.active & in_shell)[:, None], contrib, 0.0)
 
 
-def _sample_direction(key, state: WalkState, dim: int):
+def _sample_direction(key, state: WalkState, dim: int,
+                      has_neumann: bool = True):
     """Hemisphere around the Neumann normal when on the boundary, else the
-    full sphere; returns (dir, pdf, alpha) (integrator.cu:264-278/470-485)."""
+    full sphere; returns (dir, pdf, alpha) (integrator.cu:264-278/470-485).
+
+    ``has_neumann=False`` (Dirichlet-only scene) statically removes the
+    hemisphere branch: no lane can ever walk onto a Neumann boundary, so
+    ``on_neumann`` is identically False — XLA cannot know that through a
+    dynamic ``where``, but the trace can."""
     n = state.pos.shape[0]
     k1, k2 = jax.random.split(key)
     d_sph = uniform_sample_sphere(k1, (n,), dim)
+    if not has_neumann:
+        return (d_sph, jnp.full((n,), uniform_sample_sphere_pdf(dim)),
+                jnp.ones((n,)))
     d_hem_local = uniform_sample_hemisphere(k2, (n,), dim)
     d_hem = to_world(dim, frame_from_normal(dim, state.n_normal), d_hem_local)
     on = state.on_neumann
@@ -407,7 +416,8 @@ def _source_term(scene: Scene, state: WalkState, live, R_B, key, eps: float,
     """Volumetric source contribution (integrator.cu:234-316)."""
     dim = scene.dim
     k_dir, k_rad = jax.random.split(key)
-    direction, dir_pdf, alpha = _sample_direction(k_dir, state, dim)
+    direction, dir_pdf, alpha = _sample_direction(
+        k_dir, state, dim, scene.neumann is not None)
 
     dist = R_B
     if scene.neumann is not None:
@@ -493,14 +503,15 @@ def _walk(scene: Scene, state: WalkState, live, R_B, key, eps: float,
     (direction, pdf, alpha)."""
     dim = scene.dim
     if direction is None:
-        direction, pdf, alpha = _sample_direction(key, state, dim)
+        direction, pdf, alpha = _sample_direction(
+            key, state, dim, scene.neumann is not None)
 
-    current = state.pos + jnp.where(state.on_neumann[:, None],
-                                    eps * state.n_normal, 0.0)
     next_pos = state.pos + R_B[:, None] * direction
     hit = jnp.zeros(state.pos.shape[:1], bool)
     normal = jnp.zeros_like(state.pos)
     if scene.neumann is not None:
+        current = state.pos + jnp.where(state.on_neumann[:, None],
+                                        eps * state.n_normal, 0.0)
         gs = scene.neumann.gs
         if scene.n_bgrid is not None:
             hit, t, pid = Q.band_ray_intersect(scene.n_bgrid, gs, current,
