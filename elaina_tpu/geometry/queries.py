@@ -27,6 +27,7 @@ Two execution strategies, chosen statically from the primitive count:
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -782,6 +783,65 @@ def band_ray_intersect(bg, gs: GeomSet, o, d, tmax, ref=None):
     pid = jnp.take_along_axis(safe, j[:, None], 1)[:, 0]
     return hit, jnp.where(hit, t, jnp.inf), jnp.where(
         hit, pid, 0).astype(jnp.int32)
+
+
+class NeumannWalkOut(NamedTuple):
+    """Fused per-step Neumann band query results (band_neumann_walk)."""
+    pid: jnp.ndarray          # (N,) int32 sampled prim, -1 invalid
+    pdf_area: jnp.ndarray     # (N,) surface-area pdf of sample_pt
+    sample_pt: jnp.ndarray    # (N, 3)
+    side: jnp.ndarray         # (N,) sign of q vs the sampled prim's plane
+    plane_n: jnp.ndarray      # (N, 3) sampled prim's plane normal
+    #                           (unnormalized cross, prim_normal orientation)
+    occluded: jnp.ndarray     # (N,) bool: origin->sample_pt blocked
+    whit: jnp.ndarray         # (N,) bool: walk ray hit
+    wt: jnp.ndarray           # (N,) walk hit distance (inf on miss)
+    wnormal: jnp.ndarray      # (N, 3) walk hit's unit normal (0 on miss)
+
+
+def band_neumann_walk(bg, gs: GeomSet, q, R, on_n, n_normal, u_sel, u_pt,
+                      d_walk, eps):
+    """One WoSt step's ENTIRE Neumann band workload in one fused kernel:
+    Green-weighted in-ball prim sampling + the sample point's visibility
+    ray + the walk ray share a single per-lane cell-block DMA
+    (ops/pallas_queries.band_neumann_walk_dma_3d), where the unfused path
+    pays three DMA kernels plus the winners' vertex/normal gathers.
+    Semantics mirror band_sample_in_ball / band_ray_intersect exactly;
+    equivalence is pinned by tests/test_neumann_band.py.  3D + coords
+    only — callers gate and fall back to the unfused composition.
+
+    Reference counterpart: sampleNeumannImpl + oneStepWalkImpl
+    (uniform/integrator.cu:318-445, 447-526)."""
+    from ..ops.pallas_queries import band_neumann_walk_dma_3d
+    from .grid import _pallas_interpret
+    n = q.shape[0]
+    lin, outside = band_cell(bg, q)
+    K = bg.rows.shape[1]
+    out, slot = band_neumann_walk_dma_3d(
+        jnp.where(outside, -1, lin), q, R, on_n, n_normal, u_sel,
+        u_pt[:, 0], u_pt[:, 1], d_walk,
+        jnp.broadcast_to(jnp.float32(eps), (n,)), bg.coords,
+        -(-K // 128), interpret=_pallas_interpret())
+    w_sel, total = out[:, 0], out[:, 1]
+    slot = jnp.minimum(slot, K - 1)
+    pid = jnp.maximum(bg.rows[jnp.where(outside, 0, lin), slot], 0)
+    m_sel = small_gather(gs.prim_measure, pid) \
+        if gs.n_prims <= ONEHOT_GATHER_MAX else gs.prim_measure[pid]
+    ok = (total > 0) & (w_sel > 0) & ~outside
+    pdf_area = jnp.where(
+        ok, w_sel / (jnp.maximum(total, 1e-30) * jnp.maximum(m_sel, 1e-30)),
+        0.0)
+    return NeumannWalkOut(
+        pid=jnp.where(ok, pid, -1).astype(jnp.int32),
+        pdf_area=pdf_area,
+        sample_pt=out[:, 2:5],
+        side=out[:, 5],
+        plane_n=out[:, 6:9],
+        occluded=(out[:, 9] > 0) & ~outside,
+        whit=(out[:, 10] > 0) & ~outside,
+        wt=jnp.where(outside, jnp.inf, out[:, 11]),
+        wnormal=jnp.where(outside[:, None], 0.0, out[:, 12:15]),
+    )
 
 
 def band_sample_in_ball(bg, gs: GeomSet, q, R, u):

@@ -859,6 +859,256 @@ def band_ray_dma_3d(lin, o, d, tmax, coords, rpp: int, *,
     return t, slot
 
 
+def _make_band_neumann_walk_kernel_3d(rpp: int):
+    """FUSED per-step Neumann workload: one cell-block DMA serves the
+    Green-weighted in-ball CDF sample, the sample-point visibility ray,
+    AND the walk ray (the three queries of one WoSt step on a Neumann
+    scene, uniform/integrator.cu:318-445 + 447-526).
+
+    The unfused path issues three kernels that each re-DMA the SAME
+    per-lane block and then gathers the winners' vertices/normals back in
+    XLA (~2 ms per gather at 65k lanes); here the winning triangle's
+    corners are extracted in-tile, so the sample point, its plane side,
+    the plane normal (for side_on), and the walk hit's shading normal all
+    leave the kernel as dense per-lane scalars — zero gathers downstream
+    except the winner's prim id -> color row.
+
+    Per-lane input row (BL, 16) f32:
+      [qx, qy, qz, R, on_neumann, nnx, nny, nnz, u_sel, u1, u2,
+       dwx, dwy, dwz, eps, pad]
+    f32 output rows (15, BL):
+      [w_sel, total, spx, spy, spz, side, nwx, nwy, nwz,
+       occluded, walk_hit, walk_t, wnx, wny, wnz]
+    int32 output rows (1, BL): [ball slot]
+    """
+
+    def kernel(lin_ref, dat_ref, tab_ref, out_ref, slot_ref, buf, sems):
+        b = pl.program_id(0)
+        BL = dat_ref.shape[0]
+        _band_dma_loops(lin_ref, tab_ref, buf, sems, b, BL)
+
+        q3 = tuple(dat_ref[:, k:k + 1] for k in range(3))
+        R = dat_ref[:, 3:4]
+        on = dat_ref[:, 4:5]
+        nn = tuple(dat_ref[:, 5 + k:6 + k] for k in range(3))
+        u_sel = dat_ref[:, 8:9]
+        u1 = dat_ref[:, 9:10]
+        u2 = dat_ref[:, 10:11]
+        dw = tuple(dat_ref[:, 11 + k:12 + k] for k in range(3))
+        eps = dat_ref[:, 14:15]
+
+        K = rpp * 128
+        inv4pi = jnp.float32(1.0 / (4.0 * 3.141592653589793))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BL, 128), 1)
+
+        def cross(u, v):
+            return (u[1] * v[2] - u[2] * v[1],
+                    u[2] * v[0] - u[0] * v[2],
+                    u[0] * v[1] - u[1] * v[0])
+
+        def dot(u, v):
+            return u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+
+        def corners(r):
+            return tuple(buf[:, p * rpp + r, :] for p in range(9))
+
+        def mt_sweep(o, d, tmax):
+            """Moller-Trumbore closest-hit over the block's band
+            (identical guards to _make_band_ray_kernel_3d)."""
+            best_t = jnp.full((BL, 128), jnp.float32(jnp.inf))
+            best_flat = jnp.full((BL, 128), K, jnp.int32)
+            for r in range(rpp):
+                c = corners(r)
+                a = c[0:3]
+                e1 = tuple(c[3 + k] - c[k] for k in range(3))
+                e2 = tuple(c[6 + k] - c[k] for k in range(3))
+                p = cross(d, e2)
+                det = dot(e1, p)
+                safe = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+                tv = tuple(o[k] - a[k] for k in range(3))
+                uu = dot(tv, p) / safe
+                qv = cross(tv, e1)
+                vv = dot(d, qv) / safe
+                t = dot(e2, qv) / safe
+                hit = ((jnp.abs(det) > 1e-12) & (uu >= 0.0) & (vv >= 0.0)
+                       & (uu + vv <= 1.0) & (t > 1e-6) & (t <= tmax))
+                tt = jnp.where(hit, t, jnp.float32(jnp.inf))
+                better = tt < best_t
+                best_t = jnp.where(better, tt, best_t)
+                best_flat = jnp.where(better, r * 128 + lane, best_flat)
+            best = jnp.min(best_t, axis=1, keepdims=True)       # (BL, 1)
+            slot = jnp.min(jnp.where(best_t <= best, best_flat, K),
+                           axis=1, keepdims=True)
+            return best, slot
+
+        # ---- in-ball Green-weighted CDF sample (band_ball semantics) ----
+        ws = []
+        total = jnp.zeros((BL, 1), jnp.float32)
+        for r in range(rpp):
+            c = corners(r)
+            d2 = _tri_d2_tile(q3[0], q3[1], q3[2], c)
+            ddist = jnp.sqrt(d2)
+            e1 = tuple(c[3 + k] - c[k] for k in range(3))
+            e2 = tuple(c[6 + k] - c[k] for k in range(3))
+            cr = cross(e1, e2)
+            area = 0.5 * jnp.sqrt(dot(cr, cr))
+            g = (1.0 / jnp.maximum(ddist, 1e-4) - 1.0 / R) * inv4pi
+            w = jnp.where(ddist < R, area * jnp.maximum(g, 0.0), 0.0)
+            ws.append(w)
+            total = total + jnp.sum(w, axis=1, keepdims=True)
+
+        target = u_sel * total
+        rows_le = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        tri = (rows_le <= cols).astype(jnp.float32)
+        idx = jnp.zeros((BL, 1), jnp.int32)
+        off = jnp.zeros((BL, 1), jnp.float32)
+        for r in range(rpp):
+            cdf = off + jax.lax.dot(ws[r], tri,
+                                    precision=jax.lax.Precision.HIGHEST)
+            idx = idx + jnp.sum((target >= cdf).astype(jnp.int32), axis=1,
+                                keepdims=True)
+            off = cdf[:, 127:128]
+        idx = jnp.minimum(idx, K - 1)
+
+        w_sel = jnp.zeros((BL, 1), jnp.float32)
+        sel_c = [jnp.zeros((BL, 1), jnp.float32) for _ in range(9)]
+        for r in range(rpp):
+            selm = (r * 128 + lane) == idx
+            w_sel = w_sel + jnp.sum(jnp.where(selm, ws[r], 0.0), axis=1,
+                                    keepdims=True)
+            c = corners(r)
+            for p in range(9):
+                sel_c[p] = sel_c[p] + jnp.sum(
+                    jnp.where(selm, c[p], 0.0), axis=1, keepdims=True)
+        a3, b3, c3 = sel_c[0:3], sel_c[3:6], sel_c[6:9]
+
+        # sample point on the winning triangle (prim_sample_point 3D)
+        su = jnp.sqrt(u1)
+        b0 = 1.0 - su
+        b1 = u2 * su
+        b2 = 1.0 - b0 - b1
+        sp = tuple(a3[k] * b0 + b3[k] * b1 + c3[k] * b2 for k in range(3))
+        # winning tri's plane normal (UNNORMALIZED cross, same orientation
+        # as gs.prim_normal) + q's plane side (primitives.tri_side)
+        e1w = tuple(b3[k] - a3[k] for k in range(3))
+        e2w = tuple(c3[k] - a3[k] for k in range(3))
+        nw = cross(e1w, e2w)
+        side = jnp.sign(dot(tuple(q3[k] - a3[k] for k in range(3)), nw))
+
+        # ---- visibility ray origin -> sample point (any hit == closest
+        # hit test under tmax = dist - eps) ----
+        o = tuple(q3[k] + on * eps * nn[k] for k in range(3))
+        ray = tuple(sp[k] - o[k] for k in range(3))
+        dist = jnp.sqrt(dot(ray, ray))
+        rd = tuple(ray[k] / jnp.maximum(dist, 1e-20) for k in range(3))
+        vis_t, _ = mt_sweep(o, rd, dist - eps)
+        occl = jnp.isfinite(vis_t).astype(jnp.float32)
+
+        # ---- walk ray ----
+        walk_t, wslot = mt_sweep(o, dw, R)
+        whit = jnp.isfinite(walk_t)
+        wn = [jnp.zeros((BL, 1), jnp.float32) for _ in range(9)]
+        for r in range(rpp):
+            selm = (r * 128 + lane) == jnp.minimum(wslot, K - 1)
+            c = corners(r)
+            for p in range(9):
+                wn[p] = wn[p] + jnp.sum(jnp.where(selm, c[p], 0.0), axis=1,
+                                        keepdims=True)
+        wcr = cross(tuple(wn[3 + k] - wn[k] for k in range(3)),
+                    tuple(wn[6 + k] - wn[k] for k in range(3)))
+        wlen = jnp.sqrt(jnp.maximum(dot(wcr, wcr), 1e-38))
+        wnormal = tuple(jnp.where(whit, wcr[k] / wlen, 0.0)
+                        for k in range(3))
+
+        rows = [w_sel, total, sp[0], sp[1], sp[2], side,
+                nw[0], nw[1], nw[2], occl,
+                whit.astype(jnp.float32),
+                jnp.where(whit, walk_t, jnp.float32(jnp.inf)),
+                wnormal[0], wnormal[1], wnormal[2]]
+        out_ref[pl.ds(b, 1), :, :] = jnp.concatenate(
+            [r_[None, :, 0] for r_ in rows], axis=0)[None]
+        slot_ref[pl.ds(b, 1), :] = idx[:, 0][None, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("rpp", "interpret"))
+def band_neumann_walk_dma_3d(lin, q, R, on_n, n_normal, u_sel, u1, u2,
+                             d_walk, eps, coords, rpp: int, *,
+                             interpret: bool = False):
+    """Fused Neumann-step band query (see the kernel docstring).
+
+    lin: (N,) int32 (< 0 skips the DMA — callers mask); q, n_normal,
+    d_walk: (N, 3) f32; R, on_n (0/1), u_sel, u1, u2, eps: (N,) f32.
+    Returns (out (N, 15) f32, slot (N,) int32)."""
+    n = lin.shape[0]
+    n_rows = coords.shape[1]
+    if n_rows < 9 * rpp:
+        raise ValueError(f"coords table {coords.shape} too small for "
+                         f"rpp={rpp}")
+    BL = BAND_DMA_BLOCK
+    LC = min(DMA_LANE_CHUNK, -(-n // BL) * BL)
+    n_pad = -(-n // LC) * LC
+
+    lin_p = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(lin)
+    dat = jnp.zeros((n_pad, 16), jnp.float32)
+    dat = (dat.at[:n, 0:3].set(q).at[:n, 3].set(R)
+           .at[:n, 4].set(on_n.astype(jnp.float32))
+           .at[:n, 5:8].set(n_normal).at[:n, 8].set(u_sel)
+           .at[:n, 9].set(u1).at[:n, 10].set(u2)
+           .at[:n, 11:14].set(d_walk).at[:n, 14].set(eps))
+
+    call = pl.pallas_call(
+        _make_band_neumann_walk_kernel_3d(rpp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(LC // BL,),
+            in_specs=[
+                pl.BlockSpec((BL, 16), lambda i, lin_ref: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec((LC // BL, 15, BL), lambda i, lin_ref: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((LC // BL, BL), lambda i, lin_ref: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((BL, n_rows, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((LC // BL, 15, BL), jnp.float32),
+            jax.ShapeDtypeStruct((LC // BL, BL), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=250 * LC * rpp * 128 + LC * rpp * 128 * 128 * 2,
+            bytes_accessed=LC * n_rows * 128 * 4 + LC * 64,
+            transcendentals=3 * LC * rpp * 128,
+        ),
+        interpret=interpret,
+    )
+
+    if n_pad == LC:
+        outs = call(lin_p, dat, coords)
+    else:
+        lin_r = lin_p.reshape(-1, LC)
+        dat_r = dat.reshape(-1, LC, 16)
+
+        def body(carry, xs):
+            l_c, d_c = xs
+            return carry, call(l_c, d_c, coords)
+
+        _, outs = jax.lax.scan(body, 0, (lin_r, dat_r))
+    f32o, slot = outs
+    f32o = jnp.moveaxis(f32o.reshape(-1, 15, BL), 1, 2).reshape(-1, 15)[:n]
+    slot = slot.reshape(-1)[:n]
+    return f32o, slot
+
+
 def _make_band_ball_kernel_3d(rpp: int):
     """Green-weighted in-ball CDF sampling over the per-lane band.
 

@@ -59,10 +59,12 @@ from .wost import (
     WalkState,
     _boundary_term,
     _neumann_term,
+    _neumann_walk_fused,
     _sample_direction,
     _separate,
     _source_term,
     _walk,
+    fused_band_available,
     init_walk_state,
 )
 
@@ -186,7 +188,8 @@ def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
         contrib += cs
         if records is not None:
             records = _backfill(records, cs, inclusive=True)
-    if scene.neumann is not None:
+    use_fused = scene.neumann is not None and fused_band_available(scene)
+    if scene.neumann is not None and not use_fused:
         cn = _neumann_term(scene, state, live, R_B, k_neu, eps, n_stack)
         contrib += cn
         if records is not None:
@@ -265,6 +268,15 @@ def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
         jnp.any(guide_depth_ok & live), guided_branch,
         lambda _: (d_uni, pdf_uni_base), None)
 
+    # fused Neumann band step (needs the chosen direction): contribution
+    # backfills BEFORE _increment exactly like the unfused order above
+    if use_fused:
+        cn, fused_state = _neumann_walk_fused(
+            scene, state, live, R_B, k_neu, eps, direction, pdf, alpha)
+        contrib += cn
+        if records is not None:
+            records = _backfill(records, cn, inclusive=True)
+
     # walk records for training (incrementDepth before the state update)
     if records is not None:
         train_mask = training_on & (depth < TRAIN_DEPTH_CAP) & live
@@ -272,6 +284,9 @@ def guided_depth_step(scene: Scene, spec: NetworkSpec, infer_params,
             train_mask &= train_sel
         records = _increment(records, state, direction, pdf, train_mask)
 
+    if use_fused:
+        state = fused_state._replace(active=live)
+        return state, records, contrib
     state = _walk(scene, state, live, R_B, k_walk, eps, n_stack,
                   direction=direction, pdf=pdf, alpha=alpha)
     state = state._replace(active=live)
@@ -299,11 +314,23 @@ def _train_batch_policy(n_pixels: int) -> tuple:
     guide converge at practical train-spp counts: measured on the spot
     scene (16 train spp), 1 step/window left the selection prob stuck at
     0.56 with no variance reduction, while 4 steps/window reached 0.90 and
-    a 0.76x guided-phase RMSE ratio."""
+    a 0.76x guided-phase RMSE ratio.
+
+    ``ELAINA_TRAIN_BATCHES`` (default 5) caps the per-window batch count
+    WITHOUT growing the batches: fewer batches subsample the window's
+    records.  Note the reference itself trains on only ~62% of a full
+    window at its production scale (5 x 512k batch cap vs 1024^2 x
+    MAX_TRAIN_DEPTH = 4.2M records/spp), so consuming ~3/5 of records per
+    window is protocol-faithful — the knob trades optimizer wall (the
+    train-phase rate gap, VERDICT r2 #8) against gradient noise at a
+    FIXED update cadence, unlike train_every which cuts update count (the
+    te=20 quality collapse, r4c A/B)."""
+    import os
+    cap = int(os.environ.get("ELAINA_TRAIN_BATCHES", "5"))
     total = MAX_TRAIN_DEPTH * n_pixels
     batch = min(65_536 * 8, max(65_536, total // 5))
     batch = min(batch, max(total, 1024))
-    return batch, min(5, max(1, -(-total // batch)))
+    return batch, min(cap, max(1, -(-total // batch)))
 
 
 def make_balanced_train_chunk(spec: NetworkSpec, adam_cfg: AdamConfig, *,

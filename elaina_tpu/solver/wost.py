@@ -496,6 +496,83 @@ def _neumann_term(scene: Scene, state: WalkState, live, R_B, key, eps: float,
     return jnp.where(ok[:, None], -contrib, 0.0)
 
 
+def fused_band_available(scene: Scene) -> bool:
+    """Static gate for the fused Neumann-band step kernel
+    (ops/pallas_queries.band_neumann_walk_dma_3d): 3D prim-band grid with
+    a packed coords table.  ELAINA_FUSED_BAND=0 restores the three-kernel
+    path for A/B."""
+    from ..geometry.grid import _pallas_interpret, _use_pallas
+    return (scene.neumann is not None and scene.n_bgrid is not None
+            and getattr(scene.n_bgrid, "coords", None) is not None
+            and scene.dim == 3
+            and (_use_pallas() or _pallas_interpret())
+            and os.environ.get("ELAINA_FUSED_BAND", "1") != "0")
+
+
+def _neumann_walk_fused(scene: Scene, state: WalkState, live, R_B, key,
+                        eps: float, direction, pdf, alpha):
+    """Fused _neumann_term + _walk: the in-ball sample, its visibility
+    ray, and the walk ray share ONE band-block DMA kernel (the unfused
+    path re-DMAs the same per-lane block three times and gathers the
+    winners' vertices back in XLA).  Returns (contrib, state') with
+    semantics identical to _neumann_term followed by _walk.
+
+    Reference: sampleNeumannImpl + oneStepWalkImpl
+    (uniform/integrator.cu:318-445, 447-526)."""
+    dim = scene.dim
+    gs = scene.neumann.gs
+    n = state.pos.shape[0]
+    k_sel, k_pt = jax.random.split(key)
+    u_sel = jax.random.uniform(k_sel, (n,))
+    u_pt = jax.random.uniform(k_pt, (n, 2))
+
+    o = Q.band_neumann_walk(scene.n_bgrid, gs, state.pos, R_B,
+                            state.on_neumann, state.n_normal, u_sel, u_pt,
+                            direction, eps)
+
+    # ---- Neumann boundary-integral contribution ----
+    valid = (o.pid >= 0) & (o.pdf_area > 0)
+    r = jnp.linalg.norm(o.sample_pt - state.pos, axis=-1)
+    valid &= (r < R_B) & (r > 0)
+    valid &= ~o.occluded
+    side_on = jnp.sign(jnp.sum(o.plane_n * state.n_normal, axis=-1))
+    side = jnp.where(state.on_neumann, side_on, o.side)
+    valid &= side != 0
+    # barycentrics of the in-kernel sample point (prim_sample_point 3D:
+    # p = a + b1*(b-a) + b2*(c-a) with b1 = u2*sqrt(u1),
+    # b2 = sqrt(u1)*(1-u2))
+    su = jnp.sqrt(u_pt[:, 0])
+    b1 = u_pt[:, 1] * su
+    uv = jnp.stack([b1, su - b1], axis=-1)
+    color = _surface_color(dim, scene.neumann.colors, gs,
+                           jnp.maximum(o.pid, 0), side, uv)
+    alpha_n = jnp.where(state.on_neumann, 0.5, 1.0)
+    weight = green_eval(jnp.maximum(r, 1e-20), R_B, dim) / alpha_n \
+        / jnp.maximum(o.pdf_area, 1e-30)
+    contrib = (color * scene.neumann_intensity
+               * (state.thp * weight)[:, None])
+    contrib = jnp.where((live & valid)[:, None], -contrib, 0.0)
+
+    # ---- walk step from the fused ray results ----
+    current = state.pos + jnp.where(state.on_neumann[:, None],
+                                    eps * state.n_normal, 0.0)
+    n_flip = jnp.where(jnp.sum(o.wnormal * direction, axis=-1,
+                               keepdims=True) > 0, -o.wnormal, o.wnormal)
+    normal = jnp.where(o.whit[:, None], n_flip, 0.0)
+    next_pos = jnp.where(o.whit[:, None],
+                         current + o.wt[:, None] * direction,
+                         state.pos + R_B[:, None] * direction)
+    thp = state.thp / (pdf * alpha * sphere_measure(dim))
+    state = WalkState(
+        pos=jnp.where(live[:, None], next_pos, state.pos),
+        thp=jnp.where(live, thp, state.thp),
+        active=state.active,
+        on_neumann=jnp.where(live, o.whit, state.on_neumann),
+        n_normal=jnp.where(live[:, None], normal, state.n_normal),
+    )
+    return contrib, state
+
+
 def _walk(scene: Scene, state: WalkState, live, R_B, key, eps: float,
           n_stack: int, direction=None, pdf=None, alpha=None):
     """One mean-value step: sample a direction, clip on the Neumann boundary,
@@ -555,6 +632,14 @@ def wost_depth_step(scene: Scene, state: WalkState, key, eps: float,
 
     if scene.source is not None:
         contrib += _source_term(scene, state, live, R_B, k_src, eps, n_stack)
+    if scene.neumann is not None and fused_band_available(scene):
+        direction, pdf, alpha = _sample_direction(k_walk, state,
+                                                  scene.dim, True)
+        cn, state = _neumann_walk_fused(scene, state, live, R_B, k_neu,
+                                        eps, direction, pdf, alpha)
+        contrib += cn
+        state = state._replace(active=live)
+        return state, contrib
     if scene.neumann is not None:
         contrib += _neumann_term(scene, state, live, R_B, k_neu, eps, n_stack)
 

@@ -1,5 +1,8 @@
 #!/usr/bin/env python
-"""Guided-path TPU costs: network inference, guided step, full sample."""
+"""Guided-path TPU costs, scan-amortized (dispatch latency through the
+axon tunnel is ~25 ms — any single-dispatch timing is pure noise, so every
+piece runs under a LEN-iteration scan like tools/tpu_sil_probe.py)."""
+import argparse
 import os
 import sys
 import time
@@ -10,7 +13,6 @@ import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -19,23 +21,42 @@ from bench import _build_ladybug_problem
 from elaina_tpu.nn.network import apply_network, init_params, make_network
 from elaina_tpu.solver import guided as G
 
+LEN = 32
 
-def timed(label, compiled, *args, reps=2):
-    out = compiled(*args)
-    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+
+def timed(label, fn, *args, reps=3, n=None):
+    """fn(carry, *rest) -> array; timed under a LEN-iteration scan."""
+    def outer(q, *rest):
+        def body(carry, i):
+            out = fn(carry, *rest)
+            return carry + 1e-7 * jnp.mean(out), None
+        c, _ = jax.lax.scan(body, q, jnp.arange(LEN))
+        return c
+
+    c = jax.jit(outer).lower(*args).compile()
+    out = c(*args)
+    np.asarray(out)
     ts = []
     for _ in range(reps):
         t0 = time.time()
-        out = compiled(*args)
-        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        out = c(*args)
+        np.asarray(out)
         ts.append(time.time() - t0)
-    print(f"{label:38s} {min(ts)*1e3:9.1f} ms", flush=True)
+    t = min(ts) / LEN
+    n = n or args[0].shape[0]
+    print(f"{label:40s} {t*1e3:9.3f} ms/iter  ({t/n*1e9:7.1f} ns/lane)",
+          flush=True)
 
 
 def main():
-    res = 256
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=512)
+    a = ap.parse_args()
+    res = a.res
     problem = _build_ladybug_problem(res, "grid")
-    if problem.scene.d_grid is not None:
+    if problem.scene.d_grid is not None and (
+            problem.scene.d_grid.fine is None
+            or problem.scene.d_grid.fine.eps != 1.0):
         import dataclasses
 
         from elaina_tpu.geometry.grid import attach_fine
@@ -46,6 +67,7 @@ def main():
     pts = problem.probe.points(jnp.arange(n), (res, res))
     mask = jnp.ones((n,), bool)
     key = jax.random.PRNGKey(0)
+    print(f"res={res} n={n} devices={jax.devices()}", flush=True)
 
     conf = {
         "encoding": {"otype": "DenseGrid", "base_resolution": 8,
@@ -59,39 +81,81 @@ def main():
     params = init_params(key, spec)
 
     x = jax.random.uniform(key, (n, 2))
-    c = jax.jit(lambda p, xx: jnp.sum(apply_network(spec, p, xx))).lower(
-        params, x).compile()
-    timed("apply_network (enc+MLP) x1", c, params, x)
+    timed("apply_network (enc+MLP)",
+          lambda xx, p: apply_network(spec, p, xx), x, params)
 
     from elaina_tpu.nn.encoding import grid_encode
-    c = jax.jit(lambda t, xx: jnp.sum(
-        grid_encode(spec.encoding, t, xx))).lower(params["table"], x).compile()
-    timed("grid_encode only x1", c, params["table"], x)
+    timed("grid_encode only",
+          lambda xx, t: grid_encode(spec.encoding, t, xx), x,
+          params["table"])
 
-    # one guided depth step
+    # MLP only, on a fixed encoding output
+    h0 = grid_encode(spec.encoding, params["table"], x)
+
+    def mlp_only(h, p):
+        n_layers = spec.n_hidden + 2
+        for i in range(n_layers):
+            h = jnp.dot(h.astype(jnp.bfloat16), p[f"w{i}"].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) + p[f"b{i}"]
+            if i < n_layers - 1:
+                h = jax.nn.relu(h)
+        return h
+
+    timed("MLP only", mlp_only, h0, params)
+
+    # vmm pieces on raw network outputs
+    from elaina_tpu.solver.distributions import (vmm_from_raw, vmm_pdf,
+                                                 vmm_sample)
+    raw = jax.random.normal(key, (n, G.n_dim_output(2)))
+
+    timed("vmm_from_raw + vmm_sample",
+          lambda r, k: vmm_sample(k, vmm_from_raw(r, 2), 2), raw, key)
+
+    dirs = jax.random.normal(key, (n, 2))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    timed("vmm_from_raw + vmm_pdf",
+          lambda r, d: vmm_pdf(vmm_from_raw(r, 2), d, 2), raw, dirs)
+
+    # uniform depth step at the same lane count
+    from elaina_tpu.solver.wost import init_walk_state as init_u
+    from elaina_tpu.solver.wost import wost_depth_step
+
+    def ustep(p, sc, k):
+        st = init_u(p, jnp.ones((n,), bool))
+        st, contrib = wost_depth_step(sc, st, k, 1.0, problem.d_stack,
+                                      problem.n_stack)
+        return jnp.sum(contrib, -1) + st.thp
+
+    timed("uniform wost_depth_step", ustep, pts, scene, key)
+
+    # guided TRAINING-phase step (records on)
     records = G.init_records(n, 2)
     state = G.init_walk_state(pts, mask)
 
-    def step1(sc, p, st, rec, k):
+    def step_train(p, sc, prm, k):
+        st = state._replace(pos=p)
         st, rec, contrib = G.guided_depth_step(
-            sc, spec, p, st, rec, k, jnp.int32(0),
+            sc, spec, prm, st, records, k, jnp.int32(0),
             jnp.bool_(True), jnp.bool_(True), jnp.float32(0.5),
             jnp.int32(10), eps=1.0, d_stack=problem.d_stack,
             n_stack=problem.n_stack)
-        return jnp.sum(contrib)
+        return jnp.sum(contrib, -1) + st.thp
 
-    c = jax.jit(step1).lower(scene, params, state, records, key).compile()
-    timed("guided_depth_step x1", c, scene, params, state, records, key)
+    timed("train-phase step (records on)", step_train, pts, scene, params,
+          key)
 
-    def sample(sc, p, k):
-        total, recs, lives = G.run_one_guided_sample(
-            sc, spec, p, pts, mask, k, jnp.bool_(True), jnp.bool_(True),
-            jnp.float32(0.5), jnp.int32(10), eps=1.0, max_depth=64,
-            d_stack=problem.d_stack, n_stack=problem.n_stack)
-        return jnp.sum(total) + lives
+    # the production GUIDE-phase step: no records, training off
+    def step_guide(p, sc, prm, k):
+        st = state._replace(pos=p)
+        st, _, contrib = G.guided_depth_step(
+            sc, spec, prm, st, None, k, jnp.int32(0),
+            jnp.bool_(True), jnp.bool_(False), jnp.float32(0.5),
+            jnp.int32(10), eps=1.0, d_stack=problem.d_stack,
+            n_stack=problem.n_stack)
+        return jnp.sum(contrib, -1) + st.thp
 
-    c = jax.jit(sample).lower(scene, params, key).compile()
-    timed("guided sample depth=64", c, scene, params, key)
+    timed("guide-phase step (no records)", step_guide, pts, scene, params,
+          key)
 
 
 if __name__ == "__main__":

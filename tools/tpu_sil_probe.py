@@ -63,6 +63,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--scene", default="neumann3d_u.json")
+    ap.add_argument("--eps", type=float, default=0.01,
+                    help="epsilonShell; must match the scene config's for "
+                         "the production fast path (FinePack eps gate)")
     a = ap.parse_args()
 
     from bench import _build_conf_problem
@@ -70,6 +73,15 @@ def main():
 
     problem = _build_conf_problem(a.scene, "grid")
     scene = problem.scene
+    if scene.d_grid is not None and (
+            scene.d_grid.fine is None
+            or scene.d_grid.fine.eps != float(a.eps)):
+        import dataclasses
+
+        from elaina_tpu.geometry.grid import attach_fine
+        scene = dataclasses.replace(
+            scene, d_grid=attach_fine(scene.d_grid, float(a.eps)))
+        problem.scene = scene
     dim = scene.dim
     print(f"scene={a.scene} dim={dim} devices={jax.devices()}", flush=True)
     if scene.neumann is not None:
@@ -108,7 +120,9 @@ def main():
         pos=q, thp=jnp.ones((a.n,)), active=jnp.ones((a.n,), bool),
         on_neumann=jnp.zeros((a.n,), bool),
         n_normal=jnp.zeros((a.n, dim), jnp.float32))
-    eps = 1e-3
+    eps = float(a.eps)
+    print(f"eps={eps} fast_dirichlet="
+          f"{fast_dirichlet_available(scene, eps)}", flush=True)
 
     def sep_rb(qq, sc):
         _, R_B, _, _ = _separate(sc, st._replace(pos=qq), eps, 48, True)
@@ -127,6 +141,47 @@ def main():
         return R_D
 
     timed("dirichlet distance path", dirichlet_only, q, scene)
+
+    # ---- prim-band queries (the per-step Neumann workload) ----
+    if scene.n_bgrid is not None:
+        import elaina_tpu.solver.wost as W
+
+        bg = scene.n_bgrid
+        gs = scene.neumann.gs
+        key = jax.random.PRNGKey(3)
+        R = jnp.full((a.n,), 0.05, jnp.float32)
+        u1 = jax.random.uniform(key, (a.n,))
+        d_ray = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True),
+                                1e-9)
+
+        timed("band_r_cap", lambda qq, b: Q.band_r_cap(b, qq), q, bg)
+        timed("band_ray_intersect",
+              lambda qq, b, g: Q.band_ray_intersect(
+                  b, g, qq, d_ray, R, ref=qq)[1], q, bg, gs)
+        timed("band_sample_in_ball",
+              lambda qq, b, g: Q.band_sample_in_ball(b, g, qq, R, u1)[1],
+              q, bg, gs)
+
+        def neumann_full(qq, sc):
+            stl = st._replace(pos=qq)
+            live = jnp.ones((a.n,), bool)
+            c = W._neumann_term(sc, stl, live, R, key, eps, 48)
+            return jnp.sum(c, axis=-1)
+
+        timed("_neumann_term (ball+vis ray)", neumann_full, q, scene)
+
+        def step_full(qq, sc):
+            stl = st._replace(pos=qq)
+            st2, c = W.wost_depth_step(sc, stl, key, eps, 48, 48)
+            return jnp.sum(c, axis=-1) + st2.thp
+
+        # the ELAINA_FUSED_BAND gate is read at TRACE time, so set it
+        # around each lowering to time both step variants
+        os.environ["ELAINA_FUSED_BAND"] = "0"
+        timed("wost_depth_step (uniform, unfused)", step_full, q, scene)
+        os.environ["ELAINA_FUSED_BAND"] = "1"
+        timed("wost_depth_step (uniform, FUSED)", step_full, q, scene)
+        del os.environ["ELAINA_FUSED_BAND"]
 
 
 if __name__ == "__main__":
