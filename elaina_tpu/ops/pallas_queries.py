@@ -1026,8 +1026,14 @@ def _make_band_neumann_walk_kernel_3d(rpp: int):
                 whit.astype(jnp.float32),
                 jnp.where(whit, walk_t, jnp.float32(jnp.inf)),
                 wnormal[0], wnormal[1], wnormal[2]]
-        out_ref[pl.ds(b, 1), :, :] = jnp.concatenate(
-            [r_[None, :, 0] for r_ in rows], axis=0)[None]
+        # per-row stores: the one-shot forms (x[None, :, 0] mixed indexing,
+        # then a 15-way concatenate) both fail Mosaic lowering on real TPU
+        # ("Shape mismatch in input, indices and output" /
+        # "result/input offset mismatch on non-concat dimension" — the
+        # interpret path masked both); 15 static (1, 1, BL) stores lower
+        # like the other band kernels' output writes
+        for i, r_ in enumerate(rows):
+            out_ref[pl.ds(b, 1), pl.ds(i, 1), :] = r_[:, 0][None, None, :]
         slot_ref[pl.ds(b, 1), :] = idx[:, 0][None, :]
 
     return kernel

@@ -762,15 +762,22 @@ class GuidedIntegrator(BaseIntegrator):
         out = self._guide_chunk(scene, extra, zpos, zf, zi, key,
                                 jnp.int32(0))
         jax.block_until_ready(out)
-        if n >= 4 * 32768:
-            # quarter-width tail-round shape (balanced_solve packs tail
-            # rounds into n/4 lanes)
-            m = self.mesh.devices.size if self.mesh else 1
-            n4 = (n // 4) // m * m
-            zf4 = jnp.zeros((S, n4), jnp.float32)
-            zi4 = jnp.zeros((S, n4), jnp.int32)
-            out = self._guide_chunk(scene, extra, (zf4,) * scene.dim, zf4,
-                                    zi4, key, jnp.int32(0))
+        # oversubscribed guide-phase width + quarter-width tail-round shape
+        # (balanced_solve widens small pixel grids and packs tail rounds
+        # into ov/4 lanes)
+        from .wost import oversub_lanes
+
+        m = self.mesh.devices.size if self.mesh else 1
+        guide_spp = max(int(s.samplesPerPixel) - int(s.trainSppCount), 1)
+        widths = {oversub_lanes(n, guide_spp, m)}
+        ov = max(widths)
+        if ov >= 4 * 32768:
+            widths.add((ov // 4) // m * m)
+        for w in sorted(widths - {n, 0}):
+            zfw = jnp.zeros((S, w), jnp.float32)
+            ziw = jnp.zeros((S, w), jnp.int32)
+            out = self._guide_chunk(scene, extra, (zfw,) * scene.dim, zfw,
+                                    ziw, key, jnp.int32(0))
             jax.block_until_ready(out)
 
         # per-round image flush

@@ -290,15 +290,22 @@ class UniformIntegrator(BaseIntegrator):
         out = chunk(scene, None, (zf,) * scene.dim, zf, zi, key,
                     jnp.int32(0))
         jax.block_until_ready(out)
-        if n >= 4 * 32768:
-            m = self.mesh.devices.size if self.mesh else 1
-            n4 = (n // 4) // m * m
+        from .wost import oversub_lanes
+
+        m = self.mesh.devices.size if self.mesh else 1
+        widths = {n}
+        ov = oversub_lanes(n, int(self.settings.samplesPerPixel), m)
+        widths.add(ov)
+        if ov >= 4 * 32768:
+            n4 = (ov // 4) // m * m
             if n4 > 0:
-                zf4 = jnp.zeros((S, n4), jnp.float32)
-                zi4 = jnp.zeros((S, n4), jnp.int32)
-                out = chunk(scene, None, (zf4,) * scene.dim, zf4, zi4, key,
-                            jnp.int32(0))
-                jax.block_until_ready(out)
+                widths.add(n4)
+        for w in sorted(widths - {n}):
+            zfw = jnp.zeros((S, w), jnp.float32)
+            ziw = jnp.zeros((S, w), jnp.int32)
+            out = chunk(scene, None, (zfw,) * scene.dim, zfw, ziw, key,
+                        jnp.int32(0))
+            jax.block_until_ready(out)
         img = jnp.zeros((n, 3), jnp.float32)
         out = _flush_jit(img, jnp.zeros((S, 3, n), jnp.float32), zi,
                          jnp.zeros((S, n), jnp.int32), n)

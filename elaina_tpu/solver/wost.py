@@ -1035,8 +1035,14 @@ class BudgetSlicer:
             return np.minimum(rem, min(probe_spp, 2)), False
         # stop when even the minimum dispatch (floor iterations at full
         # lane width) would blow the remaining budget by more than half
-        # its own wall
-        if n_lanes and floor and round_i > 0:
+        # its own wall.  Round 1 is exempt: its only rate sample is round
+        # 0, whose wall can be compile-inflated 10-50x — multiplied by an
+        # oversubscribed lane width that predicted a 4000s "minimum" for
+        # a 600s budget and aborted the solve after the probe (round-4
+        # regression test).  Round 1 itself stays wall-bounded by
+        # bound_cap and the caller's watchdog cap; by round 2 the EMA has
+        # washed the compile wall out.
+        if n_lanes and floor and round_i > 1:
             min_wall = floor * n_lanes / self.rate
             if remaining_s < 0.5 * min_wall:
                 return rem, True
@@ -1078,6 +1084,24 @@ class BudgetSlicer:
                 and _time.time() - self.start > self.budget)
 
 
+def oversub_lanes(n: int, spp: int, lane_multiple: int = 1) -> int:
+    """Lane OVERSUBSCRIPTION width for the balanced solve.
+
+    The lane width is a free parameter of the balanced partition (pixels
+    split across lanes), and small eval grids underfill the chip — the 3D
+    slice scenes run 16k pixels against the 65-262k lanes of the 2D
+    scenes, paying near-fixed dispatch wall for a quarter of the steps.
+    Widen the worklist toward ELAINA_LANE_TARGET (bounded by the total
+    sample count so tiny problems keep tiny dispatches; rounded to the
+    mesh multiple).  Per-lane RNG streams make co-pixel lanes draw
+    independent samples, so the split is unbiased by construction."""
+    lane_target = int(os.environ.get("ELAINA_LANE_TARGET", str(64 * 1024)))
+    if n >= lane_target:
+        return n
+    m = min(lane_target, n * max(int(spp), 1))
+    return max((m // max(lane_multiple, 1)) * max(lane_multiple, 1), n)
+
+
 def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                    in_shell0, *, spp: int, eps: float, max_depth: int,
                    d_stack: int = 48, n_stack: int = 48, step_fn=None,
@@ -1108,6 +1132,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
 
     n = pts_np.shape[0]
     S = N_PIECES
+    m = oversub_lanes(n, spp, lane_multiple)
     if chunk is None:
         # pass a prebuilt chunk to share the traced/compiled program
         # across solve calls (re-creating the closure re-traces a very
@@ -1130,7 +1155,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
     have_cost0 = cost0 is not None
     if have_cost0:
         cost = np.maximum(np.asarray(cost0, np.float64), 1.0)
-        piece_pix, piece_quota = build_balanced_pieces(rem, cost, n, S)
+        piece_pix, piece_quota = build_balanced_pieces(rem, cost, m, S)
     else:
         piece_pix = np.zeros((S, n), np.int32)
         piece_pix[0] = np.arange(n)
@@ -1142,9 +1167,12 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
     slicer = BudgetSlicer(time_budget_s, start_time, rate0)
     shuffle_rng = np.random.default_rng(0xE1A) if budget_mode else None
     sink_steps, sink_wall, r0_rate = 0, 0.0, None
-    # min measured per-iteration wall (watchdog bound); a rate prior from
-    # an earlier phase seeds it so even round 0 is length-bounded
-    it_wall = (n / float(rate0)) if rate0 else None
+    # min measured PER-LANE per-iteration wall (watchdog bound); kept
+    # per-lane so dispatches at a different width (oversubscribed rounds
+    # vs the width-n probe) scale their caps with the width.  A rate prior
+    # from an earlier phase seeds it so even round 0 is length-bounded
+    # (1/rate is wall per lane-slot-iteration in the full-occupancy model).
+    it_pl = (1.0 / float(rate0)) if rate0 else None
     total_sam = int(np.sum(~resolved_np)) * spp
     for round_i in range(max_rounds):
         if rem.sum() == 0:
@@ -1156,7 +1184,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             interrupted = True
             break
         rem_round, stop = slicer.plan(rem, cost, round_i, spp_w, have_cost0,
-                                      n_lanes=n, floor=max_depth + 32)
+                                      n_lanes=m, floor=max_depth + 32)
         if stop:
             interrupted = True
             break
@@ -1167,17 +1195,18 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         # work across many lanes.  Also bound the single-dispatch length:
         # the tunneled TPU's runtime watchdog kills (and crashes the
         # worker of) dispatches running for minutes.
-        n_round = n
+        n_round = m
         if round_i == 0 and not have_cost0:
+            n_round = n          # identity cost-probe partition
             cap = 64
         else:
-            ideal = int(np.ceil(float((rem_round * cost).sum()) / max(n, 1)))
+            ideal = int(np.ceil(float((rem_round * cost).sum()) / max(m, 1)))
             # tail decisions look at the FULL remaining work: budgeted
             # rounds keep rem_round small by construction (proportional
             # quotas), and gating on the round quota made every budgeted
             # round take the quarter-width "tail" shape mid-solve
-            ideal_full = int(np.ceil(float((rem * cost).sum()) / max(n, 1)))
-            if ideal_full <= max_depth and n >= 4 * 32768:
+            ideal_full = int(np.ceil(float((rem * cost).sum()) / max(m, 1)))
+            if ideal_full <= max_depth and m >= 4 * 32768:
                 # tail rounds run a fraction of the lanes' capacity: the
                 # depth step costs full-lane wall whether lanes live or
                 # not, so pack the leftovers into 1/4-width lane arrays
@@ -1186,10 +1215,10 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                 # occupancy to ~2s at quarter width.  Under a mesh the
                 # tail width must stay divisible by the mesh size
                 # (lane_multiple); skip the shrink when it can't.
-                n4 = (n // 4) // lane_multiple * lane_multiple
+                n4 = (m // 4) // lane_multiple * lane_multiple
                 if n4 > 0:
                     n_round = n4
-                    ideal = int(np.ceil(ideal * n / n4))
+                    ideal = int(np.ceil(ideal * m / n4))
             cap = min(int(1.35 * ideal) + 24, ITER_DISPATCH_BUDGET)
             if ideal_full <= max_depth:
                 # final tail: give every remaining walk room to finish in
@@ -1199,7 +1228,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                 # generous cap costs little at quarter width.
                 cap = min(max_depth + 2 * ideal + 64, ITER_DISPATCH_BUDGET)
         cap = slicer.bound_cap(cap, n_round, max_depth + 32)
-        if it_wall is not None:
+        if it_pl is not None:
             # runtime-watchdog bound: a single dispatch must stay well
             # under the tunneled TPU's multi-minute kill threshold.
             # Scenes with expensive per-iteration queries (neumann3d:
@@ -1215,7 +1244,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             # next measurement recovers; true >= 2 s/iter scenes would
             # need ~48 s dispatches to exist at all, which the probe
             # round already rules out.
-            cap = max(min(cap, int(45.0 / it_wall)), 24)
+            cap = max(min(cap, int(45.0 / (it_pl * max(n_round, 1)))), 24)
         elif n_round >= 16384:
             # NO wall estimate of any kind (first run of this problem
             # shape, no rate hints): the very first dispatch must itself
@@ -1228,7 +1257,8 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             # worst measured), so small dispatches keep the full round-0
             # cap and its at-least-one-sample guarantee.
             cap = min(cap, 8)
-        if round_i > 0 or (have_cost0 and budget_mode):
+        if (round_i > 0 or (have_cost0 and budget_mode)
+                or piece_pix.shape[1] != n_round):
             piece_pix, piece_quota = build_balanced_pieces(
                 rem_round, cost, n_round, S,
                 shuffle=shuffle_rng if budget_mode else None)
@@ -1251,8 +1281,8 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         # measured even without a budget: rate_sink shares it so later
         # budgeted solves on the same problem can slice their first round
         slicer.update(int(steps), _time.time() - t_r)
-        iw = (_time.time() - t_r) / max(int(iters), 1)
-        it_wall = iw if it_wall is None else min(it_wall, iw)
+        iw = (_time.time() - t_r) / max(int(iters), 1) / max(n_round, 1)
+        it_pl = iw if it_pl is None else min(it_pl, iw)
         if round_i > 0:
             # round 0 of a fresh process can include XLA compile wall (a
             # 10-50x underestimate); post-round-0 work is cached as a
@@ -1319,8 +1349,8 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
             # still applies through the measured it_wall.
             rem_res = np.where(zero, 1, 0).astype(rem.dtype)
             cap = max_depth + 8
-            if it_wall is not None:
-                cap = max(min(cap, int(45.0 / it_wall)), 8)
+            if it_pl is not None:
+                cap = max(min(cap, int(45.0 / (it_pl * max(n, 1)))), 8)
             piece_pix, piece_quota = build_balanced_pieces(
                 rem_res, cost, n, S)
             ppos = tuple(jnp.asarray(pts_np[piece_pix, d])

@@ -17,6 +17,11 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# keep lane oversubscription engaged but CPU-sized: tiny test solves widen
+# to at most 2k lanes (exercising the pixel-split path everywhere) while
+# >= 2k-pixel test solves keep their existing widths/compile sizes
+os.environ.setdefault("ELAINA_LANE_TARGET", "2048")
+
 import jax
 
 if _backend == "cpu":

@@ -146,9 +146,17 @@ def test_slicer_stops_when_min_dispatch_blows_budget():
     sl = BudgetSlicer(10.0, time.time(), rate0=rate)
     rem = np.full(8, 50, np.int64)
     # min dispatch wall = floor * n_lanes / rate = 64*1000/100 = 640s >> 20s
-    out, stop = sl.plan(rem, np.ones(8), 1, 4, True,
+    out, stop = sl.plan(rem, np.ones(8), 2, 4, True,
                         n_lanes=1000, floor=64)
     assert stop
+    # round 1 is EXEMPT from the min-wall stop: its only rate sample is
+    # round 0's, which can be compile-inflated 10-50x — amplified by an
+    # oversubscribed lane width it predicted a 4000s minimum dispatch for
+    # a 600s budget and aborted the solve after the probe.  Round 1 stays
+    # wall-bounded by bound_cap and the watchdog cap instead.
+    out, stop = sl.plan(rem, np.ones(8), 1, 4, True,
+                        n_lanes=1000, floor=64)
+    assert not stop
 
 
 def test_slicer_bound_cap_fits_slice():

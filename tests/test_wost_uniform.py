@@ -193,6 +193,45 @@ def test_balanced_solve_matches_analytic():
     assert steps > spp * n
 
 
+def test_balanced_solve_lane_oversubscription(monkeypatch):
+    """Small pixel grids widen to ELAINA_LANE_TARGET lanes (pixels split
+    across co-lanes with independent per-lane RNG streams): the solve
+    still delivers full spp per pixel, matches the analytic solution, and
+    the width helper respects the target/sample/mesh bounds."""
+    from elaina_tpu.solver.wost import (balanced_solve, compute_step0,
+                                        oversub_lanes)
+
+    monkeypatch.setenv("ELAINA_LANE_TARGET", str(64 * 1024))
+    assert oversub_lanes(16384, 8, 1) == 64 * 1024     # 3D slice scenes
+    assert oversub_lanes(16384, 2, 1) == 32768         # sample-bounded
+    assert oversub_lanes(16384, 8, 8) == 64 * 1024     # mesh multiple holds
+    assert oversub_lanes(262144, 64, 1) == 262144      # at/over target: keep
+    assert oversub_lanes(6, 1, 1) == 6                 # spp 1: no widening
+
+    d_verts, d_indices = _square_boundary(n_per_side=6, sides=(1, 3))
+    d_gs, _ = make_geom_set(d_verts, d_indices)
+    d_colors = _colors_from_fn(d_verts, lambda v: (v[0] + 1.0) / 2.0)
+    scene = _scene(dirichlet=Boundary(gs=d_gs, colors=jnp.asarray(d_colors)))
+    pts = jnp.asarray([[0.0, 0.0], [0.5, 0.8], [-0.5, -0.8],
+                       [0.2, -0.1], [-0.7, 0.3], [0.9, 0.0]], jnp.float32)
+    n = pts.shape[0]
+    mask = jnp.ones((n,), bool)
+    spp = 256
+    rd0, in_shell0, contrib0 = compute_step0(scene, pts, mask, eps=0.02)
+
+    # force heavy oversubscription: 6 pixels x 256 spp -> 512 lanes
+    # (~85 co-lanes per pixel, quotas split by the balanced partition)
+    monkeypatch.setenv("ELAINA_LANE_TARGET", "512")
+    image, steps = balanced_solve(
+        scene, None, np.asarray(pts), np.asarray(rd0),
+        np.asarray(in_shell0 | ~mask), contrib0, in_shell0,
+        spp=spp, eps=0.02, max_depth=64)
+    u = np.asarray(image) / spp
+    expected = (np.asarray(pts)[:, 0] + 1.0) / 2.0
+    np.testing.assert_allclose(u[:, 0], expected, atol=0.07)
+    assert steps > spp * n
+
+
 def test_balanced_solve_time_budget_slicing():
     """Budget mode time-slices round quotas: with a generous budget the
     solve still delivers full spp and matches the analytic solution; with
