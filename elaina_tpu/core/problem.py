@@ -249,6 +249,13 @@ class Problem:
         return os.path.join(cd, f"hints_{key}.npz")
 
     def hint_cache_load(self):
+        from ..utils.rng import deterministic
+        if deterministic():
+            # pinned-round-structure mode: hints from earlier processes
+            # encode their timing-dependent measurements, and loading
+            # them reshapes this run's rounds (have_cost0, partitions) —
+            # the cross-run nondeterminism VERDICT r4 #1 chased
+            return
         path = self._hint_path()
         if not path or not os.path.exists(path) or getattr(
                 self, "_hints_loaded", False):
@@ -275,6 +282,9 @@ class Problem:
             return
 
     def hint_cache_save(self):
+        from ..utils.rng import deterministic
+        if deterministic():
+            return  # do not pollute later normal runs with pinned-mode rates
         path = self._hint_path()
         if not path:
             return

@@ -44,6 +44,7 @@ from ..nn.network import (
     init_trainer,
     make_network,
 )
+from ..utils.rng import deterministic, pkey
 from ..utils.mathops import reflect
 from .distributions import (
     M_EPSILON,
@@ -707,13 +708,13 @@ class GuidedIntegrator(BaseIntegrator):
         conf = net_conf or {}
         self.spec = make_network(dim, n_dim_output(dim), conf)
         self.adam_cfg = AdamConfig.from_json(conf.get("optimizer"))
-        self.trainer = init_trainer(jax.random.PRNGKey(42), self.spec)
+        self.trainer = init_trainer(pkey(42), self.spec)
         self.loss_history: list[float] = []
         self._net_trained = False
 
     def reset_training(self):
         """resetTrainingImpl (guided/integrator.cu:1139-1146)."""
-        self.trainer = init_trainer(jax.random.PRNGKey(42), self.spec)
+        self.trainer = init_trainer(pkey(42), self.spec)
         self.loss_history = []
         self._net_trained = False
 
@@ -768,11 +769,23 @@ class GuidedIntegrator(BaseIntegrator):
         from .wost import oversub_lanes
 
         m = self.mesh.devices.size if self.mesh else 1
+        # warm the widths for the achievable guide-spp RANGE: the guiding
+        # phase runs samplesPerPixel - spp0 where spp0 is the ACHIEVED
+        # training spp — trainSppCount when training runs in full, ~32
+        # when budget-capped, 0 when skipped — and in the sample-bounded
+        # oversubscription regime each value maps to a different lane
+        # width, so warming only the full-training width paid a ~10s
+        # retrace inside the timed budget (ADVICE r4 #2).  The range
+        # endpoints cover every case: oversub_lanes is monotone in spp
+        # and clamps to the lane target in between.
         guide_spp = max(int(s.samplesPerPixel) - int(s.trainSppCount), 1)
-        widths = {oversub_lanes(n, guide_spp, m)}
-        ov = max(widths)
-        if ov >= 4 * 32768:
-            widths.add((ov // 4) // m * m)
+        widths = {oversub_lanes(n, guide_spp, m),
+                  oversub_lanes(n, int(s.samplesPerPixel), m),
+                  oversub_lanes(n, max(int(s.samplesPerPixel)
+                                       - TRAIN_SPP_TARGET, 1), m)}
+        for ov in sorted(widths):
+            if ov >= 4 * 32768:
+                widths = widths | {(ov // 4) // m * m}
         for w in sorted(widths - {n, 0}):
             zfw = jnp.zeros((S, w), jnp.float32)
             ziw = jnp.zeros((S, w), jnp.int32)
@@ -827,7 +840,7 @@ class GuidedIntegrator(BaseIntegrator):
         """
         s = self.settings
         scene = self.problem.scene
-        key = jax.random.PRNGKey(0)
+        key = pkey(0)
         n = self.n_pixels
 
         batch_size, n_batches = _train_batch_policy(n)
@@ -852,7 +865,7 @@ class GuidedIntegrator(BaseIntegrator):
         self._solve_count = getattr(self, "_solve_count", 0) + 1
         if stride > 1:
             self.train_pixel_offset = int(jax.random.randint(
-                jax.random.fold_in(jax.random.PRNGKey(5), self._solve_count),
+                jax.random.fold_in(pkey(5), self._solve_count),
                 (), 0, stride))
             self._train_bit = (
                 (np.arange(n) - self.train_pixel_offset) % stride == 0)
@@ -1196,7 +1209,7 @@ class GuidedIntegrator(BaseIntegrator):
         trainer = self.trainer
         uf = jnp.float32(s.uniformFractionInTrainingPhase)
         mgd = jnp.int32(s.maxGuidedDepthInTrainingPhase)
-        key = jax.random.PRNGKey(2)
+        key = pkey(2)
         S = N_PIECES
 
         # probe just enough to estimate per-pixel walk cost: the probe round
@@ -1226,21 +1239,25 @@ class GuidedIntegrator(BaseIntegrator):
         rate_prior = self._train_rate_prior()
         slicer = BudgetSlicer(time_budget_s, t_t, rate_prior)
         sink_steps, sink_wall, r0_rate = 0, 0.0, None
+        det = deterministic()
         # min measured per-iteration wall (watchdog bound); a rate prior
         # from an earlier solve seeds it so round 0 is length-bounded
         # without degrading to the unknown-scene probe cap
-        it_wall = (n / float(rate_prior)) if rate_prior else None
+        it_wall = (n / float(rate_prior)) if (rate_prior and not det) else None
         max_rounds = 16 + 4 * (1 + remaining * int(s.maxWalkingDepth) // 48)
         total_sam = int(np.sum(~resolved)) * remaining
         for round_i in range(max_rounds):
             _m(f"round{round_i}_top")
             if rem.sum() == 0:
                 break
-            if round_i > 0 and rem.sum() < max(1, total_sam // 2000):
+            if (time_budget_s and round_i > 0
+                    and rem.sum() < max(1, total_sam // 2000)):
                 # drain-skip: a dispatch for <0.05% of the samples costs a
                 # near-full-second round committing almost nothing
                 # (measured 43 steps in 1.01 s on the 512² headline); the
-                # partial-sum rescale below is unbiased
+                # partial-sum rescale below is unbiased.  Budgeted solves
+                # only — an unbudgeted training phase declares its spp
+                # and must drain it (VERDICT r4 #9)
                 interrupted = True
                 break
             rem_round, stop = slicer.plan(
@@ -1296,7 +1313,12 @@ class GuidedIntegrator(BaseIntegrator):
             prd = jnp.asarray(rd0_np[piece_pix])
             cap = slicer.bound_cap(cap, n_round,
                                    int(s.maxWalkingDepth) + 32)
-            if it_wall is not None:
+            if det:
+                # deterministic mode: no timing-fed caps (see
+                # wost.balanced_solve); static round-0 probe bound only
+                if round_i == 0 and n_round >= 16384:
+                    cap = min(cap, 8 if not have_cost0 else 64)
+            elif it_wall is not None:
                 # runtime-watchdog bound (see wost.balanced_solve): keep
                 # any single dispatch well under the tunneled TPU's kill
                 # threshold on expensive-per-iteration scenes.  Floor 24
@@ -1353,8 +1375,9 @@ class GuidedIntegrator(BaseIntegrator):
             self.total_walk_steps += int(steps)
             self.phase_stats["train_steps"] += int(steps)
             slicer.update(int(steps), time.time() - t_r)
-            iw = (time.time() - t_r) / max(int(iters), 1)
-            it_wall = iw if it_wall is None else min(it_wall, iw)
+            if not det:
+                iw = (time.time() - t_r) / max(int(iters), 1)
+                it_wall = iw if it_wall is None else min(it_wall, iw)
             if round_i > 0:
                 # post-round-0 cumulative ratio (round 0 can carry
                 # first-round XLA compile wall); round 0's own rate is
@@ -1472,7 +1495,7 @@ class GuidedIntegrator(BaseIntegrator):
             np.asarray(in_shell0 | ~self.mask), contrib0, in_shell0,
             spp=remaining, eps=eps, max_depth=int(s.maxWalkingDepth),
             d_stack=d_stack, n_stack=n_stack, chunk=self._guide_chunk,
-            key=jax.random.PRNGKey(1), time_budget_s=time_budget_s,
+            key=pkey(1), time_budget_s=time_budget_s,
             start_time=start,
             rate0=(getattr(self, "_walk_rate", None)
                    or self.problem.__dict__.get("_rate_cache", {}).get(

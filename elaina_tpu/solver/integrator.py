@@ -179,7 +179,8 @@ class UniformIntegrator(BaseIntegrator):
         """
         s = self.settings
         scene = self.problem.scene
-        key = jax.random.PRNGKey(0)
+        from ..utils.rng import pkey
+        key = pkey(0)
 
         metrics_on = s.saveSppMetricsDuration > 0 or s.saveTimeMetricsDuration > 0
         if not metrics_on and spp_chunk is None:

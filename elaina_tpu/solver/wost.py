@@ -40,6 +40,7 @@ from ..geometry.primitives import (
     prim_side,
 )
 from ..utils.mathops import frame_from_normal, geometric_interpolate, to_world
+from ..utils.rng import deterministic, pkey
 from .green import green_eval, green_norm, green_sample_radius
 from .sampling import (
     sphere_measure,
@@ -1000,6 +1001,11 @@ class BudgetSlicer:
         self.budget = time_budget_s
         self.start = start_time
         self.rate = float(rate0) if rate0 else None
+        # a caller-provided rate0 is a cross-solve prior (hint cache /
+        # earlier phase) — trusted for the round-1 minimum-dispatch stop
+        # test below, unlike this process's own compile-suspect round 0
+        # (ADVICE r4 #1)
+        self.trusted_prior = rate0 is not None
         self.slice_s = None
 
     def plan(self, rem, cost, round_i: int, probe_spp: int,
@@ -1035,14 +1041,18 @@ class BudgetSlicer:
             return np.minimum(rem, min(probe_spp, 2)), False
         # stop when even the minimum dispatch (floor iterations at full
         # lane width) would blow the remaining budget by more than half
-        # its own wall.  Round 1 is exempt: its only rate sample is round
-        # 0, whose wall can be compile-inflated 10-50x — multiplied by an
-        # oversubscribed lane width that predicted a 4000s "minimum" for
-        # a 600s budget and aborted the solve after the probe (round-4
-        # regression test).  Round 1 itself stays wall-bounded by
-        # bound_cap and the caller's watchdog cap; by round 2 the EMA has
-        # washed the compile wall out.
-        if n_lanes and floor and round_i > 1:
+        # its own wall.  Round 1 is exempt ONLY when the rate's single
+        # sample is this process's own round 0, whose wall can be
+        # compile-inflated 10-50x — multiplied by an oversubscribed lane
+        # width that predicted a 4000s "minimum" for a 600s budget and
+        # aborted the solve after the probe (round-4 regression test).
+        # With a trusted cross-solve prior (rate0), the stop applies from
+        # round 1: a genuinely over-budget minimum dispatch must not run
+        # just because it is early (ADVICE r4 #1).  An unexempted round 1
+        # stays wall-bounded by bound_cap and the caller's watchdog cap;
+        # by round 2 the EMA has washed any compile wall out.
+        if n_lanes and floor and (round_i > 1
+                                  or (round_i == 1 and self.trusted_prior)):
             min_wall = floor * n_lanes / self.rate
             if remaining_s < 0.5 * min_wall:
                 return rem, True
@@ -1143,7 +1153,8 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                             jnp.float32(spp))
     rem = np.where(resolved_np, 0, spp).astype(np.int64)
     cost = np.ones(n)
-    key = jax.random.PRNGKey(3) if key is None else key
+    key = pkey(3) if key is None else key
+    det = deterministic()
     total_steps = 0
     start_time = start_time or _time.time()
 
@@ -1172,15 +1183,19 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
     # vs the width-n probe) scale their caps with the width.  A rate prior
     # from an earlier phase seeds it so even round 0 is length-bounded
     # (1/rate is wall per lane-slot-iteration in the full-occupancy model).
-    it_pl = (1.0 / float(rate0)) if rate0 else None
+    it_pl = (1.0 / float(rate0)) if (rate0 and not det) else None
     total_sam = int(np.sum(~resolved_np)) * spp
     for round_i in range(max_rounds):
         if rem.sum() == 0:
             break
-        if round_i > 0 and rem.sum() < max(1, total_sam // 2000):
+        if (budget_mode and round_i > 0
+                and rem.sum() < max(1, total_sam // 2000)):
             # drain-skip: a dispatch for <0.05% of the samples costs a
             # near-full-second round committing almost nothing; the
-            # partial-sum rescale below is unbiased
+            # partial-sum rescale below is unbiased.  Budgeted solves
+            # only — an unbudgeted solve declares a full protocol, so it
+            # drains every sample (VERDICT r4 #9: the headline must not
+            # end on an "interrupted" rescale)
             interrupted = True
             break
         rem_round, stop = slicer.plan(rem, cost, round_i, spp_w, have_cost0,
@@ -1228,7 +1243,15 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                 # generous cap costs little at quarter width.
                 cap = min(max_depth + 2 * ideal + 64, ITER_DISPATCH_BUDGET)
         cap = slicer.bound_cap(cap, n_round, max_depth + 32)
-        if it_pl is not None:
+        if det:
+            # deterministic mode: caps derive only from sample counts and
+            # device-computed costs — never from measured walls — so the
+            # dispatch sequence (and with it every downstream RNG stream)
+            # is identical across runs.  The static round-0 probe bound
+            # keeps the first wide dispatch watchdog-safe.
+            if round_i == 0 and n_round >= 16384:
+                cap = min(cap, 8 if not have_cost0 else 64)
+        elif it_pl is not None:
             # runtime-watchdog bound: a single dispatch must stay well
             # under the tunneled TPU's multi-minute kill threshold.
             # Scenes with expensive per-iteration queries (neumann3d:
@@ -1281,8 +1304,9 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
         # measured even without a budget: rate_sink shares it so later
         # budgeted solves on the same problem can slice their first round
         slicer.update(int(steps), _time.time() - t_r)
-        iw = (_time.time() - t_r) / max(int(iters), 1) / max(n_round, 1)
-        it_pl = iw if it_pl is None else min(it_pl, iw)
+        if not det:
+            iw = (_time.time() - t_r) / max(int(iters), 1) / max(n_round, 1)
+            it_pl = iw if it_pl is None else min(it_pl, iw)
         if round_i > 0:
             # round 0 of a fresh process can include XLA compile wall (a
             # 10-50x underestimate); post-round-0 work is cached as a

@@ -149,14 +149,25 @@ def test_slicer_stops_when_min_dispatch_blows_budget():
     out, stop = sl.plan(rem, np.ones(8), 2, 4, True,
                         n_lanes=1000, floor=64)
     assert stop
-    # round 1 is EXEMPT from the min-wall stop: its only rate sample is
-    # round 0's, which can be compile-inflated 10-50x — amplified by an
-    # oversubscribed lane width it predicted a 4000s minimum dispatch for
-    # a 600s budget and aborted the solve after the probe.  Round 1 stays
-    # wall-bounded by bound_cap and the watchdog cap instead.
+    # with a TRUSTED cross-solve prior (rate0 given to the constructor),
+    # the stop applies from round 1 too: a genuinely over-budget minimum
+    # dispatch must not run just because it is early (ADVICE r4 #1)
     out, stop = sl.plan(rem, np.ones(8), 1, 4, True,
                         n_lanes=1000, floor=64)
+    assert stop
+    # round 1 is EXEMPT only when the rate's single sample is this
+    # process's own round 0, which can be compile-inflated 10-50x —
+    # amplified by an oversubscribed lane width it predicted a 4000s
+    # minimum dispatch for a 600s budget and aborted the solve after the
+    # probe.  Round 1 then stays wall-bounded by bound_cap + watchdog.
+    sl2 = BudgetSlicer(10.0, time.time())
+    sl2.update(1000, 10.0)            # round-0 sample only: suspect
+    out, stop = sl2.plan(rem, np.ones(8), 1, 4, True,
+                         n_lanes=1000, floor=64)
     assert not stop
+    out, stop = sl2.plan(rem, np.ones(8), 2, 4, True,
+                         n_lanes=1000, floor=64)
+    assert stop
 
 
 def test_slicer_bound_cap_fits_slice():
