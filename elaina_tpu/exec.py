@@ -13,7 +13,7 @@ import json
 import os
 
 from .core.config import ExperimentConfig
-from .core.logger import log_error, log_success
+from .core.logger import log_error, log_info, log_success
 from .core.problem import Problem
 # Integrator imports stay INSIDE run_expr: importing the solver stack pulls
 # module-level jnp constants, which would initialize the default backend
@@ -113,6 +113,18 @@ def run_expr(conf_path: str) -> dict:
             integrator.mesh = make_mesh(n_dev)
             log_success("Sharding lanes over %d devices", n_dev)
 
+    if os.environ.get("ELAINA_PREPARE") == "1" and hasattr(
+            integrator, "prepare"):
+        # AOT-compile the persistent programs so result.json's duration
+        # measures walking, like the reference's build-time-compiled CUDA
+        # kernels (bench.py does the same; opt-in here because the first
+        # remote compile can take minutes and most CLI runs prefer
+        # fastest-to-first-pixel)
+        import time as _time
+        t_p = _time.time()
+        integrator.prepare()
+        log_info("prepare (AOT compile): %.1fs", _time.time() - t_p)
+
     result: dict = {}
     for channel in sorted(set(cfg.channels), key=lambda c: CHANNELS.index(c)):
         if channel == "SOLUTION":
@@ -150,6 +162,9 @@ def run_expr(conf_path: str) -> dict:
     phase_stats = getattr(integrator, "phase_stats", None)
     if phase_stats:
         result["phase_stats"] = phase_stats
+    steps = getattr(integrator, "total_walk_steps", None)
+    if steps:
+        result["walk_steps"] = int(steps)
 
     result["timestamp"] = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
     with open(os.path.join(out_dir, "result.json"), "w") as f:

@@ -778,14 +778,31 @@ class GuidedIntegrator(BaseIntegrator):
         # retrace inside the timed budget (ADVICE r4 #2).  The range
         # endpoints cover every case: oversub_lanes is monotone in spp
         # and clamps to the lane target in between.
+        from .wost import lane_cap
+
         guide_spp = max(int(s.samplesPerPixel) - int(s.trainSppCount), 1)
-        widths = {oversub_lanes(n, guide_spp, m),
-                  oversub_lanes(n, int(s.samplesPerPixel), m),
-                  oversub_lanes(n, max(int(s.samplesPerPixel)
-                                       - TRAIN_SPP_TARGET, 1), m)}
+        widths = {lane_cap(oversub_lanes(n, guide_spp, m), m),
+                  lane_cap(oversub_lanes(n, int(s.samplesPerPixel), m), m),
+                  lane_cap(oversub_lanes(n, max(int(s.samplesPerPixel)
+                                                - TRAIN_SPP_TARGET, 1),
+                                         m), m)}
         for ov in sorted(widths):
             if ov >= 4 * 32768:
                 widths = widths | {(ov // 4) // m * m}
+        # capped training rounds dispatch the train chunk (and their tail
+        # rounds the guide chunk) at lane_cap(n) width
+        nc = lane_cap(n, m)
+        if nc != n:
+            zfc = jnp.zeros((S, nc), jnp.float32)
+            zic = jnp.zeros((S, nc), jnp.int32)
+            out = self._train_chunk_get()(
+                scene, self.trainer,
+                jnp.float32(s.uniformFractionInTrainingPhase),
+                jnp.int32(s.maxGuidedDepthInTrainingPhase), (zfc,) * scene.dim,
+                zfc, zic, key, jnp.int32(0), jnp.int32(10),
+                None if ptrain is None else jnp.zeros((S, nc), bool))
+            jax.block_until_ready(out)
+            widths = widths | {nc, (nc // 4) // m * m}
         for w in sorted(widths - {n, 0}):
             zfw = jnp.zeros((S, w), jnp.float32)
             ziw = jnp.zeros((S, w), jnp.int32)
@@ -1272,7 +1289,14 @@ class GuidedIntegrator(BaseIntegrator):
             if round_i == 0 and not have_cost0:
                 cap = 8 * spp_w
             else:
-                ideal = int(np.ceil(float((rem_round * cost).sum()) / max(n, 1)))
+                # keep balanced rounds under the SMEM compaction gate
+                # (wost.lane_cap): 1024²-pixel training at 1M lanes ran
+                # the uncompacted resolve at ~0.6x the step rate
+                from .wost import lane_cap as _lane_cap
+                mm = self.mesh.devices.size if self.mesh else 1
+                n_round = _lane_cap(n, mm)
+                ideal = int(np.ceil(float((rem_round * cost).sum())
+                                    / max(n_round, 1)))
                 # training runs in-loop (train_every), so rounds only serve
                 # rebalancing; half the uniform dispatch budget because the
                 # in-loop optimizer passes lengthen each iteration
@@ -1284,7 +1308,7 @@ class GuidedIntegrator(BaseIntegrator):
                 # chunk — the phase ran 12.6M walk steps and zero
                 # optimizer passes (measured, equal-time-256 row 1.15)
                 ideal_full = int(np.ceil(float((rem * cost).sum())
-                                         / max(n, 1)))
+                                         / max(n_round, 1)))
                 if ideal_full <= int(s.maxWalkingDepth):
                     # tail rounds: let every remaining walk finish in one
                     # dispatch instead of re-rolling per round (the loop
@@ -1296,13 +1320,13 @@ class GuidedIntegrator(BaseIntegrator):
                     # (measured: 13%-occupancy tail cost 2.6 s of the
                     # 22 s 512² training phase)
                     tail = True
-                    m = self.mesh.devices.size if self.mesh else 1
-                    n4 = (n // 4) // m * m
-                    if n >= 4 * 32768 and n4 > 0:
+                    nb = n_round
+                    n4 = (nb // 4) // mm * mm
+                    if nb >= 4 * 32768 and n4 > 0:
                         n_round = n4
-                        ideal = int(np.ceil(ideal * n / n4))
+                        ideal = int(np.ceil(ideal * nb / n4))
                     cap = min(int(s.maxWalkingDepth) + 2 * ideal + 64,
-                              512 if n_round == n else 1024)
+                              512 if n_round == nb else 1024)
             if round_i > 0 or have_cost0:
                 piece_pix, piece_quota = build_balanced_pieces(
                     rem_round, cost, n_round, S,

@@ -291,11 +291,12 @@ class UniformIntegrator(BaseIntegrator):
         out = chunk(scene, None, (zf,) * scene.dim, zf, zi, key,
                     jnp.int32(0))
         jax.block_until_ready(out)
-        from .wost import oversub_lanes
+        from .wost import lane_cap, oversub_lanes
 
         m = self.mesh.devices.size if self.mesh else 1
         widths = {n}
-        ov = oversub_lanes(n, int(self.settings.samplesPerPixel), m)
+        ov = lane_cap(oversub_lanes(n, int(self.settings.samplesPerPixel),
+                                    m), m)
         widths.add(ov)
         if ov >= 4 * 32768:
             n4 = (ov // 4) // m * m

@@ -1112,6 +1112,28 @@ def oversub_lanes(n: int, spp: int, lane_multiple: int = 1) -> int:
     return max((m // max(lane_multiple, 1)) * max(lane_multiple, 1), n)
 
 
+def lane_cap(m: int, lane_multiple: int = 1) -> int:
+    """Upper bound on the balanced-solve lane width (VERDICT r4 #4).
+
+    Past ~384k lanes the compacted eps-shell resolve disables itself (its
+    mask and lane-id buffers live in the 1 MB SMEM — see the gate in
+    ``dirichlet_distance_masked``) and measured step rates drop ~40%
+    (refscale: ~7M steps/s at 1024² vs ~12.5M at 512²).  Capping the
+    worklist width keeps every dispatch in the compacted fast-path
+    regime; the balanced partition already queues multiple pixels per
+    lane, so a capped width only adds rounds, never bias.  The reference
+    sizes itself the opposite way (2048² concurrent walks,
+    guided/parameters.h:8) because CUDA occupancy wants oversubscription;
+    on TPU the fixed-shape wavefront is already fully resident and the
+    win is keeping the scalar compaction core fed.  ``ELAINA_LANE_CAP``
+    overrides (0 disables)."""
+    cap = int(os.environ.get("ELAINA_LANE_CAP", str(384 * 1024)))
+    if cap <= 0 or m <= cap:
+        return m
+    lm = max(lane_multiple, 1)
+    return max((cap // lm) * lm, lm)
+
+
 def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
                    in_shell0, *, spp: int, eps: float, max_depth: int,
                    d_stack: int = 48, n_stack: int = 48, step_fn=None,
@@ -1142,7 +1164,7 @@ def balanced_solve(scene, extra, pts_np, rd0_np, resolved_np, contrib0,
 
     n = pts_np.shape[0]
     S = N_PIECES
-    m = oversub_lanes(n, spp, lane_multiple)
+    m = lane_cap(oversub_lanes(n, spp, lane_multiple), lane_multiple)
     if chunk is None:
         # pass a prebuilt chunk to share the traced/compiled program
         # across solve calls (re-creating the closure re-traces a very
