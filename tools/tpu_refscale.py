@@ -72,8 +72,11 @@ def main():
                                  "beta1": 0.9, "beta2": 0.99,
                                  "epsilon": 1e-15, "l2_reg": 1e-6}},
     }
-    run(UniformIntegrator, a.spp)
-    run(GuidedIntegrator, a.guided_spp, max(a.guided_spp // 4, 1), net_conf)
+    if a.spp > 0:
+        run(UniformIntegrator, a.spp)
+    if a.guided_spp > 0:
+        run(GuidedIntegrator, a.guided_spp, max(a.guided_spp // 4, 1),
+            net_conf)
 
 
 if __name__ == "__main__":
