@@ -81,7 +81,7 @@ def main():
             out = chunk(*args)
             jax.block_until_ready(out)
         wall = (time.time() - t0) / reps
-        steps = int(out[3] if n_dev == 1 else np.asarray(out[3])[0])
+        steps = int(np.asarray(out[3]).reshape(-1)[0])
         rows.append({"devices": n_dev, "lanes": n, "steps": steps,
                      "wall_s": round(wall, 3),
                      "steps_per_s": steps / wall})
