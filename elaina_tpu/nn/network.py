@@ -10,6 +10,7 @@ tcnn's Ema optimizer serves "smoothed" params for inference.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -124,13 +125,27 @@ def adam_ema_step(state: TrainerState, grads: dict, cfg: AdamConfig) -> TrainerS
     count = state.opt.count + 1
     t = count.astype(jnp.float32)
 
+    # Optional stabilizers for the heavy-tailed KL weights (Li/dirPdf on
+    # high-contrast scenes made the trained-guide quality BIMODAL over
+    # seeds: equal-spp ratio 0.75 vs ~1.0, BENCH_variance.json).  Both
+    # default OFF pending the measured A/B; they change training
+    # dynamics, not the objective's optimum.
+    clip = float(os.environ.get("ELAINA_GRAD_CLIP", "0") or 0)
+    if clip > 0:
+        gnorm = jnp.sqrt(sum(jnp.sum(g * g)
+                             for g in jax.tree.leaves(grads)))
+        scale = jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-20))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+    warm = float(os.environ.get("ELAINA_LR_WARMUP", "0") or 0)
+    lr = cfg.lr * (jnp.minimum(t / warm, 1.0) if warm > 0 else 1.0)
+
     def upd(g, p, m, v):
         g = g + cfg.l2_reg * p
         m2 = cfg.beta1 * m + (1 - cfg.beta1) * g
         v2 = cfg.beta2 * v + (1 - cfg.beta2) * g * g
         mhat = m2 / (1 - cfg.beta1**t)
         vhat = v2 / (1 - cfg.beta2**t)
-        p2 = p - cfg.lr * mhat / (jnp.sqrt(vhat) + cfg.eps)
+        p2 = p - lr * mhat / (jnp.sqrt(vhat) + cfg.eps)
         return p2, m2, v2
 
     g_flat, treedef = jax.tree.flatten(grads)

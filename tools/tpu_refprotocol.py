@@ -93,7 +93,7 @@ def _merge(path, key, row):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", required=True,
-                    choices=["gt", "u", "n", "report"])
+                    choices=["gt", "u", "n", "rescore", "report"])
     ap.add_argument("--scene", default="ladybug",
                     choices=["ladybug", "fille"])
     ap.add_argument("--gt-spp", type=int, default=8192)
@@ -109,6 +109,23 @@ def main():
     if a.phase == "report":
         data = json.load(open(OUT))
         print(json.dumps(data, indent=1))
+        return
+
+    if a.phase == "rescore":
+        # recompute RMSE for u/n images cached before the GT finished
+        gt = np.load(gt_path)["img"]
+        data = json.load(open(OUT))
+        for ph, name in (("uniform", "u"), ("guided", "n")):
+            p = os.path.join(CACHE, f"{a.scene}_{name}.npz")
+            if os.path.exists(p) and ph in data.get(key, {}):
+                data[key][ph]["rmse"] = rmse(np.load(p)["img"], gt)
+        ur, gr = data[key].get("uniform", {}), data[key].get("guided", {})
+        if ur.get("rmse") and gr.get("rmse"):
+            gr["rmse_ratio_vs_uniform"] = gr["rmse"] / ur["rmse"]
+            gr["time_ratio_vs_uniform"] = gr["ms"] / ur["ms"]
+        with open(OUT, "w") as f:
+            json.dump(data, f, indent=1)
+        print(json.dumps(data[key], indent=1))
         return
 
     problem, depth = _build(a.scene)
@@ -138,22 +155,29 @@ def main():
         _merge(OUT, key, {"gt": row})
         return
 
-    if not os.path.exists(gt_path):
-        print(f"no GT at {gt_path}; run --phase gt first", file=sys.stderr)
-        sys.exit(1)
-    gt = np.load(gt_path)["img"]
+    gt = np.load(gt_path)["img"] if os.path.exists(gt_path) else None
+    if gt is None:
+        print(f"no GT at {gt_path}; recording perf row without RMSE "
+              f"(re-run this phase after --phase gt to add it)",
+              file=sys.stderr)
 
     if a.phase == "u":
         img, row = run(UniformIntegrator, 1024)
-        row["rmse"] = rmse(img, gt)
+        if gt is not None:
+            row["rmse"] = rmse(img, gt)
+        np.savez_compressed(os.path.join(CACHE, f"{a.scene}_u.npz"),
+                            img=img.astype(np.float32))
         _merge(OUT, key, {"uniform": row})
     else:
         img, row = run(GuidedIntegrator, 1024, 256,
                        NET_FILLE if a.scene == "fille" else NET)
-        row["rmse"] = rmse(img, gt)
+        if gt is not None:
+            row["rmse"] = rmse(img, gt)
+        np.savez_compressed(os.path.join(CACHE, f"{a.scene}_n.npz"),
+                            img=img.astype(np.float32))
         data = json.load(open(OUT)) if os.path.exists(OUT) else {}
         ur = data.get(key, {}).get("uniform", {})
-        if ur.get("rmse"):
+        if ur.get("rmse") and row.get("rmse"):
             row["rmse_ratio_vs_uniform"] = row["rmse"] / ur["rmse"]
             row["time_ratio_vs_uniform"] = row["ms"] / ur["ms"]
         _merge(OUT, key, {"guided": row})
